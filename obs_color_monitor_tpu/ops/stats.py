@@ -1,0 +1,243 @@
+"""Statistics accumulators as MXU matmuls (XLA path).
+
+The reference computes these with per-pixel scalar scatter loops on the CPU
+after a GPU->CPU readback (src/vectorscope.c:217-238, src/waveform.c:220-257,
+src/histogram.c:357-395).  A data-dependent scatter is the one thing TPUs
+refuse to do fast — so none of these are scatters here:
+
+  * histogram (256 bins)   = 16x16 outer product of nibble one-hots,
+                             ``A_hi^T @ A_lo`` on the MXU (int8 -> int32);
+  * vectorscope (256x256)  = ``one_hot(U)^T @ one_hot(V)`` — a perfectly
+                             MXU-shaped (256 x N) @ (N x 256) matmul,
+                             scanned over pixel chunks;
+  * waveform (256 x W)     = masked one-hot row-reduction, scanned over
+                             row blocks (columns ride the lane axis).
+
+All counts are exact int32 (one-hot entries are 0/1; int8 x int8 -> int32
+accumulation is exact), then saturated exactly like the reference
+(u8 min-255 for vectorscope/waveform — saturating increment commutes with
+counting — and u32 for the histogram).
+
+Single-frame functions; batch via jax.vmap (models do this).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VS_SIZE = 256
+WV_SIZE = 256
+HI_SIZE = 256
+
+# Pixels per vectorscope matmul chunk. 8192x256 int8 one-hots = 2MB each;
+# keeps XLA fusions VMEM-friendly while the MXU contraction stays long.
+_VS_CHUNK = 8192
+# Rows per waveform reduction block.
+_WV_ROWS = 8
+
+
+def _one_hot_u8(vals: jax.Array, n: int, dtype=jnp.int8) -> jax.Array:
+    """(..., ) u8 -> (..., n) 0/1 one-hot via iota compare (no scatter)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, vals.shape + (n,), vals.ndim)
+    return (vals.astype(jnp.int32)[..., None] == iota).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Histogram
+# ---------------------------------------------------------------------------
+
+# Pixels per histogram matmul chunk (scanned: constant compile time).
+_HI_CHUNK = 65536
+
+
+@jax.jit
+def histogram_counts(data: jax.Array, mask: jax.Array) -> jax.Array:
+    """256-bin per-channel counts.
+
+    data: uint8 (H, W, 3); mask: bool (H, W) — pixels with alpha==0 are
+    skipped (reference src/histogram.c:385-387).  Returns uint32 (3, 256).
+
+    Nibble decomposition: count[b] = sum_p 1[hi(v_p)=hi(b)] * 1[lo(v_p)=lo(b)]
+    -> a (16 x N) @ (N x 16) matmul per channel, int8 on the MXU, scanned
+    over fixed-size pixel chunks (masked padding contributes nothing).
+    """
+    flat = data.reshape(-1, 3)
+    n = flat.shape[0]
+    pad = (-n) % _HI_CHUNK
+    m = (mask.reshape(-1) if mask is not None else jnp.ones((n,), bool))
+    m = jnp.pad(m, (0, pad)).astype(jnp.int8)
+    flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    nchunks = (n + pad) // _HI_CHUNK
+    flat = flat.reshape(nchunks, _HI_CHUNK, 3)
+    m = m.reshape(nchunks, _HI_CHUNK)
+
+    def body(acc, args):
+        d, mm = args
+        outs = []
+        for c in range(3):
+            hi = _one_hot_u8(d[:, c] >> 4, 16) * mm[:, None]
+            lo = _one_hot_u8(d[:, c] & 15, 16)
+            c16 = jax.lax.dot_general(
+                hi,
+                lo,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            outs.append(c16.reshape(HI_SIZE))
+        return acc + jnp.stack(outs), None
+
+    acc0 = jnp.zeros((3, HI_SIZE), jnp.int32)
+    acc, _ = jax.lax.scan(body, acc0, (flat, m))
+    return acc.astype(jnp.uint32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sel", "level_fixed", "level_ratio_permille")
+)
+def histogram_hi_max(
+    counts: jax.Array,
+    sel: tuple[bool, bool, bool],
+    n_pixels: jax.Array | int,
+    level_fixed: int,
+    level_ratio_permille: int,
+) -> jax.Array:
+    """Normalization ceiling (reference src/histogram.c:396-402,342-355).
+
+    Static level config; n_pixels may be traced (ROI-dependent).
+    Returns uint32 (3,).
+    """
+    if level_fixed > 0:
+        v = jnp.uint32(max(1, int(level_fixed)))
+        return jnp.full((3,), v, dtype=jnp.uint32)
+    if level_ratio_permille > 0:
+        v = (
+            jnp.asarray(n_pixels, dtype=jnp.uint64)
+            * jnp.uint64(level_ratio_permille)
+            // jnp.uint64(1000)
+        )
+        v = jnp.maximum(v, 1).astype(jnp.uint32)
+        return jnp.full((3,), 1, dtype=jnp.uint32) * v
+    hi = jnp.maximum(counts.max(axis=1), 1).astype(jnp.uint32)
+    sel_arr = jnp.asarray(sel, dtype=bool)
+    return jnp.where(sel_arr, hi, jnp.uint32(1))
+
+
+@functools.partial(jax.jit, static_argnames=("sel", "logscale"))
+def histogram_levels(
+    counts: jax.Array, hi_max: jax.Array, sel: tuple[bool, bool, bool], logscale: bool
+) -> tuple[jax.Array, jax.Array]:
+    """Float draw levels + effective hi_max (reference src/histogram.c:404-417)."""
+    sel_arr = jnp.asarray(sel, dtype=bool)[:, None]
+    cf = counts.astype(jnp.float32)
+    if logscale:
+        s = 1.0 / jnp.log(hi_max.astype(jnp.float32) + 1.0)
+        lv = jnp.where(counts > 0, jnp.log(cf + 1.0) * s[:, None], 0.0)
+        lv = jnp.where(sel_arr, lv, 0.0)
+        return lv, jnp.ones((3,), jnp.float32)
+    return cf, hi_max.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Vectorscope
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def vectorscope_counts(yuv: jax.Array) -> jax.Array:
+    """256x256 CbCr occupancy, u8 saturating; counts[v, u], v ascending.
+
+    Every pixel counts — no alpha skip (reference src/vectorscope.c:217-238).
+    ``one_hot(u)^T @ one_hot(v)`` over pixel chunks; the 256x256 int32
+    accumulator is the scan carry, padding pixels are masked out of the
+    one-hot so they contribute nothing.
+    """
+    u = yuv[..., 1].reshape(-1)
+    v = yuv[..., 2].reshape(-1)
+    n = u.shape[0]
+    pad = (-n) % _VS_CHUNK
+    valid = jnp.arange(n + pad, dtype=jnp.int32) < n
+    u = jnp.pad(u, (0, pad))
+    v = jnp.pad(v, (0, pad))
+    nchunks = (n + pad) // _VS_CHUNK
+    u = u.reshape(nchunks, _VS_CHUNK)
+    v = v.reshape(nchunks, _VS_CHUNK)
+    valid = valid.reshape(nchunks, _VS_CHUNK)
+
+    def body(acc, args):
+        uc, vc, mc = args
+        a = _one_hot_u8(uc, VS_SIZE) * mc[:, None].astype(jnp.int8)
+        b = _one_hot_u8(vc, VS_SIZE)
+        acc = acc + jax.lax.dot_general(
+            b,
+            a,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((VS_SIZE, VS_SIZE), jnp.int32)
+    acc, _ = jax.lax.scan(body, acc0, (u, v, valid))
+    return jnp.minimum(acc, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Waveform
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def waveform_counts(data: jax.Array, mask: jax.Array) -> jax.Array:
+    """Per-column 256-level counts, u8 saturating.
+
+    data: uint8 (H, W, 3); mask: bool (H, W) (alpha!=0,
+    reference src/waveform.c:247-248).  Returns uint8 (3, 256, W) with the
+    value axis ascending (reference flips rows at store; we flip at render).
+
+    One-hot over the value axis, summed over rows; columns stay on the
+    (fast) lane axis, the 256-wide one-hot lives on the sublane axis.
+    Scanned in row blocks to bound the materialized one-hot.
+    """
+    h, w = data.shape[0], data.shape[1]
+    pad = (-h) % _WV_ROWS
+    datap = jnp.pad(data, ((0, pad), (0, 0), (0, 0)))
+    maskp = jnp.pad(mask, ((0, pad), (0, 0)))
+    nblk = (h + pad) // _WV_ROWS
+    datap = datap.reshape(nblk, _WV_ROWS, w, 3)
+    maskp = maskp.reshape(nblk, _WV_ROWS, w)
+
+    def body(acc, args):
+        d, m = args  # (R, W, 3), (R, W)
+        oh = _one_hot_u8(jnp.moveaxis(d, -1, 0), WV_SIZE)  # (3, R, W, 256)
+        oh = oh * m[None, :, :, None].astype(jnp.int8)
+        acc = acc + jnp.moveaxis(oh.sum(axis=1, dtype=jnp.int32), -1, 1)
+        return acc, None
+
+    acc0 = jnp.zeros((3, WV_SIZE, w), jnp.int32)
+    acc, _ = jax.lax.scan(body, acc0, (datap, maskp))
+    return jnp.minimum(acc, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Channel selection helpers shared by histogram/waveform models
+# ---------------------------------------------------------------------------
+
+def select_planes(
+    rgba: jax.Array, yuv: jax.Array | None, is_yuv: bool
+) -> tuple[jax.Array, jax.Array]:
+    """(data (H,W,3), mask (H,W)) per component mode.
+
+    YUV-mode surfaces always have alpha=255 in the reference (the conversion
+    shader writes a=1, data/common.effect:30,41), so the mask is all-true.
+    """
+    if is_yuv:
+        assert yuv is not None
+        return yuv, jnp.ones(yuv.shape[:-1], dtype=bool)
+    return rgba[..., :3], rgba[..., 3] != 0
+
+
+def apply_channel_select(counts: jax.Array, sel: tuple[bool, bool, bool]) -> jax.Array:
+    """Zero out disabled channels (reference zeroes its buffer first)."""
+    sel_arr = np.asarray(sel, dtype=bool).reshape((3,) + (1,) * (counts.ndim - 1))
+    return counts * jnp.asarray(sel_arr, dtype=counts.dtype)
