@@ -1,0 +1,133 @@
+"""High-level one-shot API: the full six-scope step as a single jittable fn.
+
+This is the "flagship model" of the framework: one frame in, every scope's
+statistics and rendered images out, in one XLA program (the reference needs
+six sources + an ROI hub + readback threads for the same result,
+SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .colorspace import Colorspace
+from .config import (
+    FalseColorConfig,
+    FocusPeakingConfig,
+    HistogramConfig,
+    VectorscopeConfig,
+    WaveformConfig,
+    ZebraConfig,
+)
+from .golden.reference import peaking_threshold_fixed, quantize_unorm8
+from .ops import overlays as overlay_ops
+from .ops import render as render_ops
+from .ops.fused import analyze
+from .ops.stats import histogram_hi_max, histogram_levels
+
+
+class ScopeOutputs(NamedTuple):
+    vectorscope: jax.Array  # (256, 256, 4) u8
+    waveform: jax.Array  # (256, W', 4) u8
+    histogram: jax.Array  # (H', 256, 4) u8
+    zebra: jax.Array  # full-res RGBA
+    falsecolor: jax.Array
+    focuspeaking: jax.Array
+    vs_counts: jax.Array  # (256, 256) u8
+    wv_counts: jax.Array  # (3, 256, W) u8
+    hi_counts: jax.Array  # (3, 256) u32
+
+
+def make_full_step(
+    height: int,
+    width: int,
+    cs: Colorspace = Colorspace.BT709,
+    scale: int = 2,
+    vectorscope: VectorscopeConfig | None = None,
+    waveform: WaveformConfig | None = None,
+    histogram: HistogramConfig | None = None,
+    zebra: ZebraConfig | None = None,
+    falsecolor: FalseColorConfig | None = None,
+    focuspeaking: FocusPeakingConfig | None = None,
+):
+    """Build a jitted (frame, tm) -> ScopeOutputs for a fixed frame shape.
+
+    Statistics run on the ``scale``-downscaled frame (the reference's
+    default target_scale=2, src/common.c:124); overlays run full-res.
+    """
+    vs_cfg = vectorscope or VectorscopeConfig()
+    wv_cfg = waveform or WaveformConfig()
+    hi_cfg = histogram or HistogramConfig()
+    zb_cfg = zebra or ZebraConfig()
+    fc_cfg = falsecolor or FalseColorConfig()
+    fp_cfg = focuspeaking or FocusPeakingConfig()
+    cs = int(cs)
+    sel = hi_cfg.components.channel_select()
+    peak_color = jnp.asarray(
+        quantize_unorm8(np.asarray(fp_cfg.peaking_rgba, np.float32))
+    )
+    peak_th = peaking_threshold_fixed(fp_cfg.peaking_threshold)
+    sw, sh = width // scale, height // scale
+
+    @jax.jit
+    def step(frame: jax.Array, tm: jax.Array) -> ScopeOutputs:
+        res = analyze(
+            frame,
+            cs=cs,
+            scale=scale,
+            need_vs=True,
+            need_wv_rgb=True,
+            need_hi_rgb=True,
+            keep_rgba=False,
+        )
+        vs_img = render_ops.render_vectorscope(
+            res.vs_counts, intensity=vs_cfg.intensity, cs=cs, white=False
+        )
+        wv_img = render_ops.render_waveform(
+            res.wv_rgb,
+            intensity=wv_cfg.intensity,
+            display=int(wv_cfg.display),
+            n_components=wv_cfg.components.n_components,
+            yuv_mode=False,
+        )
+        hi = histogram_hi_max(
+            res.hi_rgb.astype(jnp.int32),
+            sel,
+            sw * sh,
+            hi_cfg.level_fixed,
+            hi_cfg.level_ratio_permille,
+        )
+        levels, hi_eff = histogram_levels(
+            res.hi_rgb.astype(jnp.int32), hi, sel, hi_cfg.logscale
+        )
+        hi_img = render_ops.render_histogram(
+            levels,
+            hi_eff,
+            level_height=hi_cfg.level_height,
+            display=int(hi_cfg.display),
+            n_components=hi_cfg.components.n_components,
+            yuv_mode=False,
+        )
+        zb_img = overlay_ops.zebra(
+            frame, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high, tm=tm, cs=cs
+        )
+        fc_img = overlay_ops.falsecolor(frame, cs=cs)
+        fp_img = overlay_ops.focus_peaking(frame, peak_th, peak_color)
+        return ScopeOutputs(
+            vectorscope=vs_img,
+            waveform=wv_img,
+            histogram=hi_img,
+            zebra=zb_img,
+            falsecolor=fc_img,
+            focuspeaking=fp_img,
+            vs_counts=res.vs_counts,
+            wv_counts=res.wv_rgb,
+            hi_counts=res.hi_rgb,
+        )
+
+    return step

@@ -300,10 +300,13 @@ def zebra(
     luma = _luma_fixed(rgba, cs)
     lo = luma_threshold_fixed(th_low)
     hi = luma_threshold_fixed(th_high)
+    # Phase in float32 — the exact arithmetic the device kernel performs
+    # (x+y+1 is integer-exact in f32 for any sane frame size; adding the
+    # f32 stripe clock is then the identical rounding on both paths).
     h, w = rgba.shape[-3], rgba.shape[-2]
-    yy = np.arange(h, dtype=np.float64)[:, None]
-    xx = np.arange(w, dtype=np.float64)[None, :]
-    phase = np.floor(xx + yy + 1.0 + np.float64(tm)).astype(np.int64) % 6
+    yy = np.arange(h, dtype=np.float32)[:, None]
+    xx = np.arange(w, dtype=np.float32)[None, :]
+    phase = np.floor(xx + yy + np.float32(1.0) + np.float32(tm)).astype(np.int64) % 6
     stripe = (luma >= lo) & (luma <= hi) & (phase < 3)
     out = rgba.copy()
     out[stripe] = np.array([0, 0, 0, 255], dtype=np.uint8)
@@ -397,14 +400,21 @@ def focus_peaking(
     acc = np.zeros(rgb.shape[:2], dtype=np.int64)
     for dy, dx in ((0, 1), (1, 0), (0, -1), (-1, 0)):
         acc += np.abs(shift(rgb, dy, dx) - rgb).sum(axis=-1)
-    # d = acc/255 * 0.25 * 0.3333 ; peak where d >= threshold
-    # acc >= threshold * 255 / (0.25 * 0.3333)
-    th_fixed = int(np.ceil(float(threshold) * 255.0 / (0.25 * 0.3333)))
-    peak = acc >= th_fixed
+    peak = acc >= peaking_threshold_fixed(threshold)
     color = quantize_unorm8(np.asarray(peaking_rgba, dtype=np.float32))
     out = rgba.copy()
     out[peak] = color
     return out
+
+
+def peaking_threshold_fixed(threshold: float) -> int:
+    """Integer peaking threshold shared by golden model and device kernels.
+
+    d = acc/255 * 0.25 * 0.3333; peak where d >= threshold, i.e.
+    ``acc >= threshold * 255 / (0.25 * 0.3333)`` — computed once on host in
+    float64 so both paths compare against the identical integer.
+    """
+    return int(np.ceil(float(threshold) * 255.0 / (0.25 * 0.3333)))
 
 
 def zebra_tm_advance(tm: float, seconds: float) -> float:

@@ -1,0 +1,237 @@
+"""Scope base class and the shared capture fan-out hub.
+
+Mirrors the reference's source model: each scope is created with settings,
+receives per-frame surfaces through a callback, keeps double-buffered
+results, and renders on demand (reference src/common.h:95-114 vtable
+contract; double buffering e.g. src/vectorscope.c:46-48,264).
+
+The CaptureHub replaces the cm capture core + ROI hub (reference
+src/common.c:223-333, src/roi.c:315-341): one fused device pass per frame,
+fanned out to every registered consumer.  Where the reference ORs consumer
+flags each tick (src/roi.c:534-540), the hub unions the consumers' needs
+into the static flags of ops.fused.analyze.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..colorspace import Colorspace, calc_colorspace
+from ..config import CaptureConfig, ROIConfig
+from ..ops.fused import AnalysisResult, analyze
+
+# Capture flags (reference src/common.h:90-93).
+FLAG_CONVERT_RGB = 1
+FLAG_CONVERT_YUV = 2
+FLAG_RAW_TEXTURE = 4
+FLAG_ROI = 8
+
+
+@dataclasses.dataclass
+class SurfaceData:
+    """Per-frame analysis handed to scope callbacks.
+
+    The reference's cm_surface_data carries mapped CPU pointers
+    (src/common.h:24-30); here it carries the device-resident results of the
+    fused pass plus geometry/colorspace.
+    """
+
+    result: AnalysisResult
+    width: int
+    height: int
+    colorspace: Colorspace
+
+
+@dataclasses.dataclass
+class Needs:
+    """What a scope wants from the fused pass (static jit flags)."""
+
+    vs: bool = False
+    wv_rgb: bool = False
+    wv_yuv: bool = False
+    hi_rgb: bool = False
+    hi_yuv: bool = False
+    rgba: bool = False
+
+    def __or__(self, other: "Needs") -> "Needs":
+        return Needs(
+            self.vs or other.vs,
+            self.wv_rgb or other.wv_rgb,
+            self.wv_yuv or other.wv_yuv,
+            self.hi_rgb or other.hi_rgb,
+            self.hi_yuv or other.hi_yuv,
+            self.rgba or other.rgba,
+        )
+
+
+class Scope:
+    """Base scope: settings, double-buffered results, render-on-demand."""
+
+    def __init__(self, config: CaptureConfig):
+        self.config = config
+        self.flags = 0
+        # double buffer (reference tex_buf[2] / w_tex_buf flip)
+        self._buf: list[Optional[object]] = [None, None]
+        self._w_buf = 0
+
+    # -- settings -----------------------------------------------------------
+    def update(self, **settings) -> None:
+        """Apply settings like the reference's ``*_update`` callbacks."""
+        for k, v in settings.items():
+            if not hasattr(self.config, k):
+                raise KeyError(f"{type(self).__name__} has no setting {k!r}")
+            setattr(self.config, k, v)
+        self.config.__post_init__()
+
+    @property
+    def colorspace(self) -> Colorspace:
+        return calc_colorspace(self.config.colorspace)
+
+    # -- capture contract ---------------------------------------------------
+    def needs(self) -> Needs:
+        raise NotImplementedError
+
+    def surface_cb(self, surface: SurfaceData) -> None:
+        """Consume one frame's analysis (reference cm_surface_cb_t)."""
+        raise NotImplementedError
+
+    def tick(self, seconds: float = 1.0 / 60.0) -> None:
+        """Per-display-frame bookkeeping (reference video_tick)."""
+
+    # -- double buffer ------------------------------------------------------
+    def _publish(self, value) -> None:
+        self._buf[self._w_buf] = value
+        self._w_buf ^= 1
+
+    def _read(self):
+        return self._buf[self._w_buf ^ 1]
+
+    # -- output -------------------------------------------------------------
+    def render(self) -> Optional[np.ndarray]:
+        """RGBA u8 image of the scope, or None before the first frame."""
+        raise NotImplementedError
+
+    @property
+    def width(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def height(self) -> int:
+        raise NotImplementedError
+
+
+class CaptureHub:
+    """Shared capture + fan-out (reference roi.c / common.c collapsed).
+
+    One hub per capture target.  Consumers register like the reference's
+    ``roi_register_source`` (src/roi.c:315-327); every processed frame runs
+    ONE fused device pass and invokes every consumer's callback with the
+    same SurfaceData (src/roi.c:329-341).
+
+    Interleave: with ``interleave=n``, only every (n+1)-th frame is
+    processed (reference src/roi.c:266-277,523-532) to trade latency for
+    throughput.
+    """
+
+    def __init__(self, config: Optional[ROIConfig] = None):
+        self.config = config or ROIConfig()
+        self.consumers: list[Scope] = []
+        self._i_interleave = 0
+        self._rendered = False
+        self.last_surface: Optional[SurfaceData] = None
+        self.frames_processed = 0
+        self.frames_skipped = 0
+
+    def register(self, scope: Scope) -> None:
+        self.consumers.append(scope)
+
+    def unregister(self, scope: Scope) -> None:
+        self.consumers.remove(scope)
+
+    @property
+    def colorspace(self) -> Colorspace:
+        return calc_colorspace(self.config.colorspace)
+
+    def union_needs(self) -> Needs:
+        n = Needs()
+        for c in self.consumers:
+            n = n | c.needs()
+        return n
+
+    def tick(self) -> None:
+        """Advance the interleave counter (reference src/roi.c:523-532)."""
+        if self._rendered:
+            self._i_interleave += 1
+            if self._i_interleave > self.config.interleave:
+                self._i_interleave = 0
+        self._rendered = False
+        for c in self.consumers:
+            c.tick()
+
+    def process(self, frame: jax.Array | np.ndarray) -> Optional[SurfaceData]:
+        """Analyze one frame and fan out; None if interleave-skipped."""
+        self._rendered = True
+        if self._i_interleave != 0 and self.config.interleave > 0:
+            self.frames_skipped += 1
+            return None
+
+        h, w = frame.shape[-3], frame.shape[-2]
+        scale = self.config.target_scale
+        sw, sh = w // scale, h // scale
+        rect = self.config.resolve_rect(sw, sh)
+        full = rect == (0, 0, sw, sh)
+        needs = self.union_needs()
+        cs = self.colorspace
+
+        result = analyze(
+            frame,
+            cs=int(cs),
+            scale=scale,
+            rect=None if full else rect,
+            need_vs=needs.vs,
+            need_wv_rgb=needs.wv_rgb,
+            need_wv_yuv=needs.wv_yuv,
+            need_hi_rgb=needs.hi_rgb,
+            need_hi_yuv=needs.hi_yuv,
+            keep_rgba=True,
+        )
+        cw = rect[2] - rect[0]
+        ch = rect[3] - rect[1]
+        surface = SurfaceData(result=result, width=cw, height=ch, colorspace=cs)
+        self.last_surface = surface
+        for c in self.consumers:
+            c.surface_cb(surface)
+        self.frames_processed += 1
+        return surface
+
+    def set_roi(self, x0: int, y0: int, x1: int, y1: int) -> None:
+        """Select a sub-rect in scaled coordinates (replaces the reference's
+        interactive drag state machine, src/roi.c:343-521)."""
+        self.config.x0, self.config.y0 = x0, y0
+        self.config.x1, self.config.y1 = x1, y1
+
+
+class StandaloneScopeMixin:
+    """A scope driving its own private hub (the reference's non-ROI path,
+    where each cm_source owns a texrender/staging pipeline,
+    src/common.c:430-454)."""
+
+    def attach_private_hub(self, capture: CaptureConfig) -> CaptureHub:
+        hub = CaptureHub(
+            ROIConfig(
+                target_scale=capture.target_scale,
+                colorspace=capture.colorspace,
+                interleave=0,
+            )
+        )
+        hub.register(self)  # type: ignore[arg-type]
+        self._hub = hub
+        return hub
+
+    def push_frame(self, frame) -> None:
+        self._hub.tick()
+        self._hub.process(frame)

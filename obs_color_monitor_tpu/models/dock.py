@@ -1,0 +1,162 @@
+"""Composite "dock" view: all scopes off one shared capture
+(reference src/scope-widget.cpp).
+
+The reference dock creates an ROI source plus six scopes all targeting it,
+so one capture feeds everything (src/scope-widget.cpp:19-25,542-561); the
+draw callback stacks the shown scopes vertically with per-scope aspect
+rules (src/scope-widget.cpp:99-175).  Here the Dock owns a CaptureHub with
+the six scopes registered, and ``render`` composites their images with the
+same layout rules.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import (
+    DockConfig,
+    FalseColorConfig,
+    FocusPeakingConfig,
+    HistogramConfig,
+    ROIConfig,
+    VectorscopeConfig,
+    WaveformConfig,
+    ZebraConfig,
+)
+from .base import CaptureHub, Scope
+from .histogram import Histogram
+from .overlays import FalseColor, FocusPeaking, Zebra
+from .vectorscope import Vectorscope
+from .waveform import Waveform
+
+# Dock scope order (reference src/scope-widget.cpp:19-25): ROI preview,
+# vectorscope, waveform, histogram, zebra, false color, focus peaking.
+SCOPE_ORDER = (
+    "roi",
+    "vectorscope",
+    "waveform",
+    "histogram",
+    "zebra",
+    "falsecolor",
+    "focuspeaking",
+)
+
+
+class _RoiPreview(Scope):
+    """The dock's row 0: the captured frame itself (the ROI source's own
+    render, reference src/roi.c:279-315)."""
+
+    def __init__(self, hub: CaptureHub):
+        super().__init__(hub.config)
+        self._hub = hub
+
+    def needs(self):
+        from .base import Needs
+
+        return Needs(rgba=True)
+
+    def surface_cb(self, surface) -> None:
+        if surface.result.rgba is not None:
+            self._size = (surface.width, surface.height)
+            self._publish(surface.result.rgba)
+
+    def render(self) -> Optional[np.ndarray]:
+        v = self._read()
+        return None if v is None else np.asarray(v)
+
+    @property
+    def width(self) -> int:
+        return getattr(self, "_size", (0, 0))[0]
+
+    @property
+    def height(self) -> int:
+        return getattr(self, "_size", (0, 0))[1]
+
+
+class Dock:
+    """All six scopes + shared capture + vertical-stack compositor."""
+
+    def __init__(
+        self,
+        config: Optional[DockConfig] = None,
+        roi: Optional[ROIConfig] = None,
+        vectorscope: Optional[VectorscopeConfig] = None,
+        waveform: Optional[WaveformConfig] = None,
+        histogram: Optional[HistogramConfig] = None,
+        zebra: Optional[ZebraConfig] = None,
+        falsecolor: Optional[FalseColorConfig] = None,
+        focuspeaking: Optional[FocusPeakingConfig] = None,
+    ):
+        self.config = config or DockConfig()
+        self.hub = CaptureHub(roi or ROIConfig())
+        # scopes share the hub: detach their private hubs and register
+        self.vectorscope = Vectorscope(vectorscope)
+        self.waveform = Waveform(waveform)
+        self.histogram = Histogram(histogram)
+        self.zebra = Zebra(zebra)
+        self.falsecolor = FalseColor(falsecolor)
+        self.focuspeaking = FocusPeaking(focuspeaking)
+        self.roi_preview = _RoiPreview(self.hub)
+        self.scopes: dict[str, Scope] = {
+            "roi": self.roi_preview,
+            "vectorscope": self.vectorscope,
+            "waveform": self.waveform,
+            "histogram": self.histogram,
+            "zebra": self.zebra,
+            "falsecolor": self.falsecolor,
+            "focuspeaking": self.focuspeaking,
+        }
+        self.hub.consumers = [self.scopes[k] for k in SCOPE_ORDER]
+
+    def shown(self, name: str) -> bool:
+        return bool(getattr(self.config, f"show_{name}"))
+
+    def push_frame(self, frame) -> None:
+        """One video frame in: tick + shared analyze + fan-out."""
+        self.hub.tick()
+        self.hub.process(frame)
+
+    def render(
+        self, width: Optional[int] = None, height: Optional[int] = None
+    ) -> np.ndarray:
+        """Composite all shown scopes (reference draw,
+        src/scope-widget.cpp:99-175): vertical stack, each scope centered;
+        vectorscope forced square; ROI/zebra/falsecolor/focuspeaking keep
+        their aspect; waveform/histogram stretch."""
+        cx = width or self.config.width
+        cy = height or self.config.height
+        canvas = np.zeros((cy, cx, 4), dtype=np.uint8)
+        canvas[..., 3] = 255
+
+        shown = [n for n in SCOPE_ORDER if self.shown(n)]
+        n_src = len(shown)
+        y0 = 0
+        for k, name in enumerate(shown):
+            scope = self.scopes[name]
+            img = scope.render()
+            h_slot = (cy - y0) // (n_src - k)
+            if img is None:
+                y0 += h_slot
+                continue
+            h_src, w_src = img.shape[0], img.shape[1]
+            w, h = cx, h_slot
+            keep_aspect = name in ("roi", "zebra", "falsecolor") or (
+                name == "focuspeaking" and not self.focuspeaking.config.actual_size
+            )
+            if name == "vectorscope":
+                w = h = min(w, h)
+            elif keep_aspect and w_src > 0 and h_src > 0:
+                if w * h_src > h * w_src:
+                    w = h * w_src // h_src
+                elif h * w_src > w * h_src:
+                    h = w * h_src // w_src
+            if w > 0 and h > 0:
+                sy = (np.arange(h) * h_src) // h
+                sx = (np.arange(w) * w_src) // w
+                patch = img[sy][:, sx]
+                x0 = (cx - w) // 2
+                canvas[y0 : y0 + h, x0 : x0 + w] = patch
+            y0 += h_slot
+        return canvas

@@ -1,0 +1,118 @@
+"""Histogram scope (reference src/histogram.c).
+
+256-bin per-channel u32 counts with auto/pixels/ratio level modes, optional
+log scale, overlay/stack/parade bar rendering, V/H graticules.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import Components, DisplayMode, HistogramConfig
+from ..ops import render as render_ops
+from ..ops.graticule import histogram_graticule
+from ..ops.stats import (
+    apply_channel_select,
+    histogram_hi_max,
+    histogram_levels,
+)
+from .base import (
+    FLAG_CONVERT_RGB,
+    FLAG_CONVERT_YUV,
+    Needs,
+    Scope,
+    StandaloneScopeMixin,
+    SurfaceData,
+)
+
+HI_SIZE = 256
+
+
+class Histogram(Scope, StandaloneScopeMixin):
+    def __init__(self, config: Optional[HistogramConfig] = None):
+        config = config or HistogramConfig()
+        super().__init__(config)
+        self._update_flags()
+        self.attach_private_hub(config)
+
+    def _update_flags(self) -> None:
+        c = self.config.components
+        self.flags = (FLAG_CONVERT_RGB if (c & Components.RGB) else 0) | (
+            FLAG_CONVERT_YUV if c.is_yuv else 0
+        )
+
+    def update(self, **settings) -> None:
+        super().update(**settings)
+        self._update_flags()
+
+    def needs(self) -> Needs:
+        yuv = self.config.components.is_yuv
+        return Needs(hi_rgb=not yuv, hi_yuv=yuv, rgba=self.config.bypass)
+
+    def surface_cb(self, surface: SurfaceData) -> None:
+        res = surface.result
+        counts = res.hi_yuv if self.config.components.is_yuv else res.hi_rgb
+        if counts is None:
+            return
+        sel = self.config.components.channel_select()
+        counts = apply_channel_select(counts, sel)
+        # levels + hi_max on device (reference does this in the CPU callback,
+        # src/histogram.c:396-418)
+        hi = histogram_hi_max(
+            counts.astype(np.int32),
+            sel,
+            surface.width * surface.height,
+            self.config.level_fixed,
+            self.config.level_ratio_permille,
+        )
+        levels, hi_eff = histogram_levels(
+            counts.astype(np.int32), hi, sel, self.config.logscale
+        )
+        self._publish((counts, levels, hi_eff))
+
+    def counts(self) -> Optional[np.ndarray]:
+        """Raw u32 bin counts of the published buffer (for tests/tools)."""
+        v = self._read()
+        return None if v is None else np.asarray(v[0])
+
+    def render(self) -> Optional[np.ndarray]:
+        v = self._read()
+        if v is None:
+            return None
+        _, levels, hi_eff = v
+        n = self.config.components.n_components
+        img = render_ops.render_histogram(
+            levels,
+            hi_eff,
+            level_height=self.config.level_height,
+            display=int(self.config.display),
+            n_components=n,
+            yuv_mode=self.config.components.is_yuv,
+        )
+        overlay = histogram_graticule(
+            self.config.graticule_vertical_lines,
+            self.config.graticule_horizontal_step,
+            self.config.level_height,
+            int(self.config.display),
+            n,
+            self.config.level_fixed,
+            self.config.level_ratio_permille,
+            self.config.logscale,
+        )
+        if overlay is not None:
+            img = render_ops.blend_overlay(img, overlay)
+        return np.asarray(img)
+
+    @property
+    def width(self) -> int:
+        if self.config.display == DisplayMode.PARADE:
+            return HI_SIZE * self.config.components.n_components
+        return HI_SIZE
+
+    @property
+    def height(self) -> int:
+        if self.config.display == DisplayMode.STACK:
+            return self.config.level_height * self.config.components.n_components
+        return self.config.level_height

@@ -1,0 +1,106 @@
+"""Fused single-pass frame analysis.
+
+The reference's ROI hub renders/reads back a frame once and fans the mapped
+surface out to N scope callbacks, each running its own CPU loop over the
+same pixels (reference src/roi.c:315-341, src/common.c:335-373).  On TPU the
+natural design is ONE jitted function that reads the frame once from HBM and
+produces every requested statistic — XLA fuses the YUV conversion into all
+consumers, the one-hot builds are shared, and nothing is traversed twice.
+
+``analyze`` is the single entry: static flags select which statistics are
+computed (compiled once per flag/shape combination, like the reference's
+per-scope effect techniques).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .convert import rgb_to_yuv_u8, downscale, roi_crop
+from .stats import (
+    histogram_counts,
+    vectorscope_counts,
+    waveform_counts,
+    select_planes,
+)
+
+
+class AnalysisResult(NamedTuple):
+    """Per-frame statistics; entries are None unless requested."""
+
+    yuv: jax.Array | None  # (H, W, 3) u8
+    vs_counts: jax.Array | None  # (256, 256) u8
+    wv_rgb: jax.Array | None  # (3, 256, W) u8
+    wv_yuv: jax.Array | None
+    hi_rgb: jax.Array | None  # (3, 256) u32
+    hi_yuv: jax.Array | None
+    rgba: jax.Array | None  # the scaled/cropped frame (for overlays/bypass)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cs",
+        "scale",
+        "rect",
+        "need_vs",
+        "need_wv_rgb",
+        "need_wv_yuv",
+        "need_hi_rgb",
+        "need_hi_yuv",
+        "keep_rgba",
+    ),
+)
+def analyze(
+    frame: jax.Array,
+    cs: int,
+    scale: int = 1,
+    rect: tuple[int, int, int, int] | None = None,
+    need_vs: bool = False,
+    need_wv_rgb: bool = False,
+    need_wv_yuv: bool = False,
+    need_hi_rgb: bool = False,
+    need_hi_yuv: bool = False,
+    keep_rgba: bool = True,
+) -> AnalysisResult:
+    """One pass: downscale -> crop -> convert -> all requested statistics.
+
+    frame: uint8 (H, W, 4) RGBA.  ``rect`` is the ROI (x0, y0, x1, y1) in
+    *scaled* coordinates (reference src/common.c:273-282).
+    """
+    rgba = downscale(frame, scale=scale)
+    if rect is not None:
+        rgba = roi_crop(rgba, *rect)
+
+    need_yuv = need_vs or need_wv_yuv or need_hi_yuv
+    yuv = rgb_to_yuv_u8(rgba, cs=cs) if need_yuv else None
+
+    vs = vectorscope_counts(yuv) if need_vs else None
+
+    wv_rgb = hi_rgb = wv_yuv = hi_yuv = None
+    if need_wv_rgb or need_hi_rgb:
+        data, mask = select_planes(rgba, None, is_yuv=False)
+        if need_wv_rgb:
+            wv_rgb = waveform_counts(data, mask)
+        if need_hi_rgb:
+            hi_rgb = histogram_counts(data, mask)
+    if need_wv_yuv or need_hi_yuv:
+        data, mask = select_planes(rgba, yuv, is_yuv=True)
+        if need_wv_yuv:
+            wv_yuv = waveform_counts(data, mask)
+        if need_hi_yuv:
+            hi_yuv = histogram_counts(data, mask)
+
+    return AnalysisResult(
+        yuv=yuv,
+        vs_counts=vs,
+        wv_rgb=wv_rgb,
+        wv_yuv=wv_yuv,
+        hi_rgb=hi_rgb,
+        hi_yuv=hi_yuv,
+        rgba=rgba if keep_rgba else None,
+    )

@@ -146,14 +146,9 @@ def histogram_levels(
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def vectorscope_counts(yuv: jax.Array) -> jax.Array:
-    """256x256 CbCr occupancy, u8 saturating; counts[v, u], v ascending.
-
-    Every pixel counts — no alpha skip (reference src/vectorscope.c:217-238).
-    ``one_hot(u)^T @ one_hot(v)`` over pixel chunks; the 256x256 int32
-    accumulator is the scan carry, padding pixels are masked out of the
-    one-hot so they contribute nothing.
-    """
+def vectorscope_counts_i32(yuv: jax.Array) -> jax.Array:
+    """Unsaturated int32 vectorscope counts (for cross-device psum merges:
+    saturation must happen AFTER the merge to stay bit-exact)."""
     u = yuv[..., 1].reshape(-1)
     v = yuv[..., 2].reshape(-1)
     n = u.shape[0]
@@ -180,7 +175,20 @@ def vectorscope_counts(yuv: jax.Array) -> jax.Array:
 
     acc0 = jnp.zeros((VS_SIZE, VS_SIZE), jnp.int32)
     acc, _ = jax.lax.scan(body, acc0, (u, v, valid))
-    return jnp.minimum(acc, 255).astype(jnp.uint8)
+    return acc
+
+
+@jax.jit
+def vectorscope_counts(yuv: jax.Array) -> jax.Array:
+    """256x256 CbCr occupancy, u8 saturating; counts[v, u], v ascending.
+
+    Every pixel counts — no alpha skip (reference src/vectorscope.c:217-238).
+    ``one_hot(u)^T @ one_hot(v)`` over pixel chunks; the 256x256 int32
+    accumulator is the scan carry, padding pixels are masked out of the
+    one-hot so they contribute nothing.  Saturating increment commutes with
+    counting, so the clamp happens once at the end.
+    """
+    return jnp.minimum(vectorscope_counts_i32(yuv), 255).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -188,17 +196,8 @@ def vectorscope_counts(yuv: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def waveform_counts(data: jax.Array, mask: jax.Array) -> jax.Array:
-    """Per-column 256-level counts, u8 saturating.
-
-    data: uint8 (H, W, 3); mask: bool (H, W) (alpha!=0,
-    reference src/waveform.c:247-248).  Returns uint8 (3, 256, W) with the
-    value axis ascending (reference flips rows at store; we flip at render).
-
-    One-hot over the value axis, summed over rows; columns stay on the
-    (fast) lane axis, the 256-wide one-hot lives on the sublane axis.
-    Scanned in row blocks to bound the materialized one-hot.
-    """
+def waveform_counts_i32(data: jax.Array, mask: jax.Array) -> jax.Array:
+    """Unsaturated int32 waveform counts (for cross-device psum merges)."""
     h, w = data.shape[0], data.shape[1]
     pad = (-h) % _WV_ROWS
     datap = jnp.pad(data, ((0, pad), (0, 0), (0, 0)))
@@ -216,7 +215,22 @@ def waveform_counts(data: jax.Array, mask: jax.Array) -> jax.Array:
 
     acc0 = jnp.zeros((3, WV_SIZE, w), jnp.int32)
     acc, _ = jax.lax.scan(body, acc0, (datap, maskp))
-    return jnp.minimum(acc, 255).astype(jnp.uint8)
+    return acc
+
+
+@jax.jit
+def waveform_counts(data: jax.Array, mask: jax.Array) -> jax.Array:
+    """Per-column 256-level counts, u8 saturating.
+
+    data: uint8 (H, W, 3); mask: bool (H, W) (alpha!=0,
+    reference src/waveform.c:247-248).  Returns uint8 (3, 256, W) with the
+    value axis ascending (reference flips rows at store; we flip at render).
+
+    One-hot over the value axis, summed over rows; columns stay on the
+    (fast) lane axis, the 256-wide one-hot lives on the sublane axis.
+    Scanned in row blocks to bound the materialized one-hot.
+    """
+    return jnp.minimum(waveform_counts_i32(data, mask), 255).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------

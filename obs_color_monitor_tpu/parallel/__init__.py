@@ -1,0 +1,19 @@
+"""Device-mesh scaling: batch DP + spatial sharding with psum bin merges."""
+
+from .mesh import (
+    BATCH_AXIS,
+    SPATIAL_AXIS,
+    batch_analyze,
+    make_mesh,
+    shard_batch,
+    spatial_analyze,
+)
+
+__all__ = [
+    "BATCH_AXIS",
+    "SPATIAL_AXIS",
+    "batch_analyze",
+    "make_mesh",
+    "shard_batch",
+    "spatial_analyze",
+]

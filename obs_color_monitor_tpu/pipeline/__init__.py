@@ -1,0 +1,7 @@
+"""Host pipeline: bounded queue, driver, profiling probes."""
+
+from .queue import FrameQueue, DEFAULT_QUEUE_DEPTH
+from .driver import PipelineDriver
+from . import profiler
+
+__all__ = ["FrameQueue", "DEFAULT_QUEUE_DEPTH", "PipelineDriver", "profiler"]

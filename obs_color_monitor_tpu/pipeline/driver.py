@@ -1,0 +1,108 @@
+"""Pipeline driver: ingest thread + bounded queue + async device dispatch.
+
+The reference pipeline is: graphics thread renders + stages (GPU->CPU copy
+enqueued), a per-source pthread maps the staging surface and runs the CPU
+accumulators, results publish through a double buffer (reference
+src/common.c:223-403, SURVEY.md §3.2).  The TPU-native equivalent keeps the
+same *shape* — producer, bounded queue with drop, consumer, double-buffered
+publication — but the consumer merely *dispatches* the fused device pass
+(JAX is async; the device runs ahead of the host) and publication happens
+when results are consumed.
+
+``jax.block_until_ready`` is called only at the sink (render/metrics), never
+per frame in the hot path.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..models.base import CaptureHub
+from . import profiler
+from .queue import DEFAULT_QUEUE_DEPTH, FrameQueue
+
+
+class PipelineDriver:
+    """Drives a CaptureHub from a frame stream.
+
+    push_frame() is the producer side (non-blocking, drop-on-full); a worker
+    thread dispatches the hub's fused pass in frame order.  Mirrors the
+    reference's one-pipeline-thread-per-source design
+    (src/common.c:430-454), generalized to the shared-hub case.
+    """
+
+    def __init__(self, hub: CaptureHub, queue_depth: int = DEFAULT_QUEUE_DEPTH):
+        self.hub = hub
+        self.queue = FrameQueue(queue_depth)
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+        self._lock = threading.Lock()
+
+    # -- lifecycle (reference start/stop_pipeline_thread) -------------------
+    def start(self) -> None:
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(
+            target=self._loop, name="color-monitor", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        if not self._running:
+            return
+        self._running = False
+        self.queue.close()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    # -- producer ------------------------------------------------------------
+    def push_frame(self, frame: np.ndarray | jax.Array) -> bool:
+        """Non-blocking enqueue; False = dropped (queue full)."""
+        return self.queue.push(frame)
+
+    # -- consumer ------------------------------------------------------------
+    def _loop(self) -> None:
+        while self._running:
+            frame = self.queue.pop(timeout=0.1)
+            if frame is None:
+                continue
+            with self._lock:
+                with profiler.probe("pipeline_loop"):
+                    self.hub.tick()
+                    self.hub.process(frame)
+
+    # -- synchronous convenience ----------------------------------------------
+    def process_now(self, frame) -> None:
+        """Run one frame synchronously through the hub (tests/tools)."""
+        with self._lock:
+            self.hub.tick()
+            self.hub.process(frame)
+
+    def flush(self, timeout: float = 10.0) -> None:
+        """Wait until the queue drains and in-flight work lands."""
+        import time
+
+        t0 = time.monotonic()
+        while len(self.queue) and time.monotonic() - t0 < timeout:
+            time.sleep(0.001)
+        with self._lock:
+            s = self.hub.last_surface
+        if s is not None:
+            for leaf in jax.tree_util.tree_leaves(s.result):
+                leaf.block_until_ready()
+
+    # -- metrics ---------------------------------------------------------------
+    @property
+    def stats(self) -> dict:
+        return {
+            "pushed": self.queue.n_pushed,
+            "dropped": self.queue.n_dropped,
+            "processed": self.hub.frames_processed,
+            "interleave_skipped": self.hub.frames_skipped,
+        }

@@ -7,12 +7,23 @@ exercise the multi-chip sharding paths without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient JAX_PLATFORMS (the dev box points at a
+# real TPU via the 'axon' platform); set OCM_TEST_TPU=1 to run the suite on
+# the hardware instead (single chip, no mesh tests).
+if not os.environ.get("OCM_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402  (must configure before backend init)
+
+if not os.environ.get("OCM_TEST_TPU"):
+    # The axon TPU plugin overrides JAX_PLATFORMS at import; config wins.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

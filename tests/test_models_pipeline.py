@@ -1,0 +1,188 @@
+"""Model-layer + pipeline semantics: double-buffering, fan-out, interleave,
+drop-on-full, dock composite, bit-exactness end-to-end through the hub."""
+
+import time
+
+import numpy as np
+import pytest
+
+from obs_color_monitor_tpu import golden
+from obs_color_monitor_tpu.colorspace import Colorspace
+from obs_color_monitor_tpu.config import (
+    Components,
+    HistogramConfig,
+    ROIConfig,
+    VectorscopeConfig,
+    WaveformConfig,
+)
+from obs_color_monitor_tpu.models import (
+    CaptureHub,
+    Dock,
+    Histogram,
+    Vectorscope,
+    Waveform,
+    Zebra,
+)
+from obs_color_monitor_tpu.pipeline import FrameQueue, PipelineDriver
+
+
+FRAME = None
+
+
+@pytest.fixture(scope="module")
+def frame(rng):
+    f = rng.integers(0, 256, size=(96, 128, 4), dtype=np.uint8)
+    f[..., 3] = 255
+    return f
+
+
+def test_vectorscope_end_to_end(frame):
+    vs = Vectorscope(VectorscopeConfig(target_scale=1, colorspace=Colorspace.BT709))
+    assert vs.render() is None  # nothing before first frame
+    vs.push_frame(frame)
+    img = vs.render()
+    assert img.shape == (256, 256, 4)
+    # counts bit-exact through the whole model stack
+    yuv = golden.rgb_to_yuv_u8(frame, Colorspace.BT709)
+    want = golden.vectorscope_counts(yuv)
+    got = np.asarray(vs._read())
+    np.testing.assert_array_equal(got, want)
+
+
+def test_waveform_needs_tick_to_publish(frame):
+    wv = Waveform(WaveformConfig(target_scale=1))
+    wv.push_frame(frame)  # tick happens before process in hub
+    # after push (tick->process), read buffer points at the just-written one
+    # only on the NEXT tick (reference wvs_tick, src/waveform.c:394-400)
+    first = wv.render()
+    wv._hub.tick()
+    second = wv.render()
+    assert second is not None
+    want = golden.waveform_counts(frame, None, Components.RGB)
+    got = np.asarray(wv._buf[wv._r_buf])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_histogram_scaled_capture(frame):
+    his = Histogram(HistogramConfig(target_scale=2))
+    his.push_frame(frame)
+    scaled = golden.downscale(frame, 2)
+    want = golden.histogram_counts(scaled, None, Components.RGB)
+    np.testing.assert_array_equal(his.counts(), want)
+    img = his.render()
+    assert img.shape == (200, 256, 4)
+
+
+def test_hub_fanout_shares_one_pass(frame):
+    """N consumers, one analyze call (the ROI-hub collapse)."""
+    hub = CaptureHub(ROIConfig(target_scale=1, interleave=0))
+    vs = Vectorscope(VectorscopeConfig())
+    wv = Waveform(WaveformConfig())
+    his = Histogram(HistogramConfig())
+    hub.consumers = [vs, wv, his]
+    hub.tick()
+    surface = hub.process(frame)
+    assert surface is not None
+    assert surface.result.vs_counts is not None
+    assert surface.result.wv_rgb is not None
+    assert surface.result.hi_rgb is not None
+    assert vs._read() is not None and his._read() is not None
+
+
+def test_hub_interleave(frame):
+    """interleave=1 -> every 2nd frame processed (reference roi.c:266-277)."""
+    hub = CaptureHub(ROIConfig(target_scale=1, interleave=1))
+    his = Histogram(HistogramConfig())
+    hub.register(his)
+    processed = 0
+    for i in range(6):
+        hub.tick()
+        if hub.process(frame) is not None:
+            processed += 1
+    assert processed == 3
+    assert hub.frames_skipped == 3
+
+
+def test_hub_roi_rect(frame):
+    hub = CaptureHub(ROIConfig(target_scale=1, x0=8, y0=4, x1=72, y1=68))
+    his = Histogram(HistogramConfig())
+    hub.register(his)
+    hub.tick()
+    hub.process(frame)
+    crop = golden.roi_crop(frame, 8, 4, 72, 68)
+    want = golden.histogram_counts(crop, None, Components.RGB)
+    np.testing.assert_array_equal(his.counts(), want)
+
+
+def test_queue_drop_on_full():
+    q = FrameQueue(depth=3)
+    assert q.push(1) and q.push(2) and q.push(3)
+    assert not q.push(4)  # dropped
+    assert q.n_dropped == 1
+    assert q.pop() == 1
+    assert q.push(4)
+
+
+def test_pipeline_driver(frame):
+    his = Histogram(HistogramConfig(target_scale=1))
+    drv = PipelineDriver(his._hub)
+    drv.start()
+    try:
+        for _ in range(5):
+            drv.push_frame(frame)
+            time.sleep(0.01)
+        drv.flush()
+    finally:
+        drv.stop()
+    s = drv.stats
+    assert s["processed"] >= 1
+    assert s["pushed"] + s["dropped"] == 5 or s["pushed"] == 5
+    want = golden.histogram_counts(golden.downscale(frame, 1), None, Components.RGB)
+    np.testing.assert_array_equal(his.counts(), want)
+
+
+def test_zebra_scope_animates(frame):
+    zb = Zebra()
+    zb.push_frame(frame)
+    img0 = zb.render()
+    assert img0 is not None
+    tm0 = zb.tm
+    zb.push_frame(frame)
+    assert zb.tm > tm0  # stripe clock advanced (src/zebra.c:660-666)
+
+
+def test_dock_composite(frame):
+    dock = Dock()
+    dock.push_frame(frame)
+    dock.push_frame(frame)  # interleave default 1: 2nd frame processes? (1st does)
+    img = dock.render(width=256, height=900)
+    assert img.shape == (900, 256, 4)
+    assert (img[..., 3] == 255).all()
+    # something was drawn
+    assert img[..., :3].sum() > 0
+    # default dock: 6 scopes shown (no ROI preview)
+    assert not dock.shown("roi") and dock.shown("vectorscope")
+
+
+def test_dock_shared_capture_counts(frame):
+    """Dock scopes see the same frame: histogram == golden of scaled frame."""
+    dock = Dock(roi=ROIConfig(target_scale=2, interleave=0))
+    dock.push_frame(frame)
+    scaled = golden.downscale(frame, 2)
+    want = golden.histogram_counts(scaled, None, Components.RGB)
+    np.testing.assert_array_equal(dock.histogram.counts(), want)
+    want_vs = golden.vectorscope_counts(
+        golden.rgb_to_yuv_u8(scaled, Colorspace.BT709)
+    )
+    np.testing.assert_array_equal(np.asarray(dock.vectorscope._read()), want_vs)
+
+
+def test_scope_update_settings(frame):
+    vs = Vectorscope()
+    vs.update(intensity=100)
+    assert vs.config.intensity == 100
+    with pytest.raises(KeyError):
+        vs.update(nonexistent=1)
+    # clamping like the reference property ranges
+    vs.update(intensity=0)
+    assert vs.config.intensity == 1

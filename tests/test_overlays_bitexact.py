@@ -1,0 +1,125 @@
+"""Bit-exactness: overlay kernels (zebra / falsecolor / focuspeaking) vs golden."""
+
+import numpy as np
+import pytest
+
+from obs_color_monitor_tpu import golden
+from obs_color_monitor_tpu.colorspace import Colorspace
+from obs_color_monitor_tpu.golden.reference import peaking_threshold_fixed
+from obs_color_monitor_tpu.ops import overlays
+
+
+CS = [Colorspace.BT601, Colorspace.BT709]
+
+
+@pytest.mark.parametrize("cs", CS)
+@pytest.mark.parametrize("tm", [0.0, 3.7, 11.99])
+def test_zebra_bitexact(small_frame, cs, tm):
+    want = golden.zebra(small_frame, 0.75, 1.00, tm, cs)
+    got = np.asarray(overlays.zebra(small_frame, 0.75, 1.00, tm, cs=int(cs)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_zebra_stripes_visible():
+    """A flat white frame must show diagonal stripes (not all-black)."""
+    f = np.full((12, 12, 4), 255, dtype=np.uint8)
+    out = golden.zebra(f, 0.75, 1.00, 0.0, Colorspace.BT709)
+    black = (out[..., :3] == 0).all(axis=-1)
+    assert black.any() and not black.all()
+    # stripe runs diagonally: phase constant along anti-diagonals
+    for k in range(12):
+        diag = black.diagonal(offset=k - 6) if k != 6 else black.diagonal()
+    # pixel (0,0): floor(0+0+1+0)=1 mod 6 < 3 -> striped
+    assert black[0, 0]
+    # pixel (2,0): 3 mod 6 -> not < 3 -> unstriped... floor(0+2+1)=3 -> no
+    assert not black[2, 0]
+
+
+def test_zebra_threshold_range(small_frame):
+    """Pixels outside [lo, hi] luma never stripe."""
+    out = golden.zebra(small_frame, 0.75, 0.9, 0.0, Colorspace.BT601)
+    yuv = golden.rgb_to_yuv_u8(small_frame, Colorspace.BT601)
+    changed = (out != small_frame).any(axis=-1)
+    # any changed pixel should have luma in approx range (quantized check)
+    y = yuv[..., 0][changed]
+    if y.size:
+        assert y.min() >= int(0.75 * 255) - 1
+        assert y.max() <= int(0.9 * 255) + 1
+
+
+@pytest.mark.parametrize("cs", CS)
+def test_falsecolor_bitexact(small_frame, cs):
+    want = golden.falsecolor(small_frame, cs)
+    got = np.asarray(overlays.falsecolor(small_frame, cs=int(cs)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_falsecolor_band_boundaries():
+    """Gray ramp must traverse all 12 bands in order."""
+    ramp = np.zeros((1, 256, 4), dtype=np.uint8)
+    ramp[0, :, 0] = ramp[0, :, 1] = ramp[0, :, 2] = np.arange(256)
+    ramp[..., 3] = 255
+    idx = golden.falsecolor_band_index(ramp, Colorspace.BT709)[0]
+    assert idx[0] == 0  # black -> bright purple band
+    assert idx[255] == 11  # white (y=1.0) -> red band
+    assert (np.diff(idx) >= 0).all()  # monotone
+    assert len(np.unique(idx)) == 12
+    got = np.asarray(overlays.falsecolor(ramp, cs=int(Colorspace.BT709)))
+    np.testing.assert_array_equal(got, golden.falsecolor(ramp, Colorspace.BT709))
+
+
+@pytest.mark.parametrize("n", [4, 256, 7])
+def test_falsecolor_lut_bitexact(small_frame, rng, n):
+    lut = rng.integers(0, 256, size=(n, 4), dtype=np.uint8)
+    want = golden.falsecolor(small_frame, Colorspace.BT601, lut=lut)
+    got = np.asarray(
+        overlays.falsecolor_lut(small_frame, lut, cs=int(Colorspace.BT601), lut_n=n)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("threshold", [0.001, 0.05, 0.1])
+def test_focus_peaking_bitexact(small_frame, threshold):
+    color = (1.0, 84 / 255.0, 1.0, 1.0)
+    want = golden.focus_peaking(small_frame, threshold, color)
+    color_u8 = golden.reference.quantize_unorm8(np.asarray(color, np.float32))
+    got = np.asarray(
+        overlays.focus_peaking(
+            small_frame, peaking_threshold_fixed(threshold), color_u8
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_focus_peaking_edge_clamp():
+    """A flat frame has zero gradient everywhere incl. borders -> no peaks."""
+    f = np.full((8, 8, 4), 200, dtype=np.uint8)
+    out = golden.focus_peaking(f, 0.001, (1, 0, 0, 1))
+    np.testing.assert_array_equal(out, f)
+    got = np.asarray(
+        overlays.focus_peaking(
+            f,
+            peaking_threshold_fixed(0.001),
+            np.array([255, 0, 0, 255], np.uint8),
+        )
+    )
+    np.testing.assert_array_equal(got, f)
+
+
+def test_focus_peaking_detects_edge():
+    """A vertical step edge must peak along the boundary columns."""
+    f = np.zeros((8, 8, 4), dtype=np.uint8)
+    f[..., 3] = 255
+    f[:, 4:, :3] = 255
+    out = golden.focus_peaking(f, 0.05, (1.0, 0.0, 0.0, 1.0))
+    red = (out[..., 0] == 255) & (out[..., 1] == 0)
+    assert red[:, 3].all() and red[:, 4].all()
+    assert not red[:, 0].any() and not red[:, 7].any()
+
+
+def test_zebra_tm_clock():
+    tm = 0.0
+    tm = golden.zebra_tm_advance(tm, 1.0)
+    assert tm == 4.0
+    tm = golden.zebra_tm_advance(tm, 2.5)  # 14 -> wraps
+    assert abs(tm - 2.0) < 1e-9

@@ -1,0 +1,71 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh.
+
+Bit-exactness must survive sharding: batch-DP trivially, spatial sharding
+because integer partial counts psum-merge before saturation.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from obs_color_monitor_tpu import golden
+from obs_color_monitor_tpu.colorspace import Colorspace
+from obs_color_monitor_tpu.config import Components
+from obs_color_monitor_tpu.parallel import batch_analyze, make_mesh, spatial_analyze
+
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@requires_8
+def test_batch_dp_bitexact(rng):
+    frames = rng.integers(0, 256, size=(8, 32, 48, 4), dtype=np.uint8)
+    frames[..., 3] = 255
+    mesh = make_mesh(8)
+    vs, hi, wv = batch_analyze(frames, mesh, cs=2)
+    assert vs.shape == (8, 256, 256)
+    for b in range(8):
+        yuv = golden.rgb_to_yuv_u8(frames[b], Colorspace.BT709)
+        np.testing.assert_array_equal(
+            np.asarray(vs[b]), golden.vectorscope_counts(yuv)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hi[b]),
+            golden.histogram_counts(frames[b], None, Components.RGB),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(wv[b]),
+            golden.waveform_counts(frames[b], None, Components.RGB),
+        )
+
+
+@requires_8
+def test_spatial_sharding_bitexact(rng):
+    """Rows sharded over 8 devices; saturation must still be global."""
+    # craft a frame where one (u,v) bin exceeds 255 ONLY globally:
+    # 8 row-blocks x 40 identical pixels = 320 > 255, but 40 < 255 per shard
+    frame = rng.integers(0, 256, size=(64, 40, 4), dtype=np.uint8)
+    frame[..., 3] = 255
+    frame[:, :, :3] = 128  # flat gray: every pixel same (u,v)
+    mesh = make_mesh(8, axis="rows")
+    vs, hi, wv = spatial_analyze(frame, mesh, cs=1)
+    yuv = golden.rgb_to_yuv_u8(frame, Colorspace.BT601)
+    want_vs = golden.vectorscope_counts(yuv)
+    np.testing.assert_array_equal(np.asarray(vs), want_vs)
+    assert want_vs.max() == 255  # saturation actually exercised
+    np.testing.assert_array_equal(
+        np.asarray(hi), golden.histogram_counts(frame, None, Components.RGB)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(wv), golden.waveform_counts(frame, None, Components.RGB)
+    )
+
+
+@requires_8
+def test_spatial_sharding_requires_divisible(rng):
+    frame = np.zeros((30, 16, 4), np.uint8)
+    mesh = make_mesh(8, axis="rows")
+    with pytest.raises(ValueError):
+        spatial_analyze(frame, mesh, cs=1)
