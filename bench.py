@@ -5,9 +5,14 @@ reference's default settings (statistics at target_scale=2, overlays at
 full resolution).  Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
 
-Frames are HBM-resident (the reference's capture is GPU-resident too —
-its GPU->CPU staging copy is precisely the hop this design removes,
-reference src/common.c:316-320).
+Measurement design: the dev setup reaches the TPU through a tunnel with
+~30 ms per host<->device round trip, so per-call timing measures the tunnel,
+not the chip.  The benchmark therefore scans the full six-scope step over a
+batch of HBM-resident frames inside ONE XLA program and returns only tiny
+per-frame checksums (which force every output to be computed); sustained
+device time per frame = total / batch.  Frames are HBM-resident, matching
+the reference whose capture is GPU-resident (its GPU->CPU staging copy is
+the hop this design removes, reference src/common.c:316-320).
 """
 
 import json
@@ -19,46 +24,56 @@ import numpy as np
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from obs_color_monitor_tpu.api import make_full_step
     from obs_color_monitor_tpu.colorspace import Colorspace
 
     H, W = 2160, 3840  # 4K
-    N_WARMUP = 3
-    N_ITERS = 30
-    N_FRAMES = 4  # rotate distinct frames to defeat any caching
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    N_REPS = 3
 
     step = make_full_step(H, W, cs=Colorspace.BT709, scale=2)
 
-    rng = np.random.default_rng(0)
-    frames = [
-        jax.device_put(
-            np.ascontiguousarray(
-                rng.integers(0, 256, size=(H, W, 4), dtype=np.uint8)
-            )
+    def checksum(out):
+        return sum(
+            jnp.sum(leaf.astype(jnp.int32) if leaf.dtype == jnp.uint8 else leaf.astype(jnp.int32))
+            for leaf in jax.tree_util.tree_leaves(out)
         )
-        for _ in range(N_FRAMES)
-    ]
-    for f in frames:
-        f.block_until_ready()
 
-    tm = np.float32(0.0)
-    # compile + warm up
-    out = None
-    for i in range(N_WARMUP):
-        out = step(frames[i % N_FRAMES], tm)
-    jax.block_until_ready(out)
+    @jax.jit
+    def run_batch(frames):
+        def body(i, acc):
+            out = step(frames[i], i.astype(jnp.float32) * 0.0667)
+            return acc + checksum(out)
 
+        return jax.lax.fori_loop(0, frames.shape[0], body, jnp.int32(0))
+
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        rng.integers(0, 256, size=(B, H, W, 4), dtype=np.uint8)
+    )
+    frames.block_until_ready()
+
+    # compile + warmup (one full pass)
+    _ = np.asarray(run_batch(frames))
+
+    best = float("inf")
+    for _ in range(N_REPS):
+        t0 = time.perf_counter()
+        _ = np.asarray(run_batch(frames))
+        best = min(best, time.perf_counter() - t0)
+
+    # subtract one bare round trip so the tunnel latency (a dev-setup
+    # artifact, not device time) doesn't count against the chip
+    tiny = jax.jit(lambda x: x + 1)
+    _ = np.asarray(tiny(jnp.int32(0)))
     t0 = time.perf_counter()
-    outs = []
-    for i in range(N_ITERS):
-        outs.append(step(frames[i % N_FRAMES], np.float32(i * 0.0667)))
-        # keep at most 2 steps in flight (double-buffered pipeline depth)
-        if len(outs) > 2:
-            jax.block_until_ready(outs.pop(0).vs_counts)
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    fps = N_ITERS / dt
+    _ = np.asarray(tiny(jnp.int32(0)))
+    rt = time.perf_counter() - t0
+
+    per_frame = max(best - rt, 1e-9) / B
+    fps = 1.0 / per_frame
 
     baseline_fps = 600.0  # BASELINE.json: >10x real-time 4K60 per chip
     print(
@@ -72,8 +87,8 @@ def main() -> None:
         )
     )
     print(
-        f"# {fps:.1f} fps over {N_ITERS} iters ({dt*1e3/N_ITERS:.2f} ms/frame), "
-        f"device={jax.devices()[0]}",
+        f"# {fps:.1f} fps sustained ({per_frame*1e3:.3f} ms/frame, batch={B}, "
+        f"roundtrip={rt*1e3:.1f} ms), device={jax.devices()[0]}",
         file=sys.stderr,
     )
 

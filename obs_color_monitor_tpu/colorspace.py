@@ -6,16 +6,21 @@ coefficients and writes the result through an 8-bit UNORM surface
 quantized bytes back (reference src/common.c:335-373).  GPU float->UNORM8
 rounding is vendor-defined, so the reference itself has no bit-exact spec.
 
-This framework *defines* the canonical conversion in 20-bit fixed point so
+This framework *defines* the canonical conversion in 12-bit fixed point so
 the golden model (NumPy) and the TPU kernels agree bit-for-bit:
 
-    q(c) = clip((K_r*r + K_g*g + K_b*b + O + 2^19) >> 20, 0, 255)
+    q(c) = clip((K_r*r + K_g*g + K_b*b + O + 2^11) >> 12, 0, 255)
 
-with ``K_x = round(coef * 2^20)`` and ``O = round(offset * 255 * 2^20)``,
+with ``K_x = round(coef * 2^12)`` and ``O = round(offset * 255 * 2^12)``,
 where ``coef``/``offset`` are the reference shader constants, including the
 odd ``-1/256`` bias on U (reference data/common.effect:27,38).  The result
 matches the reference's float path within +-1 LSB (differing only on exact
 rounding boundaries) and is deterministic on every backend.
+
+The 2^12 scale is chosen so every intermediate is an integer-valued float32
+(products <= 255 * 2^12 < 2^21 << 2^24): the TPU kernels can run the whole
+conversion on the fast f32 VPU path (int32 multiplies are emulated and
+slow) while staying bit-identical to the golden model's int64 arithmetic.
 
 Channel conventions (this framework): frames are RGBA uint8 ``(..., H, W, 4)``
 in R,G,B,A order; YUV images are ``(..., H, W, 3)`` in Y,U,V order.  (The
@@ -118,7 +123,7 @@ def rgb2uv_int(r: int, g: int, b: int, cs: Colorspace) -> tuple[int, int]:
     return u, v
 
 
-FIXED_SHIFT = 20
+FIXED_SHIFT = 12
 _FIXED_SCALE = 1 << FIXED_SHIFT
 _FIXED_HALF = 1 << (FIXED_SHIFT - 1)
 
@@ -127,7 +132,7 @@ def fixed_point_coeffs(cs: Colorspace) -> np.ndarray:
     """Integer coefficient matrix for the canonical conversion.
 
     Returns int32 ``(3, 4)``: rows Y,U,V; columns K_r, K_g, K_b, O where
-    ``q = (K_r*r + K_g*g + K_b*b + O + 2^19) >> 20`` for u8 r,g,b.
+    ``q = (K_r*r + K_g*g + K_b*b + O + 2^11) >> 12`` for u8 r,g,b.
     """
     c = YUV_COEF[Colorspace(cs)]
     rows = []

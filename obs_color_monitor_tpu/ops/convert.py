@@ -26,34 +26,40 @@ def rgb_to_yuv_u8(rgba: jax.Array, cs: int) -> jax.Array:
     """Quantized RGB->YUV, bit-exact vs golden.rgb_to_yuv_u8.
 
     rgba: uint8 (..., 4) -> uint8 (..., 3) in Y,U,V order.
+
+    Computed in float32: with the 2^12 coefficient scale every product and
+    sum is an integer < 2^22 (exactly representable), so this matches the
+    golden model's int64 arithmetic bit-for-bit while using the fast f32
+    VPU path (int32 multiplies are emulated and ~20x slower on TPU).
     """
-    k = np.asarray(FIXED_COEFFS[Colorspace(cs)], dtype=np.int32)  # (3,4)
-    half = jnp.int32(1 << (FIXED_SHIFT - 1))
-    r = rgba[..., 0].astype(jnp.int32)
-    g = rgba[..., 1].astype(jnp.int32)
-    b = rgba[..., 2].astype(jnp.int32)
+    k = np.asarray(FIXED_COEFFS[Colorspace(cs)], dtype=np.float32)  # (3,4)
+    half = np.float32(1 << (FIXED_SHIFT - 1))
+    inv = np.float32(1.0 / (1 << FIXED_SHIFT))  # power of two: exact scaling
+    r = rgba[..., 0].astype(jnp.float32)
+    g = rgba[..., 1].astype(jnp.float32)
+    b = rgba[..., 2].astype(jnp.float32)
     outs = []
     for i in range(3):
-        acc = k[i, 0] * r + k[i, 1] * g + k[i, 2] * b + jnp.int32(int(k[i, 3]) + 0)
-        q = jnp.right_shift(acc + half, FIXED_SHIFT)
-        outs.append(jnp.clip(q, 0, 255).astype(jnp.uint8))
+        acc = k[i, 0] * r + k[i, 1] * g + k[i, 2] * b + np.float32(k[i, 3] + half)
+        q = jnp.floor(acc * inv)
+        outs.append(jnp.clip(q, 0.0, 255.0).astype(jnp.uint8))
     return jnp.stack(outs, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("cs",))
 def luma_fixed(rgba: jax.Array, cs: int) -> jax.Array:
-    """Fixed-point luma ``K_r*r + K_g*g + K_b*b`` as int32 (scale 255*2^20).
+    """Fixed-point luma ``K_r*r + K_g*g + K_b*b`` (scale 255*2^12), as an
+    integer-valued float32 (exact: < 2^21; f32 mults are fast, int32 slow).
 
     Shared by the zebra / false-color overlays
     (reference data/zebra.effect:29, data/falsecolor.effect:33).
-    int32 is safe: max = 255 * 2^20 ~ 2.7e8 < 2^31.
     """
     kr, kg, kb = LUMA_COEF[Colorspace(cs)]
     scale = 1 << FIXED_SHIFT
-    K = [jnp.int32(int(round(c * scale))) for c in (kr, kg, kb)]
-    r = rgba[..., 0].astype(jnp.int32)
-    g = rgba[..., 1].astype(jnp.int32)
-    b = rgba[..., 2].astype(jnp.int32)
+    K = [np.float32(int(round(c * scale))) for c in (kr, kg, kb)]
+    r = rgba[..., 0].astype(jnp.float32)
+    g = rgba[..., 1].astype(jnp.float32)
+    b = rgba[..., 2].astype(jnp.float32)
     return K[0] * r + K[1] * g + K[2] * b
 
 
@@ -72,29 +78,22 @@ def downscale(rgba: jax.Array, scale: int) -> jax.Array:
     if oh == 0 or ow == 0:
         raise ValueError(f"frame {w}x{h} too small for scale {scale}")
 
-    # The sample position (i + 0.5)*s - 0.5 = i*s + (s-1)/2 is an arithmetic
-    # sequence with stride s: for odd s it lands exactly on a texel (nearest
-    # read); for even s it is the midpoint of texels i*s + s/2 - 1 and +1
-    # (0.5/0.5 blend).  Strided slices instead of a gather — XLA-friendly.
-    def axis_reduce(img, axis: int, n_out: int):
-        if scale % 2:
-            a = (scale - 1) // 2
-            idx = [slice(None)] * img.ndim
-            idx[axis] = slice(a, a + (n_out - 1) * scale + 1, scale)
-            return img[tuple(idx)]
-        a = scale // 2 - 1
-        idx_lo = [slice(None)] * img.ndim
-        idx_lo[axis] = slice(a, a + (n_out - 1) * scale + 1, scale)
-        idx_hi = list(idx_lo)
-        idx_hi[axis] = slice(a + 1, a + 1 + (n_out - 1) * scale + 1, scale)
-        return (img[tuple(idx_lo)] + img[tuple(idx_hi)]) * np.float32(0.5)
-
-    img = rgba.astype(jnp.float32)
-    img = axis_reduce(img, rgba.ndim - 3, oh)
-    img = axis_reduce(img, rgba.ndim - 2, ow)
-    # quantize_unorm8 on the already-0..255 value: clip + round-half-up
-    out = jnp.clip(img / np.float32(255.0), 0.0, 1.0)
-    return jnp.floor(out * np.float32(255.0) + np.float32(0.5)).astype(jnp.uint8)
+    # The sample position (i + 0.5)*s - 0.5 = i*s + (s-1)/2: for odd s it
+    # lands exactly on a texel (nearest read); for even s it is the midpoint
+    # of texels i*s + s/2 - 1 and +1, i.e. out = floor((a+b+c+d+2)/4) of the
+    # middle 2x2 — pure integer math, bit-identical to the golden model's
+    # float path (all its intermediates are exact quarters < 2^10).
+    # Reshape-to-blocks instead of stride-s slices (strided lane access
+    # forces slow relayouts on TPU).
+    x = rgba[..., : oh * scale, : ow * scale, :]
+    blocks = x.reshape(x.shape[:-3] + (oh, scale, ow, scale, 4))
+    if scale % 2:
+        m = (scale - 1) // 2
+        return blocks[..., :, m, :, m, :]
+    a = scale // 2 - 1
+    q = blocks[..., :, a : a + 2, :, a : a + 2, :].astype(jnp.int32)
+    s = q[..., 0, :, 0, :] + q[..., 0, :, 1, :] + q[..., 1, :, 0, :] + q[..., 1, :, 1, :]
+    return ((s + 2) >> 2).astype(jnp.uint8)
 
 
 def roi_crop(rgba: jax.Array, x0: int, y0: int, x1: int, y1: int) -> jax.Array:

@@ -27,6 +27,13 @@ from .stats import (
     waveform_counts,
     select_planes,
 )
+from . import pallas_stats
+
+
+def default_backend() -> str:
+    """'pallas' on real TPU, 'xla' elsewhere (Mosaic kernels need hardware;
+    the interpreter is for tests only)."""
+    return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
 
 class AnalysisResult(NamedTuple):
@@ -53,6 +60,7 @@ class AnalysisResult(NamedTuple):
         "need_hi_rgb",
         "need_hi_yuv",
         "keep_rgba",
+        "backend",
     ),
 )
 def analyze(
@@ -66,12 +74,18 @@ def analyze(
     need_hi_rgb: bool = False,
     need_hi_yuv: bool = False,
     keep_rgba: bool = True,
+    backend: str | None = None,
 ) -> AnalysisResult:
     """One pass: downscale -> crop -> convert -> all requested statistics.
 
     frame: uint8 (H, W, 4) RGBA.  ``rect`` is the ROI (x0, y0, x1, y1) in
     *scaled* coordinates (reference src/common.c:273-282).
+    backend: 'pallas' (Mosaic kernels, TPU) or 'xla'; None = auto.
     """
+    if backend is None:
+        backend = default_backend()
+    pall = backend == "pallas"
+
     rgba = downscale(frame, scale=scale)
     if rect is not None:
         rgba = roi_crop(rgba, *rect)
@@ -79,21 +93,38 @@ def analyze(
     need_yuv = need_vs or need_wv_yuv or need_hi_yuv
     yuv = rgb_to_yuv_u8(rgba, cs=cs) if need_yuv else None
 
-    vs = vectorscope_counts(yuv) if need_vs else None
+    if need_vs:
+        if pall:
+            vs = jnp.minimum(pallas_stats.vectorscope_pallas_i32(yuv), 255).astype(
+                jnp.uint8
+            )
+        else:
+            vs = vectorscope_counts(yuv)
+    else:
+        vs = None
+
+    def _wv_hi(data, mask, need_wv, need_hi):
+        wv = hi = None
+        if pall and (need_wv or need_hi):
+            wv_i32 = pallas_stats.waveform_pallas_i32(data, mask)
+            if need_wv:
+                wv = jnp.minimum(wv_i32, 255).astype(jnp.uint8)
+            if need_hi:
+                hi = pallas_stats.histogram_from_waveform(wv_i32)
+        else:
+            if need_wv:
+                wv = waveform_counts(data, mask)
+            if need_hi:
+                hi = histogram_counts(data, mask)
+        return wv, hi
 
     wv_rgb = hi_rgb = wv_yuv = hi_yuv = None
     if need_wv_rgb or need_hi_rgb:
         data, mask = select_planes(rgba, None, is_yuv=False)
-        if need_wv_rgb:
-            wv_rgb = waveform_counts(data, mask)
-        if need_hi_rgb:
-            hi_rgb = histogram_counts(data, mask)
+        wv_rgb, hi_rgb = _wv_hi(data, mask, need_wv_rgb, need_hi_rgb)
     if need_wv_yuv or need_hi_yuv:
         data, mask = select_planes(rgba, yuv, is_yuv=True)
-        if need_wv_yuv:
-            wv_yuv = waveform_counts(data, mask)
-        if need_hi_yuv:
-            hi_yuv = histogram_counts(data, mask)
+        wv_yuv, hi_yuv = _wv_hi(data, mask, need_wv_yuv, need_hi_yuv)
 
     return AnalysisResult(
         yuv=yuv,

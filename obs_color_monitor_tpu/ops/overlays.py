@@ -2,8 +2,9 @@
 
 These are pure per-pixel GPU shaders in the reference with no readback
 (SURVEY.md §3.3); here they are fused elementwise/stencil jit functions over
-HBM-resident frames.  Luma thresholds use the same 20-bit fixed point as the
-golden model so results are bit-exact on every backend.
+HBM-resident frames.  Luma thresholds use the same 2^12 fixed point as the
+golden model — carried in integer-valued float32, which is exact below 2^24
+and avoids the TPU's emulated (slow) int32 multiply.
 
 All functions take uint8 RGBA (..., H, W, 4) and return the same shape.
 """
@@ -17,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .convert import luma_fixed
+from ..colorspace import FIXED_SHIFT
 from ..golden.reference import (
     FALSECOLOR_BANDS,
     falsecolor_band_colors_u8,
@@ -35,9 +37,9 @@ def zebra(
     ``tm`` is traced (the stripe clock animates every frame,
     reference src/zebra.c:660-666) — no recompile per tick.
     """
-    luma = luma_fixed(rgba, cs=cs)
-    lo = jnp.int32(luma_threshold_fixed(th_low))
-    hi = jnp.int32(luma_threshold_fixed(th_high))
+    luma = luma_fixed(rgba, cs=cs)  # integer-valued f32
+    lo = np.float32(luma_threshold_fixed(th_low))
+    hi = np.float32(luma_threshold_fixed(th_high))
     h, w = rgba.shape[-3], rgba.shape[-2]
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
@@ -50,7 +52,7 @@ def zebra(
 # Precomputed device constants for the 12-band cascade.
 _BAND_COLORS = falsecolor_band_colors_u8()  # (12, 4) u8
 _BAND_THRESH = np.asarray(
-    [luma_threshold_fixed(t) for t, _ in FALSECOLOR_BANDS[:-1]], dtype=np.int32
+    [luma_threshold_fixed(t) for t, _ in FALSECOLOR_BANDS[:-1]], dtype=np.float32
 )  # (11,) upper bounds, exclusive
 
 
@@ -58,16 +60,19 @@ _BAND_THRESH = np.asarray(
 def falsecolor(rgba: jax.Array, cs: int) -> jax.Array:
     """12-band false color (reference data/falsecolor.effect:38-61).
 
-    Band index = number of upper bounds <= luma (the cascade is a
-    monotone threshold ladder) -> a sum of 11 compares, then a tiny LUT
-    gather (12 entries broadcast as constants — no real gather, XLA turns
-    ``take`` from a 12-row constant into selects).
+    The cascade is a monotone threshold ladder, so the color is a chain of
+    11 selects on the f32 luma — no per-pixel gather (XLA TPU gathers are
+    serialized and were ~10x the cost of the whole op).
     """
-    luma = luma_fixed(rgba, cs=cs)  # (..., H, W) int32
-    th = jnp.asarray(_BAND_THRESH)  # (11,)
-    idx = (luma[..., None] >= th).sum(axis=-1).astype(jnp.int32)  # 0..11
-    colors = jnp.asarray(_BAND_COLORS)  # (12, 4)
-    return jnp.take(colors, idx, axis=0)
+    luma = luma_fixed(rgba, cs=cs)  # (..., H, W) f32
+    out = jnp.broadcast_to(
+        jnp.asarray(_BAND_COLORS[-1]), rgba.shape[:-1] + (4,)
+    )
+    # walk the ladder top-down: luma < th_i selects band i
+    for i in range(len(_BAND_THRESH) - 1, -1, -1):
+        sel = (luma < _BAND_THRESH[i])[..., None]
+        out = jnp.where(sel, jnp.asarray(_BAND_COLORS[i]), out)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cs", "lut_n"))
@@ -75,25 +80,25 @@ def falsecolor_lut(rgba: jax.Array, lut: jax.Array, cs: int, lut_n: int) -> jax.
     """User 1-D LUT false color (reference data/falsecolor.effect:36-37).
 
     Point-sampled with clamp at u = luma: ``i = clip(floor(luma*N), 0, N-1)``
-    using the fixed-point luma (scale 255 * 2^20).
+    using the fixed-point luma (scale 255 * 2^12).
 
-    ``luma * N`` needs ~2^40 — past int32 (and JAX runs without x64) — so
-    the floor-divide is split exactly: with luma = a*2^12 + b and
-    D = 255*2^20 = 65280*2^12,
+    ``luma * N`` needs ~2^35 — past int32 (and JAX runs without x64) — so
+    the floor-divide is split exactly: with luma = a*256 + b and
+    D = 255*2^12 = 4080*256,
 
-        (luma*N) // D = (a*N)//65280 + (((a*N) mod 65280)*2^12 + b*N) // D
+        (luma*N) // D = (a*N)//4080 + (((a*N) mod 4080)*256 + b*N) // D
 
-    every intermediate < 2^29 for N <= 32768.
+    every intermediate < 2^27 for N <= 32768.
     """
     if lut_n > 32768:
         raise ValueError("falsecolor LUT larger than 32768 entries")
-    luma = luma_fixed(rgba, cs=cs)
-    a = luma >> 12
-    b = luma & 4095
+    luma = luma_fixed(rgba, cs=cs).astype(jnp.int32)
+    a = luma >> 8
+    b = luma & 255
     an = a * jnp.int32(lut_n)
-    q = an // 65280
-    r = an - q * 65280
-    i = q + (r * 4096 + b * jnp.int32(lut_n)) // (65280 * 4096)
+    q = an // 4080
+    r = an - q * 4080
+    i = q + (r * 256 + b * jnp.int32(lut_n)) // (4080 * 256)
     i = jnp.clip(i, 0, lut_n - 1)
     return jnp.take(lut, i, axis=0)
 
@@ -113,26 +118,25 @@ def focus_peaking(
     NOTE (parity): like the reference, this is a cross-shaped gradient
     magnitude, not a true Sobel (SURVEY.md §2 #16).
     """
-    rgb = rgba[..., :3].astype(jnp.int32)
+    rgb = rgba[..., :3]
+    h, w = rgb.shape[-3], rgb.shape[-2]
 
-    def shifted(dy, dx):
-        # edge clamp via pad-with-edge then slice
-        s = jnp.roll(rgb, shift=(-dy, -dx), axis=(-3, -2))
-        h, w = rgb.shape[-3], rgb.shape[-2]
-        # fix the wrapped border to clamp semantics
-        if dy == 1:
-            s = s.at[..., h - 1, :, :].set(rgb[..., h - 1, :, :])
-        elif dy == -1:
-            s = s.at[..., 0, :, :].set(rgb[..., 0, :, :])
-        if dx == 1:
-            s = s.at[..., :, w - 1, :].set(rgb[..., :, w - 1, :])
-        elif dx == -1:
-            s = s.at[..., :, 0, :].set(rgb[..., :, 0, :])
-        return s
+    # |a-b| in u8 via max-min (no int32 widening); edge clamp means border
+    # neighbor diffs are zero, so each axis needs one forward-difference
+    # array contributed twice (as left- and right-neighbor), zero-padded at
+    # the respective edge.  Everything stays u8/i16 — ~8x less traffic than
+    # the naive roll-based formulation.
+    def absdiff_sum(a, b):
+        d = jnp.maximum(a, b) - jnp.minimum(a, b)
+        return d.astype(jnp.int16).sum(axis=-1)  # <= 765, fits i16
 
-    acc = jnp.zeros(rgb.shape[:-1], jnp.int32)
-    for dy, dx in ((0, 1), (1, 0), (0, -1), (-1, 0)):
-        acc = acc + jnp.abs(shifted(dy, dx) - rgb).sum(axis=-1)
+    dx = absdiff_sum(rgb[..., :, 1:, :], rgb[..., :, :-1, :])  # (H, W-1)
+    dy = absdiff_sum(rgb[..., 1:, :, :], rgb[..., :-1, :, :])  # (H-1, W)
+    zx = jnp.zeros(dx.shape[:-1] + (1,), jnp.int16)
+    sx = jnp.concatenate([dx, zx], axis=-1) + jnp.concatenate([zx, dx], axis=-1)
+    zrow = jnp.zeros(dy.shape[:-2] + (1, w), jnp.int16)
+    sy = jnp.concatenate([dy, zrow], axis=-2) + jnp.concatenate([zrow, dy], axis=-2)
+    acc = (sx + sy).astype(jnp.int32)  # max 4*765 = 3060
 
     peak = acc >= jnp.asarray(th_fixed, jnp.int32)
     return jnp.where(peak[..., None], peaking_color_u8.astype(jnp.uint8), rgba)

@@ -1,0 +1,61 @@
+"""Pallas kernels vs golden (interpret mode on CPU; real Mosaic on TPU when
+OCM_TEST_TPU=1)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from obs_color_monitor_tpu import golden
+from obs_color_monitor_tpu.colorspace import Colorspace
+from obs_color_monitor_tpu.config import Components
+from obs_color_monitor_tpu.ops import pallas_stats
+
+INTERPRET = not bool(os.environ.get("OCM_TEST_TPU"))
+
+
+def _mk(rng, h, w):
+    f = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    f[..., 3] = np.where(rng.random((h, w)) < 0.1, 0, 255)
+    return f
+
+
+@pytest.mark.parametrize("shape", [(128, 128), (96, 130), (300, 257)])
+def test_vectorscope_pallas_bitexact(rng, shape):
+    f = _mk(rng, *shape)
+    yuv = golden.rgb_to_yuv_u8(f, Colorspace.BT709)
+    got = np.asarray(pallas_stats.vectorscope_pallas_i32(yuv, interpret=INTERPRET))
+    want = golden.vectorscope_counts(yuv)
+    np.testing.assert_array_equal(np.minimum(got, 255).astype(np.uint8), want)
+    assert got.sum() == shape[0] * shape[1]  # every pixel counted exactly once
+
+
+@pytest.mark.parametrize("shape", [(128, 128), (96, 130), (300, 257)])
+def test_waveform_pallas_bitexact(rng, shape):
+    f = _mk(rng, *shape)
+    got = np.asarray(
+        pallas_stats.waveform_pallas_i32(
+            f[..., :3], f[..., 3] != 0, interpret=INTERPRET
+        )
+    )
+    want = golden.waveform_counts(f, None, Components.RGB)
+    np.testing.assert_array_equal(np.minimum(got, 255).astype(np.uint8), want)
+
+
+def test_histogram_from_waveform_bitexact(rng):
+    f = _mk(rng, 96, 130)
+    wv = pallas_stats.waveform_pallas_i32(f[..., :3], f[..., 3] != 0, interpret=INTERPRET)
+    got = np.asarray(pallas_stats.histogram_from_waveform(wv))
+    want = golden.histogram_counts(f, None, Components.RGB)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_vectorscope_pallas_saturation_semantics():
+    """Flat image: one bin holds every pixel before clamping."""
+    yuv = np.zeros((64, 64, 3), dtype=np.uint8)
+    yuv[..., 1] = 7
+    yuv[..., 2] = 9
+    got = np.asarray(pallas_stats.vectorscope_pallas_i32(yuv, interpret=INTERPRET))
+    assert got[9, 7] == 64 * 64
+    assert got.sum() == 64 * 64
