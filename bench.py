@@ -42,17 +42,19 @@ def main() -> None:
         )
 
     @jax.jit
-    def run_batch(frames):
+    def run_batch(frame):
         def body(i, acc):
-            out = step(frames[i], i.astype(jnp.float32) * 0.0667)
+            # xor with the loop index: frames differ per iteration and
+            # nothing can be hoisted out of the loop, without paying a
+            # dynamic-slice copy of a 33 MB frame per step
+            f = jnp.bitwise_xor(frame, (i % 2).astype(jnp.uint8))
+            out = step(f, i.astype(jnp.float32) * 0.0667)
             return acc + checksum(out)
 
-        return jax.lax.fori_loop(0, frames.shape[0], body, jnp.int32(0))
+        return jax.lax.fori_loop(0, B, body, jnp.int32(0))
 
     rng = np.random.default_rng(0)
-    frames = jax.device_put(
-        rng.integers(0, 256, size=(B, H, W, 4), dtype=np.uint8)
-    )
+    frames = jax.device_put(rng.integers(0, 256, size=(H, W, 4), dtype=np.uint8))
     frames.block_until_ready()
 
     # compile + warmup (one full pass)

@@ -1,0 +1,120 @@
+"""Native runtime: build, queue semantics, NV12 spec, patterns.
+
+The NumPy fallbacks define the same spec, so every function is tested in
+both modes when the native library builds.
+"""
+
+import numpy as np
+import pytest
+
+from obs_color_monitor_tpu.runtime import native
+
+
+def test_native_builds():
+    # informational: native should build on this image (g++ present)
+    assert native.available(), "native runtime failed to build"
+
+
+def _nv12_golden(y, uv, cs):
+    """Independent restatement of the documented NV12 spec."""
+    h, w = y.shape
+    coef = {1: (6537, -1605, -3330, 8263), 2: (7343, -873, -2183, 8652)}[cs]
+    kr_cr, kg_cb, kg_cr, kb_cb = coef
+    out = np.empty((h, w, 4), np.uint8)
+    for j in range(h):
+        for i in range(w):
+            yp = (int(y[j, i]) - 16) * 4769
+            cb = int(uv[j // 2, (i // 2) * 2]) - 128
+            cr = int(uv[j // 2, (i // 2) * 2 + 1]) - 128
+            out[j, i, 0] = min(max((yp + kr_cr * cr + 2048) >> 12, 0), 255)
+            out[j, i, 1] = min(max((yp + kg_cb * cb + kg_cr * cr + 2048) >> 12, 0), 255)
+            out[j, i, 2] = min(max((yp + kb_cb * cb + 2048) >> 12, 0), 255)
+            out[j, i, 3] = 255
+    return out
+
+
+@pytest.mark.parametrize("cs", [1, 2])
+def test_nv12_bitexact(rng, cs):
+    h, w = 16, 24
+    y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    uv = rng.integers(0, 256, (h // 2, w), dtype=np.uint8)
+    want = _nv12_golden(y, uv, cs)
+    got = native.nv12_to_rgba(y, uv, cs=cs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nv12_gray_anchor():
+    """Y=128 gray, neutral chroma -> R=G=B ~130 (limited range expansion)."""
+    y = np.full((4, 4), 128, np.uint8)
+    uv = np.full((2, 4), 128, np.uint8)
+    out = native.nv12_to_rgba(y, uv, cs=2)
+    assert out[0, 0, 0] == out[0, 0, 1] == out[0, 0, 2]
+    assert abs(int(out[0, 0, 0]) - 130) <= 1
+    # black (16) and white (235)
+    out = native.nv12_to_rgba(np.full((2, 2), 16, np.uint8), np.full((1, 2), 128, np.uint8))
+    assert out[0, 0, 0] == 0
+    out = native.nv12_to_rgba(np.full((2, 2), 235, np.uint8), np.full((1, 2), 128, np.uint8))
+    assert out[0, 0, 0] == 255
+
+
+def test_deinterleave(rng):
+    f = rng.integers(0, 256, (8, 10, 4), dtype=np.uint8)
+    planes = native.deinterleave_rgba(f)
+    np.testing.assert_array_equal(planes, np.moveaxis(f, -1, 0))
+
+
+def test_patterns():
+    for kind in ("bars", "ramp", "zoneplate"):
+        f = native.pattern(kind, 64, 32, frame_idx=5)
+        assert f.shape == (32, 64, 4)
+        assert (f[..., 3] == 255).all()
+    # successive bar frames differ (moving marker)
+    a = native.pattern("bars", 64, 32, 0)
+    b = native.pattern("bars", 64, 32, 1)
+    assert (a != b).any()
+
+
+def test_native_queue_drop_semantics():
+    q = native.NativeFrameQueue(depth=2, frame_shape=(4, 4, 4))
+    f = np.arange(64, dtype=np.uint8).reshape(4, 4, 4)
+    assert q.push(f)
+    assert q.push(f + 1)
+    assert not q.push(f + 2)  # full -> dropped
+    assert q.n_dropped == 1
+    got = q.pop()
+    np.testing.assert_array_equal(got, f)
+    assert q.push(f + 3)
+    q.close()
+    # drain remaining after close
+    assert q.pop() is not None
+    assert q.pop() is not None
+    assert q.pop(timeout=0.01) is None
+
+
+def test_frame_sources(tmp_path, rng):
+    from obs_color_monitor_tpu.pipeline.ingest import (
+        NV12Source,
+        PatternSource,
+        RawRGBASource,
+    )
+
+    src = PatternSource(64, 32, "bars")
+    frames = list(src.frames(3))
+    assert len(frames) == 3 and frames[0].shape == (32, 64, 4)
+
+    raw = tmp_path / "clip.rgba"
+    data = rng.integers(0, 256, (2, 16, 8, 4), dtype=np.uint8)
+    raw.write_bytes(data.tobytes())
+    rs = RawRGBASource(str(raw), 8, 16)
+    got = list(rs.frames())
+    assert len(got) == 2
+    np.testing.assert_array_equal(got[0], data[0])
+
+    nv = tmp_path / "clip.nv12"
+    y = rng.integers(0, 256, (16, 8), dtype=np.uint8)
+    uv = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    nv.write_bytes(y.tobytes() + uv.tobytes())
+    ns = NV12Source(str(nv), 8, 16, cs=1)
+    got = list(ns.frames())
+    assert len(got) == 1
+    np.testing.assert_array_equal(got[0], native.nv12_to_rgba(y, uv, cs=1))
