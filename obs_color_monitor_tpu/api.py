@@ -27,6 +27,7 @@ from .config import (
 from .golden.reference import peaking_threshold_fixed, quantize_unorm8
 from .ops import overlays as overlay_ops
 from .ops import render as render_ops
+from .ops.convert import planarize
 from .ops.fused import analyze
 from .ops.stats import histogram_hi_max, histogram_levels
 
@@ -35,9 +36,9 @@ class ScopeOutputs(NamedTuple):
     vectorscope: jax.Array  # (256, 256, 4) u8
     waveform: jax.Array  # (256, W', 4) u8
     histogram: jax.Array  # (H', 256, 4) u8
-    zebra: jax.Array  # full-res RGBA
-    falsecolor: jax.Array
-    focuspeaking: jax.Array
+    zebra: jax.Array  # full-res PLANAR (4, H, W) u8
+    falsecolor: jax.Array  # (4, H, W) u8
+    focuspeaking: jax.Array  # (4, H, W) u8
     vs_counts: jax.Array  # (256, 256) u8
     wv_counts: jax.Array  # (3, 256, W) u8
     hi_counts: jax.Array  # (3, 256) u32
@@ -76,14 +77,17 @@ def make_full_step(
 
     @jax.jit
     def step(frame: jax.Array, tm: jax.Array) -> ScopeOutputs:
+        # planarize ONCE; stats and overlays all consume planes
+        planes = planarize(frame)
         res = analyze(
-            frame,
+            planes,
             cs=cs,
             scale=scale,
             need_vs=True,
             need_wv_rgb=True,
             need_hi_rgb=True,
             keep_rgba=False,
+            is_planar=True,
         )
         vs_img = render_ops.render_vectorscope(
             res.vs_counts, intensity=vs_cfg.intensity, cs=cs, white=False
@@ -113,11 +117,11 @@ def make_full_step(
             n_components=hi_cfg.components.n_components,
             yuv_mode=False,
         )
-        zb_img = overlay_ops.zebra(
-            frame, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high, tm=tm, cs=cs
+        zb_img = overlay_ops.zebra_planes(
+            planes, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high, tm=tm, cs=cs
         )
-        fc_img = overlay_ops.falsecolor(frame, cs=cs)
-        fp_img = overlay_ops.focus_peaking(frame, peak_th, peak_color)
+        fc_img = overlay_ops.falsecolor_planes(planes, cs=cs)
+        fp_img = overlay_ops.focus_peaking_planes(planes, peak_th, peak_color)
         return ScopeOutputs(
             vectorscope=vs_img,
             waveform=wv_img,

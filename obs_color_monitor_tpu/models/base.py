@@ -37,7 +37,8 @@ class SurfaceData:
 
     The reference's cm_surface_data carries mapped CPU pointers
     (src/common.h:24-30); here it carries the device-resident results of the
-    fused pass plus geometry/colorspace.
+    fused pass plus geometry/colorspace.  Frame data in ``result`` is PLANAR
+    (C, H, W) u8 (see ops.convert for the layout rationale).
     """
 
     result: AnalysisResult
@@ -172,14 +173,23 @@ class CaptureHub:
         for c in self.consumers:
             c.tick()
 
-    def process(self, frame: jax.Array | np.ndarray) -> Optional[SurfaceData]:
-        """Analyze one frame and fan out; None if interleave-skipped."""
+    def process(
+        self, frame: jax.Array | np.ndarray, is_planar: bool = False
+    ) -> Optional[SurfaceData]:
+        """Analyze one frame and fan out; None if interleave-skipped.
+
+        frame: (H, W, 4) u8, or (4, H, W) with is_planar=True (preferred for
+        repeated streaming — skips the on-device planarize).
+        """
         self._rendered = True
         if self._i_interleave != 0 and self.config.interleave > 0:
             self.frames_skipped += 1
             return None
 
-        h, w = frame.shape[-3], frame.shape[-2]
+        if is_planar:
+            h, w = frame.shape[-2], frame.shape[-1]
+        else:
+            h, w = frame.shape[-3], frame.shape[-2]
         scale = self.config.target_scale
         sw, sh = w // scale, h // scale
         rect = self.config.resolve_rect(sw, sh)
@@ -198,6 +208,7 @@ class CaptureHub:
             need_hi_rgb=needs.hi_rgb,
             need_hi_yuv=needs.hi_yuv,
             keep_rgba=True,
+            is_planar=is_planar,
         )
         cw = rect[2] - rect[0]
         ch = rect[3] - rect[1]

@@ -58,13 +58,13 @@ class _RoiPreview(Scope):
         return Needs(rgba=True)
 
     def surface_cb(self, surface) -> None:
-        if surface.result.rgba is not None:
+        if surface.result.planes is not None:
             self._size = (surface.width, surface.height)
-            self._publish(surface.result.rgba)
+            self._publish(surface.result.planes)
 
     def render(self) -> Optional[np.ndarray]:
         v = self._read()
-        return None if v is None else np.asarray(v)
+        return None if v is None else np.moveaxis(np.asarray(v), 0, -1)
 
     @property
     def width(self) -> int:

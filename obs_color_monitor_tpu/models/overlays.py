@@ -42,21 +42,26 @@ class _OverlayScope(Scope, StandaloneScopeMixin):
         return Needs(rgba=True)
 
     def surface_cb(self, surface: SurfaceData) -> None:
-        if surface.result.rgba is None:
+        if surface.result.planes is None:
             return
         self._size = (surface.width, surface.height)
-        self._publish((surface.result.rgba, surface.colorspace))
+        self._publish((surface.result.planes, surface.colorspace))
 
     def apply(self, frame, cs=None):
-        """Filter flavor: transform a frame directly (full resolution)."""
+        """Filter flavor: transform an interleaved (H,W,4) frame directly."""
+        raise NotImplementedError
+
+    def apply_planes(self, planes, cs=None):
+        """Planar fast path: (4,H,W) in, (4,H,W) out."""
         raise NotImplementedError
 
     def render(self) -> Optional[np.ndarray]:
         v = self._read()
         if v is None:
             return None
-        rgba, cs = v
-        return np.asarray(self.apply(rgba, cs=cs))
+        planes, cs = v
+        out = np.asarray(self.apply_planes(planes, cs=cs))
+        return np.moveaxis(out, 0, -1)
 
     @property
     def width(self) -> int:
@@ -88,6 +93,16 @@ class Zebra(_OverlayScope):
             cs=int(cs),
         )
 
+    def apply_planes(self, planes, cs=None):
+        cs = calc_colorspace(self.config.colorspace if cs is None else cs)
+        return overlay_ops.zebra_planes(
+            planes,
+            th_low=self.config.th_low,
+            th_high=self.config.th_high,
+            tm=self.tm,
+            cs=int(cs),
+        )
+
 
 class FalseColor(_OverlayScope):
     """12-band or LUT luma mapping + optional key legend
@@ -107,21 +122,42 @@ class FalseColor(_OverlayScope):
             out = overlay_ops.falsecolor(frame, cs=int(cs))
         if cfg.show_key != ShowKey.NONE:
             h, w = frame.shape[-3], frame.shape[-2]
-            ow, oh = key_canvas_size(cfg.show_key, w, h)
-            if (oh, ow) != (h, w):
-                canvas = np.zeros((oh, ow, 4), dtype=np.uint8)
-                canvas[..., 3] = 255
-                canvas[:h, :w] = np.asarray(out)
-                out = canvas
-            key = falsecolor_key_overlay(
-                cfg.show_key,
-                w,
-                h,
-                cs,
-                lut=cfg.lut if cfg.use_lut else None,
-            )
-            out = render_ops.blend_overlay(jax.numpy.asarray(out), key)
+            out = self._composite_key(np.asarray(out), w, h, cs)
         return out
+
+    def apply_planes(self, planes, cs=None):
+        cs = calc_colorspace(self.config.colorspace if cs is None else cs)
+        cfg = self.config
+        if cfg.use_lut and cfg.lut is not None:
+            out = overlay_ops.falsecolor_lut_planes(
+                planes, jax.numpy.asarray(cfg.lut), cs=int(cs), lut_n=cfg.lut.shape[0]
+            )
+        else:
+            out = overlay_ops.falsecolor_planes(planes, cs=int(cs))
+        if cfg.show_key != ShowKey.NONE:
+            h, w = planes.shape[-2], planes.shape[-1]
+            inter = self._composite_key(
+                np.moveaxis(np.asarray(out), 0, -1), w, h, cs
+            )
+            return jax.numpy.moveaxis(jax.numpy.asarray(inter), -1, 0)
+        return out
+
+    def _composite_key(self, out_hw4: np.ndarray, w: int, h: int, cs):
+        """Extend the canvas if needed and blend the key legend
+        (reference src/zebra.c:385-597)."""
+        cfg = self.config
+        ow, oh = key_canvas_size(cfg.show_key, w, h)
+        if (oh, ow) != (h, w):
+            canvas = np.zeros((oh, ow, 4), dtype=np.uint8)
+            canvas[..., 3] = 255
+            canvas[:h, :w] = out_hw4
+            out_hw4 = canvas
+        key = falsecolor_key_overlay(
+            cfg.show_key, w, h, cs, lut=cfg.lut if cfg.use_lut else None
+        )
+        return np.asarray(
+            render_ops.blend_overlay(jax.numpy.asarray(out_hw4), key)
+        )
 
     @property
     def width(self) -> int:
@@ -145,6 +181,15 @@ class FocusPeaking(_OverlayScope):
         color_u8 = quantize_unorm8(np.asarray(cfg.peaking_rgba, np.float32))
         return overlay_ops.focus_peaking(
             frame,
+            peaking_threshold_fixed(cfg.peaking_threshold),
+            jax.numpy.asarray(color_u8),
+        )
+
+    def apply_planes(self, planes, cs=None):
+        cfg = self.config
+        color_u8 = quantize_unorm8(np.asarray(cfg.peaking_rgba, np.float32))
+        return overlay_ops.focus_peaking_planes(
+            planes,
             peaking_threshold_fixed(cfg.peaking_threshold),
             jax.numpy.asarray(color_u8),
         )

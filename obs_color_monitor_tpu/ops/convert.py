@@ -2,12 +2,17 @@
 
 Replaces the reference's GPU conversion pass + staging readback
 (reference src/common.c:170-221, data/common.effect:23-43): frames stay in
-HBM, the conversion is exact 20-bit fixed point (see colorspace.py), and
+HBM, the conversion is exact 12-bit fixed point (see colorspace.py), and
 nothing ever leaves the device until a scope's tiny result is fetched.
 
-All functions are jittable and shape-polymorphic over leading batch dims.
-The colorspace is a *static* argument (selects constants at trace time),
-matching XLA's everything-static compilation model.
+LAYOUT: the hot path is PLANAR.  Interleaved (H, W, 4) uint8 puts the
+4-wide channel axis on the TPU lane dimension — 3% lane utilization, and
+every channel extraction forces a relayout (measured 100-1000x slowdowns).
+``planarize`` converts once at ingest (~0.08 ms for 4K); every *_planes op
+consumes (C, H, W) planes.  The interleaved-signature functions remain as
+thin wrappers (tests, spec boundary).
+
+All functions are jittable; colorspace is static.
 """
 
 from __future__ import annotations
@@ -21,35 +26,60 @@ import numpy as np
 from ..colorspace import Colorspace, FIXED_COEFFS, FIXED_SHIFT, LUMA_COEF
 
 
-@functools.partial(jax.jit, static_argnames=("cs",))
-def rgb_to_yuv_u8(rgba: jax.Array, cs: int) -> jax.Array:
-    """Quantized RGB->YUV, bit-exact vs golden.rgb_to_yuv_u8.
+@jax.jit
+def planarize(rgba: jax.Array) -> jax.Array:
+    """(..., H, W, 4) u8 -> (..., 4, H, W) u8 — do this ONCE at ingest.
 
-    rgba: uint8 (..., 4) -> uint8 (..., 3) in Y,U,V order.
+    Via u32 bitcast + byte shifts: a transpose of the 4-wide minor axis is
+    a relayout XLA executes catastrophically slowly on TPU; reading each
+    pixel as one u32 lane and shifting out the bytes is HBM-bound
+    (~0.17 ms for 4K).  Little-endian: byte 0 (R) is the low byte.
+    """
+    x = jax.lax.bitcast_convert_type(rgba, jnp.uint32)  # (..., H, W)
+    planes = [
+        ((x >> k) & jnp.uint32(0xFF)).astype(jnp.uint8) for k in (0, 8, 16, 24)
+    ]
+    return jnp.stack(planes, axis=-3)
+
+
+@jax.jit
+def interleave(planes: jax.Array) -> jax.Array:
+    """(..., C, H, W) -> (..., H, W, C); display/spec boundary only."""
+    return jnp.moveaxis(planes, -3, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("cs",))
+def rgb_to_yuv_planes(planes: jax.Array, cs: int) -> jax.Array:
+    """Quantized RGB->YUV on planes: (..., C>=3, H, W) u8 -> (..., 3, H, W).
 
     Computed in float32: with the 2^12 coefficient scale every product and
     sum is an integer < 2^22 (exactly representable), so this matches the
     golden model's int64 arithmetic bit-for-bit while using the fast f32
-    VPU path (int32 multiplies are emulated and ~20x slower on TPU).
+    VPU path (int32 multiplies are emulated and slow on TPU).
     """
     k = np.asarray(FIXED_COEFFS[Colorspace(cs)], dtype=np.float32)  # (3,4)
     half = np.float32(1 << (FIXED_SHIFT - 1))
-    inv = np.float32(1.0 / (1 << FIXED_SHIFT))  # power of two: exact scaling
-    r = rgba[..., 0].astype(jnp.float32)
-    g = rgba[..., 1].astype(jnp.float32)
-    b = rgba[..., 2].astype(jnp.float32)
+    inv = np.float32(1.0 / (1 << FIXED_SHIFT))
+    r = planes[..., 0, :, :].astype(jnp.float32)
+    g = planes[..., 1, :, :].astype(jnp.float32)
+    b = planes[..., 2, :, :].astype(jnp.float32)
     outs = []
     for i in range(3):
         acc = k[i, 0] * r + k[i, 1] * g + k[i, 2] * b + np.float32(k[i, 3] + half)
         q = jnp.floor(acc * inv)
         outs.append(jnp.clip(q, 0.0, 255.0).astype(jnp.uint8))
-    return jnp.stack(outs, axis=-1)
+    return jnp.stack(outs, axis=-3)
 
 
 @functools.partial(jax.jit, static_argnames=("cs",))
-def luma_fixed(rgba: jax.Array, cs: int) -> jax.Array:
-    """Fixed-point luma ``K_r*r + K_g*g + K_b*b`` (scale 255*2^12), as an
-    integer-valued float32 (exact: < 2^21; f32 mults are fast, int32 slow).
+def rgb_to_yuv_u8(rgba: jax.Array, cs: int) -> jax.Array:
+    """Interleaved wrapper: uint8 (..., 4) -> uint8 (..., 3) in Y,U,V."""
+    return interleave(rgb_to_yuv_planes(planarize(rgba), cs=cs))
+
+
+@functools.partial(jax.jit, static_argnames=("cs",))
+def luma_planes(planes: jax.Array, cs: int) -> jax.Array:
+    """Fixed-point luma (scale 255*2^12) as integer-valued float32 (H, W).
 
     Shared by the zebra / false-color overlays
     (reference data/zebra.effect:29, data/falsecolor.effect:33).
@@ -57,45 +87,86 @@ def luma_fixed(rgba: jax.Array, cs: int) -> jax.Array:
     kr, kg, kb = LUMA_COEF[Colorspace(cs)]
     scale = 1 << FIXED_SHIFT
     K = [np.float32(int(round(c * scale))) for c in (kr, kg, kb)]
-    r = rgba[..., 0].astype(jnp.float32)
-    g = rgba[..., 1].astype(jnp.float32)
-    b = rgba[..., 2].astype(jnp.float32)
+    r = planes[..., 0, :, :].astype(jnp.float32)
+    g = planes[..., 1, :, :].astype(jnp.float32)
+    b = planes[..., 2, :, :].astype(jnp.float32)
     return K[0] * r + K[1] * g + K[2] * b
+
+
+@functools.partial(jax.jit, static_argnames=("cs",))
+def luma_fixed(rgba: jax.Array, cs: int) -> jax.Array:
+    """Interleaved wrapper for luma_planes."""
+    return luma_planes(planarize(rgba), cs=cs)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def downscale_planes(planes: jax.Array, scale: int) -> jax.Array:
+    """Integer-factor bilinear pre-downscale on (..., C, H, W) planes.
+
+    Implements the reference's target_scale texrender shrink (reference
+    src/common.c:141-168,249-250).  The sample position
+    (i + 0.5)*s - 0.5 = i*s + (s-1)/2: odd s lands exactly on a texel;
+    even s is the midpoint of the middle 2x2 — out = (a+b+c+d+2)>>2,
+    bit-identical to the golden model's float path.  All reshapes are
+    row-major dim splits (free in any layout); slices are static.
+    """
+    if scale <= 1:
+        return planes
+    h, w = planes.shape[-2], planes.shape[-1]
+    oh, ow = h // scale, w // scale
+    if oh == 0 or ow == 0:
+        raise ValueError(f"frame {w}x{h} too small for scale {scale}")
+    x = planes[..., : oh * scale, : ow * scale]
+
+    def row_pairs(csum, a):
+        # rows a, a+1 of each block: split of the (non-minor) H axis is free
+        rows = csum.reshape(csum.shape[:-2] + (oh, scale, ow))
+        return rows[..., :, a, :] + rows[..., :, a + 1, :]
+
+    # Column selection must NOT slice/stride the lane (W) axis — that forces
+    # relayouts measured at >10 ms/4K.  For the common scales the middle
+    # column pair sits inside one wider word, so a free bitcast + shifts
+    # extracts it at full lane utilization (little-endian byte order).
+    if scale == 2:
+        x16 = jax.lax.bitcast_convert_type(
+            x.reshape(x.shape[:-1] + (ow, 2)), jnp.uint16
+        ).astype(jnp.int32)  # (..., H, ow); u16 = (col0 | col1<<8)
+        csum = (x16 & 0xFF) + (x16 >> 8)
+        s = row_pairs(csum, 0)
+        return ((s + 2) >> 2).astype(jnp.uint8)
+    if scale == 4:
+        x32 = jax.lax.bitcast_convert_type(
+            x.reshape(x.shape[:-1] + (ow, 4)), jnp.uint32
+        )  # (..., H, ow); bytes 0..3 = the 4 columns of the block
+        b1 = ((x32 >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+        b2 = ((x32 >> 16) & jnp.uint32(0xFF)).astype(jnp.int32)
+        s = row_pairs(b1 + b2, 1)
+        return ((s + 2) >> 2).astype(jnp.uint8)
+
+    # generic path (odd / large scales): small outputs, strided column reads
+    blocks = x.reshape(x.shape[:-2] + (oh, scale, ow, scale))
+    if scale % 2:
+        m = (scale - 1) // 2
+        return blocks[..., :, m, :, m]
+    a = scale // 2 - 1
+    q = blocks[..., :, a : a + 2, :, a : a + 2].astype(jnp.int32)
+    s = q[..., 0, :, 0] + q[..., 0, :, 1] + q[..., 1, :, 0] + q[..., 1, :, 1]
+    return ((s + 2) >> 2).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
 def downscale(rgba: jax.Array, scale: int) -> jax.Array:
-    """Integer-factor bilinear pre-downscale, bit-exact vs golden.downscale.
-
-    Implements the reference's target_scale texrender shrink
-    (reference src/common.c:141-168,249-250) as a separable 2-tap gather.
-    Works on (..., H, W, 4) uint8.
-    """
+    """Interleaved wrapper for downscale_planes."""
     if scale <= 1:
         return rgba
-    h, w = rgba.shape[-3], rgba.shape[-2]
-    oh, ow = h // scale, w // scale
-    if oh == 0 or ow == 0:
-        raise ValueError(f"frame {w}x{h} too small for scale {scale}")
+    return interleave(downscale_planes(planarize(rgba), scale=scale))
 
-    # The sample position (i + 0.5)*s - 0.5 = i*s + (s-1)/2: for odd s it
-    # lands exactly on a texel (nearest read); for even s it is the midpoint
-    # of texels i*s + s/2 - 1 and +1, i.e. out = floor((a+b+c+d+2)/4) of the
-    # middle 2x2 — pure integer math, bit-identical to the golden model's
-    # float path (all its intermediates are exact quarters < 2^10).
-    # Reshape-to-blocks instead of stride-s slices (strided lane access
-    # forces slow relayouts on TPU).
-    x = rgba[..., : oh * scale, : ow * scale, :]
-    blocks = x.reshape(x.shape[:-3] + (oh, scale, ow, scale, 4))
-    if scale % 2:
-        m = (scale - 1) // 2
-        return blocks[..., :, m, :, m, :]
-    a = scale // 2 - 1
-    q = blocks[..., :, a : a + 2, :, a : a + 2, :].astype(jnp.int32)
-    s = q[..., 0, :, 0, :] + q[..., 0, :, 1, :] + q[..., 1, :, 0, :] + q[..., 1, :, 1, :]
-    return ((s + 2) >> 2).astype(jnp.uint8)
+
+def roi_crop_planes(planes: jax.Array, x0: int, y0: int, x1: int, y1: int) -> jax.Array:
+    """Static ROI sub-rect on planes (reference src/common.c:273-282)."""
+    return planes[..., y0:y1, x0:x1]
 
 
 def roi_crop(rgba: jax.Array, x0: int, y0: int, x1: int, y1: int) -> jax.Array:
-    """Static ROI sub-rect (reference src/common.c:273-282)."""
+    """Static ROI sub-rect, interleaved."""
     return rgba[..., y0:y1, x0:x1, :]

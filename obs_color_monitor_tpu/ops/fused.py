@@ -1,11 +1,12 @@
-"""Fused single-pass frame analysis.
+"""Fused single-pass frame analysis (planar hot path).
 
 The reference's ROI hub renders/reads back a frame once and fans the mapped
 surface out to N scope callbacks, each running its own CPU loop over the
 same pixels (reference src/roi.c:315-341, src/common.c:335-373).  On TPU the
-natural design is ONE jitted function that reads the frame once from HBM and
-produces every requested statistic — XLA fuses the YUV conversion into all
-consumers, the one-hot builds are shared, and nothing is traversed twice.
+natural design is ONE jitted function that planarizes the frame once
+(interleaved (H,W,4) u8 is lane-hostile — see ops.convert), reads it once
+from HBM, and produces every requested statistic — XLA fuses the YUV
+conversion into all consumers and nothing is traversed twice.
 
 ``analyze`` is the single entry: static flags select which statistics are
 computed (compiled once per flag/shape combination, like the reference's
@@ -20,7 +21,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .convert import rgb_to_yuv_u8, downscale, roi_crop
+from .convert import (
+    downscale_planes,
+    planarize,
+    rgb_to_yuv_planes,
+    roi_crop_planes,
+)
 from .stats import (
     histogram_counts,
     vectorscope_counts,
@@ -37,15 +43,18 @@ def default_backend() -> str:
 
 
 class AnalysisResult(NamedTuple):
-    """Per-frame statistics; entries are None unless requested."""
+    """Per-frame statistics; entries are None unless requested.
 
-    yuv: jax.Array | None  # (H, W, 3) u8
+    ``planes``/``yuv_planes`` are PLANAR (C, H, W) u8.
+    """
+
+    yuv_planes: jax.Array | None  # (3, H, W) u8
     vs_counts: jax.Array | None  # (256, 256) u8
     wv_rgb: jax.Array | None  # (3, 256, W) u8
     wv_yuv: jax.Array | None
     hi_rgb: jax.Array | None  # (3, 256) u32
     hi_yuv: jax.Array | None
-    rgba: jax.Array | None  # the scaled/cropped frame (for overlays/bypass)
+    planes: jax.Array | None  # the scaled/cropped frame (4, H, W)
 
 
 @functools.partial(
@@ -61,6 +70,7 @@ class AnalysisResult(NamedTuple):
         "need_hi_yuv",
         "keep_rgba",
         "backend",
+        "is_planar",
     ),
 )
 def analyze(
@@ -75,23 +85,26 @@ def analyze(
     need_hi_yuv: bool = False,
     keep_rgba: bool = True,
     backend: str | None = None,
+    is_planar: bool = False,
 ) -> AnalysisResult:
-    """One pass: downscale -> crop -> convert -> all requested statistics.
+    """One pass: planarize -> downscale -> crop -> convert -> statistics.
 
-    frame: uint8 (H, W, 4) RGBA.  ``rect`` is the ROI (x0, y0, x1, y1) in
-    *scaled* coordinates (reference src/common.c:273-282).
-    backend: 'pallas' (Mosaic kernels, TPU) or 'xla'; None = auto.
+    frame: uint8 (H, W, 4) RGBA, or (4, H, W) planar with is_planar=True.
+    ``rect`` is the ROI (x0, y0, x1, y1) in *scaled* coordinates
+    (reference src/common.c:273-282).  backend: 'pallas' (Mosaic kernels,
+    TPU) or 'xla'; None = auto.
     """
     if backend is None:
         backend = default_backend()
     pall = backend == "pallas"
 
-    rgba = downscale(frame, scale=scale)
+    planes = frame if is_planar else planarize(frame)
+    planes = downscale_planes(planes, scale=scale)
     if rect is not None:
-        rgba = roi_crop(rgba, *rect)
+        planes = roi_crop_planes(planes, *rect)
 
     need_yuv = need_vs or need_wv_yuv or need_hi_yuv
-    yuv = rgb_to_yuv_u8(rgba, cs=cs) if need_yuv else None
+    yuv = rgb_to_yuv_planes(planes, cs=cs) if need_yuv else None
 
     if need_vs:
         if pall:
@@ -120,18 +133,18 @@ def analyze(
 
     wv_rgb = hi_rgb = wv_yuv = hi_yuv = None
     if need_wv_rgb or need_hi_rgb:
-        data, mask = select_planes(rgba, None, is_yuv=False)
+        data, mask = select_planes(planes, None, is_yuv=False)
         wv_rgb, hi_rgb = _wv_hi(data, mask, need_wv_rgb, need_hi_rgb)
     if need_wv_yuv or need_hi_yuv:
-        data, mask = select_planes(rgba, yuv, is_yuv=True)
+        data, mask = select_planes(planes, yuv, is_yuv=True)
         wv_yuv, hi_yuv = _wv_hi(data, mask, need_wv_yuv, need_hi_yuv)
 
     return AnalysisResult(
-        yuv=yuv,
+        yuv_planes=yuv,
         vs_counts=vs,
         wv_rgb=wv_rgb,
         wv_yuv=wv_yuv,
         hi_rgb=hi_rgb,
         hi_yuv=hi_yuv,
-        rgba=rgba if keep_rgba else None,
+        planes=planes if keep_rgba else None,
     )

@@ -94,13 +94,16 @@ def _vs_kernel(h: int, w: int, u_ref, v_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def vectorscope_pallas_i32(yuv: jax.Array, interpret: bool = False) -> jax.Array:
-    """Unsaturated (256,256) int32 counts[v,u]; all pixels count."""
-    h, w = yuv.shape[0], yuv.shape[1]
+def vectorscope_pallas_i32(yuv_planes: jax.Array, interpret: bool = False) -> jax.Array:
+    """Unsaturated (256,256) int32 counts[v,u]; all pixels count.
+
+    yuv_planes: uint8 (3, H, W) in Y,U,V plane order.
+    """
+    h, w = yuv_planes.shape[1], yuv_planes.shape[2]
     hp = _round_up(h, _ROW_BLOCK)
     wp = _round_up(w, _COL_BLOCK)
-    u = _pad_to(yuv[..., 1], hp, wp)
-    v = _pad_to(yuv[..., 2], hp, wp)
+    u = _pad_to(yuv_planes[1], hp, wp)
+    v = _pad_to(yuv_planes[2], hp, wp)
     grid = (wp // _COL_BLOCK, hp // _ROW_BLOCK)
     return pl.pallas_call(
         functools.partial(_vs_kernel, h, w),
@@ -147,14 +150,16 @@ def _wv_kernel(c: int, planes_ref, mask_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def waveform_pallas_i32(
-    data: jax.Array, mask: jax.Array, interpret: bool = False
+    planes_in: jax.Array, mask: jax.Array, interpret: bool = False
 ) -> jax.Array:
-    """Unsaturated (3, 256, W) int32 per-column counts with alpha skip."""
-    h, w = data.shape[0], data.shape[1]
-    c = data.shape[2]
+    """Unsaturated (C, 256, W) int32 per-column counts with alpha skip.
+
+    planes_in: uint8 (C, H, W) value planes; mask: bool (H, W).
+    """
+    c, h, w = planes_in.shape
     hp = _round_up(h, _ROW_BLOCK)
     wp = _round_up(w, _COL_BLOCK)
-    planes = _pad_to(jnp.moveaxis(data, -1, 0), hp, wp, axes=(1, 2))
+    planes = _pad_to(planes_in, hp, wp, axes=(1, 2))
     m = _pad_to(mask.astype(jnp.uint8), hp, wp)
     grid = (wp // _COL_BLOCK, hp // _ROW_BLOCK)
     out = pl.pallas_call(

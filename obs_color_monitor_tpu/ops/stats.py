@@ -1,4 +1,4 @@
-"""Statistics accumulators as MXU matmuls (XLA path).
+"""Statistics accumulators as MXU matmuls (XLA path, planar).
 
 The reference computes these with per-pixel scalar scatter loops on the CPU
 after a GPU->CPU readback (src/vectorscope.c:217-238, src/waveform.c:220-257,
@@ -18,7 +18,11 @@ accumulation is exact), then saturated exactly like the reference
 (u8 min-255 for vectorscope/waveform — saturating increment commutes with
 counting — and u32 for the histogram).
 
-Single-frame functions; batch via jax.vmap (models do this).
+Inputs are PLANAR: value planes (C, H, W) u8 + mask (H, W) (see ops.convert
+for the layout rationale).  Single-frame; batch via jax.vmap.
+
+This is the portable XLA path; ops.pallas_stats holds the hand-scheduled
+TPU kernels (selected by ops.fused.analyze on TPU backends).
 """
 
 from __future__ import annotations
@@ -33,15 +37,16 @@ VS_SIZE = 256
 WV_SIZE = 256
 HI_SIZE = 256
 
-# Pixels per vectorscope matmul chunk. 8192x256 int8 one-hots = 2MB each;
-# keeps XLA fusions VMEM-friendly while the MXU contraction stays long.
+# Pixels per vectorscope matmul chunk (scanned: constant compile time).
 _VS_CHUNK = 8192
 # Rows per waveform reduction block.
 _WV_ROWS = 8
+# Pixels per histogram matmul chunk.
+_HI_CHUNK = 65536
 
 
 def _one_hot_u8(vals: jax.Array, n: int, dtype=jnp.int8) -> jax.Array:
-    """(..., ) u8 -> (..., n) 0/1 one-hot via iota compare (no scatter)."""
+    """(...,) u8 -> (..., n) 0/1 one-hot via iota compare (no scatter)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, vals.shape + (n,), vals.ndim)
     return (vals.astype(jnp.int32)[..., None] == iota).astype(dtype)
 
@@ -50,37 +55,32 @@ def _one_hot_u8(vals: jax.Array, n: int, dtype=jnp.int8) -> jax.Array:
 # Histogram
 # ---------------------------------------------------------------------------
 
-# Pixels per histogram matmul chunk (scanned: constant compile time).
-_HI_CHUNK = 65536
-
-
 @jax.jit
-def histogram_counts(data: jax.Array, mask: jax.Array) -> jax.Array:
+def histogram_counts(planes: jax.Array, mask: jax.Array) -> jax.Array:
     """256-bin per-channel counts.
 
-    data: uint8 (H, W, 3); mask: bool (H, W) — pixels with alpha==0 are
+    planes: uint8 (3, H, W); mask: bool (H, W) — pixels with alpha==0 are
     skipped (reference src/histogram.c:385-387).  Returns uint32 (3, 256).
 
     Nibble decomposition: count[b] = sum_p 1[hi(v_p)=hi(b)] * 1[lo(v_p)=lo(b)]
     -> a (16 x N) @ (N x 16) matmul per channel, int8 on the MXU, scanned
     over fixed-size pixel chunks (masked padding contributes nothing).
     """
-    flat = data.reshape(-1, 3)
-    n = flat.shape[0]
+    flat = planes.reshape(3, -1)
+    n = flat.shape[1]
     pad = (-n) % _HI_CHUNK
-    m = (mask.reshape(-1) if mask is not None else jnp.ones((n,), bool))
-    m = jnp.pad(m, (0, pad)).astype(jnp.int8)
-    flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    m = jnp.pad(mask.reshape(-1), (0, pad)).astype(jnp.int8)
+    flat = jnp.pad(flat, ((0, 0), (0, pad)))
     nchunks = (n + pad) // _HI_CHUNK
-    flat = flat.reshape(nchunks, _HI_CHUNK, 3)
+    flat = flat.reshape(3, nchunks, _HI_CHUNK).swapaxes(0, 1)  # (chunks, 3, N)
     m = m.reshape(nchunks, _HI_CHUNK)
 
     def body(acc, args):
-        d, mm = args
+        d, mm = args  # (3, N), (N,)
         outs = []
         for c in range(3):
-            hi = _one_hot_u8(d[:, c] >> 4, 16) * mm[:, None]
-            lo = _one_hot_u8(d[:, c] & 15, 16)
+            hi = _one_hot_u8(d[c] >> 4, 16) * mm[:, None]
+            lo = _one_hot_u8(d[c] & 15, 16)
             c16 = jax.lax.dot_general(
                 hi,
                 lo,
@@ -146,11 +146,14 @@ def histogram_levels(
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def vectorscope_counts_i32(yuv: jax.Array) -> jax.Array:
+def vectorscope_counts_i32(yuv_planes: jax.Array) -> jax.Array:
     """Unsaturated int32 vectorscope counts (for cross-device psum merges:
-    saturation must happen AFTER the merge to stay bit-exact)."""
-    u = yuv[..., 1].reshape(-1)
-    v = yuv[..., 2].reshape(-1)
+    saturation must happen AFTER the merge to stay bit-exact).
+
+    yuv_planes: uint8 (3, H, W) in Y,U,V plane order.
+    """
+    u = yuv_planes[1].reshape(-1)
+    v = yuv_planes[2].reshape(-1)
     n = u.shape[0]
     pad = (-n) % _VS_CHUNK
     valid = jnp.arange(n + pad, dtype=jnp.int32) < n
@@ -179,16 +182,13 @@ def vectorscope_counts_i32(yuv: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def vectorscope_counts(yuv: jax.Array) -> jax.Array:
+def vectorscope_counts(yuv_planes: jax.Array) -> jax.Array:
     """256x256 CbCr occupancy, u8 saturating; counts[v, u], v ascending.
 
     Every pixel counts — no alpha skip (reference src/vectorscope.c:217-238).
-    ``one_hot(u)^T @ one_hot(v)`` over pixel chunks; the 256x256 int32
-    accumulator is the scan carry, padding pixels are masked out of the
-    one-hot so they contribute nothing.  Saturating increment commutes with
-    counting, so the clamp happens once at the end.
+    Saturating increment commutes with counting, so the clamp happens once.
     """
-    return jnp.minimum(vectorscope_counts_i32(yuv), 255).astype(jnp.uint8)
+    return jnp.minimum(vectorscope_counts_i32(yuv_planes), 255).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -196,19 +196,22 @@ def vectorscope_counts(yuv: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def waveform_counts_i32(data: jax.Array, mask: jax.Array) -> jax.Array:
-    """Unsaturated int32 waveform counts (for cross-device psum merges)."""
-    h, w = data.shape[0], data.shape[1]
+def waveform_counts_i32(planes: jax.Array, mask: jax.Array) -> jax.Array:
+    """Unsaturated int32 waveform counts (for cross-device psum merges).
+
+    planes: uint8 (3, H, W); mask: bool (H, W).
+    """
+    h, w = planes.shape[1], planes.shape[2]
     pad = (-h) % _WV_ROWS
-    datap = jnp.pad(data, ((0, pad), (0, 0), (0, 0)))
+    datap = jnp.pad(planes, ((0, 0), (0, pad), (0, 0)))
     maskp = jnp.pad(mask, ((0, pad), (0, 0)))
     nblk = (h + pad) // _WV_ROWS
-    datap = datap.reshape(nblk, _WV_ROWS, w, 3)
+    datap = datap.reshape(3, nblk, _WV_ROWS, w).swapaxes(0, 1)  # (blk, 3, R, W)
     maskp = maskp.reshape(nblk, _WV_ROWS, w)
 
     def body(acc, args):
-        d, m = args  # (R, W, 3), (R, W)
-        oh = _one_hot_u8(jnp.moveaxis(d, -1, 0), WV_SIZE)  # (3, R, W, 256)
+        d, m = args  # (3, R, W), (R, W)
+        oh = _one_hot_u8(d, WV_SIZE)  # (3, R, W, 256)
         oh = oh * m[None, :, :, None].astype(jnp.int8)
         acc = acc + jnp.moveaxis(oh.sum(axis=1, dtype=jnp.int32), -1, 1)
         return acc, None
@@ -219,18 +222,14 @@ def waveform_counts_i32(data: jax.Array, mask: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def waveform_counts(data: jax.Array, mask: jax.Array) -> jax.Array:
+def waveform_counts(planes: jax.Array, mask: jax.Array) -> jax.Array:
     """Per-column 256-level counts, u8 saturating.
 
-    data: uint8 (H, W, 3); mask: bool (H, W) (alpha!=0,
+    planes: uint8 (3, H, W); mask: bool (H, W) (alpha!=0,
     reference src/waveform.c:247-248).  Returns uint8 (3, 256, W) with the
     value axis ascending (reference flips rows at store; we flip at render).
-
-    One-hot over the value axis, summed over rows; columns stay on the
-    (fast) lane axis, the 256-wide one-hot lives on the sublane axis.
-    Scanned in row blocks to bound the materialized one-hot.
     """
-    return jnp.minimum(waveform_counts_i32(data, mask), 255).astype(jnp.uint8)
+    return jnp.minimum(waveform_counts_i32(planes, mask), 255).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -238,17 +237,18 @@ def waveform_counts(data: jax.Array, mask: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def select_planes(
-    rgba: jax.Array, yuv: jax.Array | None, is_yuv: bool
+    planes: jax.Array, yuv_planes: jax.Array | None, is_yuv: bool
 ) -> tuple[jax.Array, jax.Array]:
-    """(data (H,W,3), mask (H,W)) per component mode.
+    """(data (3,H,W), mask (H,W)) per component mode.
 
-    YUV-mode surfaces always have alpha=255 in the reference (the conversion
-    shader writes a=1, data/common.effect:30,41), so the mask is all-true.
+    planes: the frame's (4,H,W).  YUV-mode surfaces always have alpha=255
+    in the reference (the conversion shader writes a=1,
+    data/common.effect:30,41), so that mask is all-true.
     """
     if is_yuv:
-        assert yuv is not None
-        return yuv, jnp.ones(yuv.shape[:-1], dtype=bool)
-    return rgba[..., :3], rgba[..., 3] != 0
+        assert yuv_planes is not None
+        return yuv_planes, jnp.ones(yuv_planes.shape[-2:], dtype=bool)
+    return planes[..., :3, :, :], planes[..., 3, :, :] != 0
 
 
 def apply_channel_select(counts: jax.Array, sel: tuple[bool, bool, bool]) -> jax.Array:

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.convert import rgb_to_yuv_u8
+from ..ops.convert import planarize, rgb_to_yuv_planes
 from ..ops.stats import (
     histogram_counts,
     vectorscope_counts_i32,
@@ -63,12 +63,13 @@ def batch_analyze(frames: jax.Array, mesh: Mesh, cs: int):
     @functools.partial(jax.jit, static_argnames=("cs_",))
     def run(f, cs_):
         def one(frame):
-            yuv = rgb_to_yuv_u8(frame, cs=cs_)
-            mask = frame[..., 3] != 0
+            planes = planarize(frame)
+            yuv = rgb_to_yuv_planes(planes, cs=cs_)
+            mask = planes[3] != 0
             return (
                 vectorscope_counts(yuv),
-                histogram_counts(frame[..., :3], mask),
-                waveform_counts(frame[..., :3], mask),
+                histogram_counts(planes[:3], mask),
+                waveform_counts(planes[:3], mask),
             )
 
         return jax.vmap(one)(f)
@@ -91,11 +92,12 @@ def spatial_analyze(frame: jax.Array, mesh: Mesh, cs: int):
 
     def shard_fn(f):
         # f: (H/n, W, 4) — this device's row block
-        yuv = rgb_to_yuv_u8(f, cs=cs)
-        mask = f[..., 3] != 0
+        planes = planarize(f)
+        yuv = rgb_to_yuv_planes(planes, cs=cs)
+        mask = planes[3] != 0
         vs = vectorscope_counts_i32(yuv)
-        hi = histogram_counts(f[..., :3], mask).astype(jnp.int32)
-        wv = waveform_counts_i32(f[..., :3], mask)
+        hi = histogram_counts(planes[:3], mask).astype(jnp.int32)
+        wv = waveform_counts_i32(planes[:3], mask)
         # merge partial integer counts over ICI, THEN saturate
         vs = jax.lax.psum(vs, axis)
         hi = jax.lax.psum(hi, axis)

@@ -25,7 +25,7 @@ def _mk(rng, h, w):
 def test_vectorscope_pallas_bitexact(rng, shape):
     f = _mk(rng, *shape)
     yuv = golden.rgb_to_yuv_u8(f, Colorspace.BT709)
-    got = np.asarray(pallas_stats.vectorscope_pallas_i32(yuv, interpret=INTERPRET))
+    got = np.asarray(pallas_stats.vectorscope_pallas_i32(np.moveaxis(yuv, -1, 0), interpret=INTERPRET))
     want = golden.vectorscope_counts(yuv)
     np.testing.assert_array_equal(np.minimum(got, 255).astype(np.uint8), want)
     assert got.sum() == shape[0] * shape[1]  # every pixel counted exactly once
@@ -36,7 +36,7 @@ def test_waveform_pallas_bitexact(rng, shape):
     f = _mk(rng, *shape)
     got = np.asarray(
         pallas_stats.waveform_pallas_i32(
-            f[..., :3], f[..., 3] != 0, interpret=INTERPRET
+            np.moveaxis(f[..., :3], -1, 0), f[..., 3] != 0, interpret=INTERPRET
         )
     )
     want = golden.waveform_counts(f, None, Components.RGB)
@@ -45,7 +45,7 @@ def test_waveform_pallas_bitexact(rng, shape):
 
 def test_histogram_from_waveform_bitexact(rng):
     f = _mk(rng, 96, 130)
-    wv = pallas_stats.waveform_pallas_i32(f[..., :3], f[..., 3] != 0, interpret=INTERPRET)
+    wv = pallas_stats.waveform_pallas_i32(np.moveaxis(f[..., :3], -1, 0), f[..., 3] != 0, interpret=INTERPRET)
     got = np.asarray(pallas_stats.histogram_from_waveform(wv))
     want = golden.histogram_counts(f, None, Components.RGB)
     np.testing.assert_array_equal(got, want)
@@ -56,6 +56,6 @@ def test_vectorscope_pallas_saturation_semantics():
     yuv = np.zeros((64, 64, 3), dtype=np.uint8)
     yuv[..., 1] = 7
     yuv[..., 2] = 9
-    got = np.asarray(pallas_stats.vectorscope_pallas_i32(yuv, interpret=INTERPRET))
+    got = np.asarray(pallas_stats.vectorscope_pallas_i32(np.moveaxis(yuv, -1, 0), interpret=INTERPRET))
     assert got[9, 7] == 64 * 64
     assert got.sum() == 64 * 64

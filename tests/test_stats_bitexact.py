@@ -62,7 +62,7 @@ def test_yuv_known_values():
 def test_vectorscope_bitexact(small_frame, cs):
     yuv = golden.rgb_to_yuv_u8(small_frame, cs)
     want = golden.vectorscope_counts(yuv)
-    got = np.asarray(stats.vectorscope_counts(yuv))
+    got = np.asarray(stats.vectorscope_counts(np.moveaxis(yuv, -1, 0)))
     np.testing.assert_array_equal(got, want)
 
 
@@ -72,7 +72,7 @@ def test_vectorscope_saturation():
     yuv[..., 1] = 10
     yuv[..., 2] = 20
     want = golden.vectorscope_counts(yuv)
-    got = np.asarray(stats.vectorscope_counts(yuv))
+    got = np.asarray(stats.vectorscope_counts(np.moveaxis(yuv, -1, 0)))
     np.testing.assert_array_equal(got, want)
     assert got[20, 10] == 255
     assert got.sum() == 255
@@ -86,9 +86,9 @@ def test_waveform_bitexact(small_frame, components):
     yuv = golden.rgb_to_yuv_u8(small_frame, cs) if components.is_yuv else None
     want = golden.waveform_counts(small_frame, yuv, components)
 
-    data, mask = stats.select_planes(
-        small_frame, yuv if yuv is None else np.asarray(yuv), components.is_yuv
-    )
+    planes = np.moveaxis(small_frame, -1, 0)
+    yuvp = None if yuv is None else np.moveaxis(np.asarray(yuv), -1, 0)
+    data, mask = stats.select_planes(planes, yuvp, components.is_yuv)
     got = np.asarray(stats.waveform_counts(np.asarray(data), np.asarray(mask)))
     got = np.asarray(stats.apply_channel_select(got, components.channel_select()))
     np.testing.assert_array_equal(got, want)
@@ -102,9 +102,9 @@ def test_histogram_bitexact(small_frame, components):
     yuv = golden.rgb_to_yuv_u8(small_frame, cs) if components.is_yuv else None
     want = golden.histogram_counts(small_frame, yuv, components)
 
-    data, mask = stats.select_planes(
-        small_frame, yuv if yuv is None else np.asarray(yuv), components.is_yuv
-    )
+    planes = np.moveaxis(small_frame, -1, 0)
+    yuvp = None if yuv is None else np.moveaxis(np.asarray(yuv), -1, 0)
+    data, mask = stats.select_planes(planes, yuvp, components.is_yuv)
     got = np.asarray(stats.histogram_counts(np.asarray(data), np.asarray(mask)))
     got = np.asarray(
         stats.apply_channel_select(got.astype(np.uint32), components.channel_select())
@@ -118,7 +118,9 @@ def test_histogram_alpha_skip(small_frame):
     counts = golden.histogram_counts(small_frame, None, Components.RGB)
     assert counts[0].sum() == n_opaque
     got = np.asarray(
-        stats.histogram_counts(small_frame[..., :3], small_frame[..., 3] != 0)
+        stats.histogram_counts(
+            np.moveaxis(small_frame[..., :3], -1, 0), small_frame[..., 3] != 0
+        )
     )
     assert got[0].sum() == n_opaque
 
@@ -202,18 +204,16 @@ def test_1080p_bitexact(frame_1080p):
     yuv_j = np.asarray(convert.rgb_to_yuv_u8(frame_1080p, cs=int(cs)))
     np.testing.assert_array_equal(yuv_j, yuv_g)
 
+    planes = np.moveaxis(frame_1080p[..., :3], -1, 0)
+    mask = frame_1080p[..., 3] != 0
     want_h = golden.histogram_counts(frame_1080p, None, Components.RGB)
-    got_h = np.asarray(
-        stats.histogram_counts(frame_1080p[..., :3], frame_1080p[..., 3] != 0)
-    )
+    got_h = np.asarray(stats.histogram_counts(planes, mask))
     np.testing.assert_array_equal(got_h.astype(np.uint32), want_h)
 
     want_v = golden.vectorscope_counts(yuv_g)
-    got_v = np.asarray(stats.vectorscope_counts(yuv_j))
+    got_v = np.asarray(stats.vectorscope_counts(np.moveaxis(yuv_j, -1, 0)))
     np.testing.assert_array_equal(got_v, want_v)
 
     want_w = golden.waveform_counts(frame_1080p, None, Components.RGB)
-    got_w = np.asarray(
-        stats.waveform_counts(frame_1080p[..., :3], frame_1080p[..., 3] != 0)
-    )
+    got_w = np.asarray(stats.waveform_counts(planes, mask))
     np.testing.assert_array_equal(got_w, want_w)
