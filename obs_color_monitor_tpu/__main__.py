@@ -1,0 +1,161 @@
+"""CLI frontend: run the scopes from the command line.
+
+The reference's frontend is a Qt dock inside OBS (SURVEY.md §2 #18-22);
+the standalone equivalent is this CLI: feed frames from a synthetic
+pattern / raw RGBA / NV12 file through the dock pipeline and write
+composited scope images.
+
+Examples:
+    python -m obs_color_monitor_tpu dock --pattern bars --size 1280x720 \\
+        --frames 30 --out /tmp/dock.png
+    python -m obs_color_monitor_tpu scope vectorscope --input clip.rgba \\
+        --size 1920x1080 --out vs.png
+    python -m obs_color_monitor_tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _parse_size(s: str) -> tuple[int, int]:
+    w, h = s.lower().split("x")
+    return int(w), int(h)
+
+
+def _make_source(args):
+    from .pipeline.ingest import NV12Source, PatternSource, RawRGBASource
+
+    w, h = _parse_size(args.size)
+    if args.input:
+        if args.input.endswith(".nv12"):
+            return NV12Source(args.input, w, h, cs=args.colorspace or 2)
+        return RawRGBASource(args.input, w, h)
+    return PatternSource(w, h, args.pattern)
+
+
+def cmd_dock(args) -> int:
+    import numpy as np
+
+    from .models import Dock
+    from .config import ROIConfig
+    from .utils.image_io import write_png
+    from .utils.persistence import load_dock, save_dock
+
+    dock = Dock(roi=ROIConfig(target_scale=args.scale, interleave=args.interleave))
+    if args.load_settings:
+        load_dock(dock, args.load_settings)
+    src = _make_source(args)
+    t0 = time.perf_counter()
+    n = 0
+    for frame in src.frames(args.frames):
+        dock.push_frame(frame)
+        n += 1
+    img = dock.render(width=args.out_width, height=args.out_height)
+    dt = time.perf_counter() - t0
+    write_png(args.out, img)
+    if args.save_settings:
+        save_dock(dock, args.save_settings)
+    print(
+        f"dock: {n} frames in {dt:.2f}s "
+        f"(processed {dock.hub.frames_processed}, "
+        f"interleave-skipped {dock.hub.frames_skipped}) -> {args.out}"
+    )
+    return 0
+
+
+def cmd_scope(args) -> int:
+    from .models import FalseColor, FocusPeaking, Histogram, Vectorscope, Waveform, Zebra
+    from .utils.image_io import load_lut, write_png
+    from . import config as cfg
+
+    scopes = {
+        "vectorscope": lambda: Vectorscope(cfg.VectorscopeConfig(target_scale=args.scale)),
+        "waveform": lambda: Waveform(cfg.WaveformConfig(target_scale=args.scale)),
+        "histogram": lambda: Histogram(cfg.HistogramConfig(target_scale=args.scale)),
+        "zebra": lambda: Zebra(cfg.ZebraConfig(target_scale=args.scale)),
+        "falsecolor": lambda: FalseColor(cfg.FalseColorConfig(target_scale=args.scale)),
+        "focuspeaking": lambda: FocusPeaking(cfg.FocusPeakingConfig(target_scale=args.scale)),
+    }
+    scope = scopes[args.scope]()
+    if args.lut and args.scope == "falsecolor":
+        scope.update(use_lut=True, lut=load_lut(args.lut))
+    src = _make_source(args)
+    for frame in src.frames(args.frames):
+        scope.push_frame(frame)
+        scope._hub.tick()  # publish double buffers
+    img = scope.render()
+    if img is None:
+        print("no frames processed", file=sys.stderr)
+        return 1
+    from .utils.image_io import write_png as _wp
+
+    _wp(args.out, img)
+    print(f"{args.scope}: {img.shape[1]}x{img.shape[0]} -> {args.out}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from .ops.fused import default_backend
+    from .runtime import native
+
+    print(
+        json.dumps(
+            {
+                "version": __import__("obs_color_monitor_tpu").__version__,
+                "jax": jax.__version__,
+                "devices": [str(d) for d in jax.devices()],
+                "backend": default_backend(),
+                "native_runtime": native.available(),
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="obs_color_monitor_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_io(sp):
+        sp.add_argument("--input", help="raw .rgba or .nv12 file (else synthetic)")
+        sp.add_argument("--pattern", default="bars", choices=["bars", "ramp", "zoneplate"])
+        sp.add_argument("--size", default="1280x720", help="input WxH")
+        sp.add_argument("--frames", type=int, default=30)
+        sp.add_argument("--scale", type=int, default=2, help="target_scale 1..128")
+        sp.add_argument("--colorspace", type=int, choices=[0, 1, 2], default=0)
+        sp.add_argument("--out", default="scope.png")
+
+    d = sub.add_parser("dock", help="all six scopes composited")
+    add_io(d)
+    d.add_argument("--interleave", type=int, default=1)
+    d.add_argument("--out-width", type=int, default=512)
+    d.add_argument("--out-height", type=int, default=1536)
+    d.add_argument("--save-settings", help="write dock settings JSON")
+    d.add_argument("--load-settings", help="read dock settings JSON")
+    d.set_defaults(fn=cmd_dock)
+
+    s = sub.add_parser("scope", help="one scope")
+    s.add_argument(
+        "scope",
+        choices=["vectorscope", "waveform", "histogram", "zebra", "falsecolor", "focuspeaking"],
+    )
+    add_io(s)
+    s.add_argument("--lut", help="false-color LUT image")
+    s.set_defaults(fn=cmd_scope)
+
+    i = sub.add_parser("info", help="device/runtime info")
+    i.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

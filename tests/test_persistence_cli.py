@@ -1,0 +1,145 @@
+"""Settings persistence (dock save/load), global config, image IO, CLI."""
+
+import json
+
+import numpy as np
+import pytest
+
+from obs_color_monitor_tpu.config import (
+    Components,
+    DisplayMode,
+    FalseColorConfig,
+    ROIConfig,
+    ShowKey,
+    VectorscopeConfig,
+)
+from obs_color_monitor_tpu.models import Dock
+from obs_color_monitor_tpu.utils.persistence import (
+    GlobalConfig,
+    config_from_dict,
+    config_to_dict,
+    dock_restore,
+    dock_save_data,
+    load_dock,
+    save_dock,
+)
+from obs_color_monitor_tpu.utils.image_io import write_png
+
+
+def test_config_roundtrip():
+    cfg = VectorscopeConfig(intensity=77, zoom=2.5, colorspace=1)
+    d = config_to_dict(cfg)
+    back = config_from_dict(VectorscopeConfig, d)
+    assert back == cfg
+    # enums serialized as ints (JSON-safe)
+    assert json.dumps(d)
+
+
+def test_falsecolor_lut_roundtrip(rng):
+    lut = rng.integers(0, 256, (16, 4), dtype=np.uint8)
+    cfg = FalseColorConfig(use_lut=True, lut=lut, show_key=ShowKey.LEFT)
+    d = json.loads(json.dumps(config_to_dict(cfg)))
+    back = config_from_dict(FalseColorConfig, d)
+    np.testing.assert_array_equal(back.lut, lut)
+    assert back.show_key == ShowKey.LEFT
+
+
+def test_dock_save_load(tmp_path):
+    dock = Dock(roi=ROIConfig(target_scale=4, interleave=0))
+    dock.config.show_zebra = False
+    dock.waveform.update(display=DisplayMode.PARADE, components=Components.YUV)
+    dock.vectorscope.update(intensity=99)
+    p = tmp_path / "dock.json"
+    save_dock(dock, p)
+
+    dock2 = Dock()
+    load_dock(dock2, p)
+    assert dock2.hub.config.target_scale == 4
+    assert dock2.config.show_zebra is False
+    assert dock2.waveform.config.display == DisplayMode.PARADE
+    assert dock2.waveform.config.components == Components.YUV
+    assert dock2.vectorscope.config.intensity == 99
+    # key scheme mirrors the reference ("<id>-shown"/"<id>-prop")
+    data = dock_save_data(dock)
+    assert "vectorscope-shown" in data and "waveform-prop" in data
+
+
+def test_global_config(tmp_path):
+    p = tmp_path / "global.json"
+    g = GlobalConfig(show_sources=False)
+    g.save(p)
+    g2 = GlobalConfig.load(p)
+    assert g2.show_sources is False and g2.show_filters is True
+    assert GlobalConfig.load(tmp_path / "missing.json").show_sources is True
+
+
+def test_write_png_fallback(tmp_path, rng):
+    img = rng.integers(0, 256, (8, 12, 4), dtype=np.uint8)
+    p = tmp_path / "t.png"
+    write_png(p, img)
+    raw = p.read_bytes()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    # round-trip via PIL when available
+    try:
+        from PIL import Image
+
+        back = np.asarray(Image.open(p).convert("RGBA"))
+        np.testing.assert_array_equal(back, img)
+    except ImportError:
+        pass
+
+
+def test_cli_scope(tmp_path):
+    from obs_color_monitor_tpu.__main__ import main
+
+    out = tmp_path / "hist.png"
+    rc = main(
+        [
+            "scope",
+            "histogram",
+            "--pattern",
+            "ramp",
+            "--size",
+            "128x64",
+            "--frames",
+            "2",
+            "--scale",
+            "1",
+            "--out",
+            str(out),
+        ]
+    )
+    assert rc == 0 and out.exists()
+
+
+def test_cli_dock_settings_roundtrip(tmp_path):
+    from obs_color_monitor_tpu.__main__ import main
+
+    out = tmp_path / "dock.png"
+    settings = tmp_path / "s.json"
+    rc = main(
+        [
+            "dock",
+            "--pattern",
+            "bars",
+            "--size",
+            "128x64",
+            "--frames",
+            "2",
+            "--scale",
+            "1",
+            "--interleave",
+            "0",
+            "--out-width",
+            "128",
+            "--out-height",
+            "512",
+            "--out",
+            str(out),
+            "--save-settings",
+            str(settings),
+        ]
+    )
+    assert rc == 0 and out.exists() and settings.exists()
+    data = json.loads(settings.read_text())
+    assert data["roi-prop"]["target_scale"] == 1
