@@ -111,6 +111,19 @@ class Scope:
     def _read(self):
         return self._buf[self._w_buf ^ 1]
 
+    # -- bypass (reference cm_bypass_render, src/common.c:413-428) ----------
+    _bypass_planes = None
+
+    def _store_bypass(self, surface: "SurfaceData") -> None:
+        if getattr(self.config, "bypass", False) and surface.result.planes is not None:
+            self._bypass_planes = surface.result.planes
+
+    def render_bypass(self) -> Optional[np.ndarray]:
+        """The scaled captured frame itself (reference bypass mode)."""
+        if self._bypass_planes is None:
+            return None
+        return np.moveaxis(np.asarray(self._bypass_planes), 0, -1)
+
     # -- output -------------------------------------------------------------
     def render(self) -> Optional[np.ndarray]:
         """RGBA u8 image of the scope, or None before the first frame."""

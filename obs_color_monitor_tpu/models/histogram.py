@@ -52,6 +52,7 @@ class Histogram(Scope, StandaloneScopeMixin):
         return Needs(hi_rgb=not yuv, hi_yuv=yuv, rgba=self.config.bypass)
 
     def surface_cb(self, surface: SurfaceData) -> None:
+        self._store_bypass(surface)
         res = surface.result
         counts = res.hi_yuv if self.config.components.is_yuv else res.hi_rgb
         if counts is None:
@@ -78,6 +79,8 @@ class Histogram(Scope, StandaloneScopeMixin):
         return None if v is None else np.asarray(v[0])
 
     def render(self) -> Optional[np.ndarray]:
+        if self.config.bypass:
+            return self.render_bypass()
         v = self._read()
         if v is None:
             return None

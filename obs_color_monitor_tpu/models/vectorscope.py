@@ -37,6 +37,7 @@ class Vectorscope(Scope, StandaloneScopeMixin):
         return Needs(vs=True, rgba=self.config.bypass)
 
     def surface_cb(self, surface: SurfaceData) -> None:
+        self._store_bypass(surface)
         if surface.result.vs_counts is None:
             return
         self._buf_cs[self._w_buf] = surface.colorspace
@@ -47,6 +48,8 @@ class Vectorscope(Scope, StandaloneScopeMixin):
         self.config.zoom = max(1.0, self.config.zoom * float(np.exp(wheel_delta * 5e-4)))
 
     def render(self) -> Optional[np.ndarray]:
+        if self.config.bypass:
+            return self.render_bypass()
         counts = self._read()
         if counts is None:
             return None

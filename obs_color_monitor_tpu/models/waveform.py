@@ -51,6 +51,7 @@ class Waveform(Scope, StandaloneScopeMixin):
         return Needs(wv_rgb=not yuv, wv_yuv=yuv, rgba=self.config.bypass)
 
     def surface_cb(self, surface: SurfaceData) -> None:
+        self._store_bypass(surface)
         res = surface.result
         counts = res.wv_yuv if self.config.components.is_yuv else res.wv_rgb
         if counts is None:
@@ -64,6 +65,8 @@ class Waveform(Scope, StandaloneScopeMixin):
         self._r_buf = self._w_buf ^ 1
 
     def render(self) -> Optional[np.ndarray]:
+        if self.config.bypass:
+            return self.render_bypass()
         counts = self._buf[self._r_buf]
         if counts is None:
             return None

@@ -186,3 +186,20 @@ def test_scope_update_settings(frame):
     # clamping like the reference property ranges
     vs.update(intensity=0)
     assert vs.config.intensity == 1
+
+
+def test_bypass_mode(frame):
+    """Bypass renders the scaled captured frame (reference cm_bypass_render,
+    src/common.c:413-428)."""
+    from obs_color_monitor_tpu.config import HistogramConfig as HC
+
+    his = Histogram(HC(target_scale=2, bypass=True))
+    his.push_frame(frame)
+    img = his.render()
+    want = golden.downscale(frame, 2)
+    np.testing.assert_array_equal(img, want)
+    # turning bypass off goes back to bars
+    his.update(bypass=False)
+    his.push_frame(frame)
+    his._hub.tick()
+    assert his.render().shape == (200, 256, 4)
