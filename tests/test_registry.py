@@ -1,0 +1,59 @@
+"""Source registry: the reference's 11-entry plugin table."""
+
+import numpy as np
+import pytest
+
+from obs_color_monitor_tpu.config import VectorscopeColorType
+from obs_color_monitor_tpu.registry import REGISTRY, create_source, enum_sources
+from obs_color_monitor_tpu.utils.persistence import GlobalConfig
+
+
+def test_registry_inventory():
+    """11 registered infos like obs_module_load (src/plugin-main.c:58-108)."""
+    assert len(REGISTRY) == 11
+    assert sorted(s for s in REGISTRY if REGISTRY[s].kind == "filter") == [
+        "falsecolor_filter",
+        "focuspeaking_filter",
+        "zebra_filter",
+    ]
+    # v1 is registered but obsolete (reference OBS_SOURCE_CAP_OBSOLETE,
+    # src/vectorscope.c:487)
+    assert REGISTRY["vectorscope_source"].obsolete
+    assert not REGISTRY["vectorscope_source.v2"].obsolete
+
+
+def test_v1_v2_defaults():
+    """v1 defaults to white draw, v2 to chroma tint
+    (reference vss_get_defaults_v1 vs vss_get_defaults,
+    src/vectorscope.c:155-167)."""
+    v1 = create_source("vectorscope_source")
+    v2 = create_source("vectorscope_source.v2")
+    assert v1.config.color_type == VectorscopeColorType.WHITE
+    assert v2.config.color_type == VectorscopeColorType.UV
+
+
+def test_global_config_gates():
+    g = GlobalConfig(show_sources=False)
+    with pytest.raises(PermissionError):
+        create_source("waveform_source", global_config=g)
+    # filters still allowed
+    create_source("zebra_filter", global_config=g)
+    g2 = GlobalConfig(show_filters=False)
+    with pytest.raises(PermissionError):
+        create_source("zebra_filter", global_config=g2)
+
+
+def test_enum_sources():
+    srcs = enum_sources("source")
+    assert "vectorscope_source.v2" in srcs
+    assert "vectorscope_source" not in srcs  # obsolete hidden by default
+    assert "zebra_filter" not in srcs
+    assert "vectorscope_source" in enum_sources("source", include_obsolete=True)
+
+
+def test_created_source_works():
+    his = create_source("histogram_source")
+    f = np.zeros((32, 32, 4), np.uint8)
+    f[..., 3] = 255
+    his.push_frame(f)
+    assert his.counts() is not None
