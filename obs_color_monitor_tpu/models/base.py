@@ -210,25 +210,29 @@ class CaptureHub:
         needs = self.union_needs()
         cs = self.colorspace
 
-        result = analyze(
-            frame,
-            cs=int(cs),
-            scale=scale,
-            rect=None if full else rect,
-            need_vs=needs.vs,
-            need_wv_rgb=needs.wv_rgb,
-            need_wv_yuv=needs.wv_yuv,
-            need_hi_rgb=needs.hi_rgb,
-            need_hi_yuv=needs.hi_yuv,
-            keep_rgba=True,
-            is_planar=is_planar,
-        )
+        from ..pipeline import profiler
+
+        with profiler.probe("render_target"):
+            result = analyze(
+                frame,
+                cs=int(cs),
+                scale=scale,
+                rect=None if full else rect,
+                need_vs=needs.vs,
+                need_wv_rgb=needs.wv_rgb,
+                need_wv_yuv=needs.wv_yuv,
+                need_hi_rgb=needs.hi_rgb,
+                need_hi_yuv=needs.hi_yuv,
+                keep_rgba=True,
+                is_planar=is_planar,
+            )
         cw = rect[2] - rect[0]
         ch = rect[3] - rect[1]
         surface = SurfaceData(result=result, width=cw, height=ch, colorspace=cs)
         self.last_surface = surface
         for c in self.consumers:
-            c.surface_cb(surface)
+            with profiler.probe(f"surface_cb:{type(c).__name__}"):
+                c.surface_cb(surface)
         self.frames_processed += 1
         return surface
 

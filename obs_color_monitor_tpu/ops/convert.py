@@ -162,6 +162,49 @@ def downscale(rgba: jax.Array, scale: int) -> jax.Array:
     return interleave(downscale_planes(planarize(rgba), scale=scale))
 
 
+# NV12 -> RGB planes: limited-range inverse conversion, 12-bit fixed point.
+# Same constant table as the native runtime (csrc/ocm_runtime.cpp) — the two
+# paths are bit-identical; this one keeps ingest on device (decoders hand us
+# NV12; uploading Y+UV is 1.5 bytes/px vs 4 for RGBA).
+_NV12_COEF = {
+    1: (6537, -1605, -3330, 8263),
+    2: (7343, -873, -2183, 8652),
+}
+_NV12_KY = 4769  # round(255/219 * 4096)
+
+
+@functools.partial(jax.jit, static_argnames=("cs",))
+def nv12_to_planes(y: jax.Array, uv: jax.Array, cs: int = 2) -> jax.Array:
+    """NV12 (y (H,W) u8, uv (H/2, W) u8 interleaved CbCr) -> (4, H, W) u8.
+
+    All products are integers < 2^23, so the conversion runs on the fast f32
+    path yet matches the native C++ kernel bit-for-bit: with Y' = Y-16,
+    C = Cx-128: channel = clip((4769*Y' + K.C + 2048) >> 12).
+    """
+    kr_cr, kg_cb, kg_cr, kb_cb = _NV12_COEF[int(cs)]
+    h, w = y.shape[-2], y.shape[-1]
+    yp = (y.astype(jnp.float32) - 16.0) * np.float32(_NV12_KY)
+    # deinterleave CbCr via u16 bitcast (lane-friendly), then 2x2 upsample
+    uv16 = jax.lax.bitcast_convert_type(
+        uv.reshape(uv.shape[:-1] + (w // 2, 2)), jnp.uint16
+    ).astype(jnp.int32)
+    cb = (uv16 & 0xFF) - 128  # (H/2, W/2)
+    cr = (uv16 >> 8) - 128
+    cb = jnp.repeat(jnp.repeat(cb, 2, axis=-2), 2, axis=-1).astype(jnp.float32)
+    cr = jnp.repeat(jnp.repeat(cr, 2, axis=-2), 2, axis=-1).astype(jnp.float32)
+    half = np.float32(2048.0)
+    inv = np.float32(1.0 / 4096.0)
+
+    def q(acc):
+        return jnp.clip(jnp.floor(acc * inv), 0.0, 255.0).astype(jnp.uint8)
+
+    r = q(yp + np.float32(kr_cr) * cr + half)
+    g = q(yp + np.float32(kg_cb) * cb + np.float32(kg_cr) * cr + half)
+    b = q(yp + np.float32(kb_cb) * cb + half)
+    a = jnp.full((h, w), 255, jnp.uint8)
+    return jnp.stack([r, g, b, a], axis=-3)
+
+
 def roi_crop_planes(planes: jax.Array, x0: int, y0: int, x1: int, y1: int) -> jax.Array:
     """Static ROI sub-rect on planes (reference src/common.c:273-282)."""
     return planes[..., y0:y1, x0:x1]

@@ -203,3 +203,22 @@ def test_bypass_mode(frame):
     his.push_frame(frame)
     his._hub.tick()
     assert his.render().shape == (200, 256, 4)
+
+
+def test_profiler_probes(frame):
+    """Probe names mirror the reference's ENABLE_PROFILE sections
+    (src/common.c:10-21)."""
+    from obs_color_monitor_tpu.pipeline import profiler
+
+    profiler.reset()
+    profiler.enable(True)
+    try:
+        his = Histogram(HistogramConfig(target_scale=1))
+        his.push_frame(frame)
+        s = profiler.summary()
+        assert "render_target" in s
+        assert s["render_target"]["count"] == 1
+        assert any(k.startswith("surface_cb:") for k in s)
+    finally:
+        profiler.enable(False)
+        profiler.reset()

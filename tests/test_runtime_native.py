@@ -118,3 +118,16 @@ def test_frame_sources(tmp_path, rng):
     got = list(ns.frames())
     assert len(got) == 1
     np.testing.assert_array_equal(got[0], native.nv12_to_rgba(y, uv, cs=1))
+
+
+@pytest.mark.parametrize("cs", [1, 2])
+def test_nv12_device_matches_native(rng, cs):
+    """Device-side NV12 ingest is bit-identical to the C++ kernel."""
+    from obs_color_monitor_tpu.ops.convert import nv12_to_planes
+
+    h, w = 32, 48
+    y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    uv = rng.integers(0, 256, (h // 2, w), dtype=np.uint8)
+    want = native.nv12_to_rgba(y, uv, cs=cs)  # (H, W, 4)
+    got = np.moveaxis(np.asarray(nv12_to_planes(y, uv, cs=cs)), 0, -1)
+    np.testing.assert_array_equal(got, want)
