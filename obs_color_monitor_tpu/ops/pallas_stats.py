@@ -35,7 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 N_BINS = 256
 _ROW_BLOCK = 128
 _COL_BLOCK = 128
-_SUB = 32  # rows per one-hot/matmul sub-tile inside a block
+# Rows per one-hot/matmul sub-tile inside a block.  Swept on v5e: 64 is
+# ~1.5x faster than 32 (larger vector ops, K=8192 matmuls); 128 is equal
+# but doubles transient VMEM.
+_SUB = 64
 
 
 def _pad_to(x: jax.Array, h: int, w: int, axes=(0, 1), fill=0) -> jax.Array:

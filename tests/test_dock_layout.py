@@ -1,0 +1,76 @@
+"""Dock composite layout rules (reference src/scope-widget.cpp:99-175)."""
+
+import numpy as np
+import pytest
+
+from obs_color_monitor_tpu.config import DockConfig, ROIConfig
+from obs_color_monitor_tpu.models import Dock
+
+
+@pytest.fixture(scope="module")
+def dock_frame(rng):
+    f = rng.integers(0, 256, (72, 128, 4), dtype=np.uint8)
+    f[..., 3] = 255
+    return f
+
+
+def test_vectorscope_slot_is_square(dock_frame):
+    """Vectorscope gets w = h = min(w, h) (scope-widget.cpp:137-139)."""
+    cfg = DockConfig(
+        show_vectorscope=True,
+        show_waveform=False,
+        show_histogram=False,
+        show_zebra=False,
+        show_falsecolor=False,
+        show_focuspeaking=False,
+    )
+    dock = Dock(cfg, roi=ROIConfig(interleave=0, target_scale=1))
+    dock.push_frame(dock_frame)
+    img = dock.render(width=300, height=900)
+    # square content centered horizontally in a 300x900 canvas:
+    drawn = (img[..., :3].sum(axis=-1) > 0)
+    ys, xs = np.nonzero(drawn)
+    # content confined to a 300x300 block at the top slot
+    assert ys.max() < 300
+    assert xs.max() - xs.min() < 300
+
+
+def test_overlay_scopes_keep_aspect(dock_frame):
+    """Zebra/falsecolor keep the source aspect (scope-widget.cpp:129-136)."""
+    cfg = DockConfig(
+        show_vectorscope=False,
+        show_waveform=False,
+        show_histogram=False,
+        show_zebra=False,
+        show_falsecolor=True,
+        show_focuspeaking=False,
+    )
+    dock = Dock(cfg, roi=ROIConfig(interleave=0, target_scale=1))
+    dock.push_frame(dock_frame)
+    img = dock.render(width=256, height=512)
+    drawn = (img[..., :3].sum(axis=-1) > 0)
+    ys, xs = np.nonzero(drawn)
+    h_drawn = ys.max() - ys.min() + 1
+    w_drawn = xs.max() - xs.min() + 1
+    # source is 128x72 (16:9): drawn region must be ~16:9, not stretched to slot
+    assert abs(w_drawn / h_drawn - 128 / 72) < 0.15
+
+
+def test_vertical_stack_partition(dock_frame):
+    """Slots divide the remaining height like (cy-y0)/(n-k)
+    (scope-widget.cpp:121-124)."""
+    dock = Dock(roi=ROIConfig(interleave=0, target_scale=1))
+    dock.push_frame(dock_frame)
+    img = dock.render(width=128, height=600)
+    assert img.shape == (600, 128, 4)
+    # all six shown -> six slots of 100; waveform (slot 2) stretches full width
+    row_slot2 = img[150]
+    assert (row_slot2[..., 3] == 255).all()
+
+
+def test_hidden_scope_skipped(dock_frame):
+    dock = Dock(roi=ROIConfig(interleave=0, target_scale=1))
+    dock.config.show_waveform = False
+    dock.push_frame(dock_frame)
+    img = dock.render(width=128, height=500)
+    assert img.shape == (500, 128, 4)
