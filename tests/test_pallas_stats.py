@@ -59,3 +59,27 @@ def test_vectorscope_pallas_saturation_semantics():
     got = np.asarray(pallas_stats.vectorscope_pallas_i32(np.moveaxis(yuv, -1, 0), interpret=INTERPRET))
     assert got[9, 7] == 64 * 64
     assert got.sum() == 64 * 64
+
+
+@pytest.mark.parametrize("shape", [(128, 128), (96, 130)])
+def test_fused_vs_wv_bitexact(rng, shape):
+    f = _mk(rng, *shape)
+    yuv = golden.rgb_to_yuv_u8(f, Colorspace.BT709)
+    vs, wv = pallas_stats.fused_vs_wv_pallas_i32(
+        np.moveaxis(f[..., :3], -1, 0),
+        np.moveaxis(yuv, -1, 0),
+        f[..., 3] != 0,
+        interpret=INTERPRET,
+    )
+    np.testing.assert_array_equal(
+        np.minimum(np.asarray(vs), 255).astype(np.uint8),
+        golden.vectorscope_counts(yuv),
+    )
+    np.testing.assert_array_equal(
+        np.minimum(np.asarray(wv), 255).astype(np.uint8),
+        golden.waveform_counts(f, None, Components.RGB),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pallas_stats.histogram_from_waveform(wv)),
+        golden.histogram_counts(f, None, Components.RGB),
+    )
