@@ -69,6 +69,9 @@ def make_full_step(
     fp_cfg = focuspeaking or FocusPeakingConfig()
     cs = int(cs)
     sel = hi_cfg.components.channel_select()
+    wv_sel = wv_cfg.components.channel_select()
+    wv_yuv_mode = wv_cfg.components.is_yuv
+    hi_yuv_mode = hi_cfg.components.is_yuv
     peak_color = jnp.asarray(
         quantize_unorm8(np.asarray(fp_cfg.peaking_rgba, np.float32))
     )
@@ -84,38 +87,47 @@ def make_full_step(
             cs=cs,
             scale=scale,
             need_vs=True,
-            need_wv_rgb=True,
-            need_hi_rgb=True,
+            need_wv_rgb=not wv_yuv_mode,
+            need_wv_yuv=wv_yuv_mode,
+            need_hi_rgb=not hi_yuv_mode,
+            need_hi_yuv=hi_yuv_mode,
             keep_rgba=False,
             is_planar=True,
         )
         vs_img = render_ops.render_vectorscope(
-            res.vs_counts, intensity=vs_cfg.intensity, cs=cs, white=False
+            res.vs_counts,
+            intensity=vs_cfg.intensity,
+            cs=cs,
+            white=vs_cfg.color_type == 0,
         )
+        from .ops.stats import apply_channel_select
+
+        wv_counts = res.wv_yuv if wv_yuv_mode else res.wv_rgb
+        wv_counts = apply_channel_select(wv_counts, wv_sel)
         wv_img = render_ops.render_waveform(
-            res.wv_rgb,
+            wv_counts,
             intensity=wv_cfg.intensity,
             display=int(wv_cfg.display),
             n_components=wv_cfg.components.n_components,
-            yuv_mode=False,
+            yuv_mode=wv_yuv_mode,
         )
+        hi_counts = res.hi_yuv if hi_yuv_mode else res.hi_rgb
+        hi_counts = apply_channel_select(hi_counts.astype(jnp.int32), sel)
         hi = histogram_hi_max(
-            res.hi_rgb.astype(jnp.int32),
+            hi_counts,
             sel,
             sw * sh,
             hi_cfg.level_fixed,
             hi_cfg.level_ratio_permille,
         )
-        levels, hi_eff = histogram_levels(
-            res.hi_rgb.astype(jnp.int32), hi, sel, hi_cfg.logscale
-        )
+        levels, hi_eff = histogram_levels(hi_counts, hi, sel, hi_cfg.logscale)
         hi_img = render_ops.render_histogram(
             levels,
             hi_eff,
             level_height=hi_cfg.level_height,
             display=int(hi_cfg.display),
             n_components=hi_cfg.components.n_components,
-            yuv_mode=False,
+            yuv_mode=hi_yuv_mode,
         )
         zb_img = overlay_ops.zebra_planes(
             planes, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high, tm=tm, cs=cs
@@ -130,8 +142,8 @@ def make_full_step(
             falsecolor=fc_img,
             focuspeaking=fp_img,
             vs_counts=res.vs_counts,
-            wv_counts=res.wv_rgb,
-            hi_counts=res.hi_rgb,
+            wv_counts=wv_counts,
+            hi_counts=hi_counts.astype(jnp.uint32),
         )
 
     return step
