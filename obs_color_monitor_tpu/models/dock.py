@@ -109,6 +109,10 @@ class Dock:
             "focuspeaking": self.focuspeaking,
         }
         self.hub.consumers = [self.scopes[k] for k in SCOPE_ORDER]
+        # per-scope display rects from the last render, for mouse routing
+        # (reference src/scope-widget.cpp:146-153,241-428)
+        self._rects: dict[str, tuple[int, int, int, int]] = {}
+        self.roi_interact = None  # created when the ROI preview is shown
 
     def shown(self, name: str) -> bool:
         return bool(getattr(self.config, f"show_{name}"))
@@ -132,6 +136,7 @@ class Dock:
 
         shown = [n for n in SCOPE_ORDER if self.shown(n)]
         n_src = len(shown)
+        self._rects = {}
         y0 = 0
         for k, name in enumerate(shown):
             scope = self.scopes[name]
@@ -158,5 +163,50 @@ class Dock:
                 patch = img[sy][:, sx]
                 x0 = (cx - w) // 2
                 canvas[y0 : y0 + h, x0 : x0 + w] = patch
+                # rect + source dims for mouse routing
+                self._rects[name] = (x0, y0, w, h, w_src, h_src)
             y0 += h_slot
         return canvas
+
+    # -- mouse routing (reference src/scope-widget.cpp:241-428) --------------
+    def _hit(self, x: int, y: int):
+        """(name, scope-local x, scope-local y) for a canvas position."""
+        for name, (x0, y0, w, h, w_src, h_src) in self._rects.items():
+            if x0 <= x < x0 + w and y0 <= y < y0 + h:
+                sx = (x - x0) * w_src // max(w, 1)
+                sy = (y - y0) * h_src // max(h, 1)
+                return name, sx, sy
+        return None, 0, 0
+
+    def mouse_wheel(self, x: int, y: int, delta_y: int) -> None:
+        """Wheel over the vectorscope zooms it (reference routes
+        obs_source_send_mouse_wheel; vectorscope.c:473-482)."""
+        name, _, _ = self._hit(x, y)
+        if name == "vectorscope":
+            self.vectorscope.zoom_by(delta_y)
+
+    def _ensure_roi_interact(self):
+        if self.roi_interact is None:
+            from .roi_interact import InteractiveROI
+
+            w = self.roi_preview.width or 1
+            h = self.roi_preview.height or 1
+            self.roi_interact = InteractiveROI(width=w, height=h)
+        return self.roi_interact
+
+    def mouse_move(self, x: int, y: int) -> None:
+        name, sx, sy = self._hit(x, y)
+        if name == "roi":
+            self._ensure_roi_interact().mouse_move(sx, sy)
+
+    def mouse_down(self, x: int, y: int) -> None:
+        name, sx, sy = self._hit(x, y)
+        if name == "roi":
+            self._ensure_roi_interact().mouse_down(sx, sy)
+
+    def mouse_up(self, x: int, y: int) -> None:
+        name, sx, sy = self._hit(x, y)
+        if name == "roi":
+            r = self._ensure_roi_interact()
+            r.mouse_up(sx, sy)
+            r.apply_to(self.hub)

@@ -35,9 +35,21 @@ class PipelineDriver:
     (src/common.c:430-454), generalized to the shared-hub case.
     """
 
-    def __init__(self, hub: CaptureHub, queue_depth: int = DEFAULT_QUEUE_DEPTH):
+    def __init__(
+        self,
+        hub: CaptureHub,
+        queue_depth: int = DEFAULT_QUEUE_DEPTH,
+        native_queue_shape: Optional[tuple[int, ...]] = None,
+    ):
         self.hub = hub
-        self.queue = FrameQueue(queue_depth)
+        if native_queue_shape is not None:
+            # fixed-shape ingest -> use the C++ queue (one memcpy, no GIL
+            # contention with the consumer thread)
+            from ..runtime import NativeFrameQueue
+
+            self.queue = NativeFrameQueue(queue_depth, native_queue_shape)
+        else:
+            self.queue = FrameQueue(queue_depth)
         self._thread: Optional[threading.Thread] = None
         self._running = False
         self._lock = threading.Lock()

@@ -74,3 +74,30 @@ def test_hidden_scope_skipped(dock_frame):
     dock.push_frame(dock_frame)
     img = dock.render(width=128, height=500)
     assert img.shape == (500, 128, 4)
+
+
+def test_mouse_routing_zoom_and_roi(dock_frame):
+    """Wheel over the vectorscope zooms; drag over the ROI preview sets
+    the hub rect (reference scope-widget.cpp:241-428 routing)."""
+    cfg = DockConfig(show_roi=True)
+    dock = Dock(cfg, roi=ROIConfig(interleave=0, target_scale=1))
+    dock.push_frame(dock_frame)
+    dock.render(width=256, height=1400)
+    assert "vectorscope" in dock._rects and "roi" in dock._rects
+
+    z0 = dock.vectorscope.config.zoom
+    vx0, vy0, vw, vh, _, _ = dock._rects["vectorscope"]
+    dock.mouse_wheel(vx0 + vw // 2, vy0 + vh // 2, 2000)
+    assert dock.vectorscope.config.zoom > z0
+    # wheel elsewhere does nothing
+    z1 = dock.vectorscope.config.zoom
+    dock.mouse_wheel(0, 1399, 2000)
+    assert dock.vectorscope.config.zoom == z1
+
+    rx0, ry0, rw, rh, rsw, rsh = dock._rects["roi"]
+    dock.mouse_move(rx0 + 2, ry0 + 2)
+    dock.mouse_down(rx0 + 2, ry0 + 2)
+    dock.mouse_up(rx0 + rw - 2, ry0 + rh - 2)
+    x0, y0, x1, y1 = dock.hub.config.resolve_rect(rsw, rsh)
+    assert (x1 - x0) > 0 and (y1 - y0) > 0
+    assert x1 <= rsw and y1 <= rsh
