@@ -199,3 +199,32 @@ def test_falsecolor_key_overlay(key):
     assert ov.shape == (h, w, 4)
     assert (ov[..., 3] > 0).sum() > 50
     assert graticule.falsecolor_key_overlay(ShowKey.NONE, 320, 180, Colorspace.BT709) is None
+
+
+def test_histogram_step_choices():
+    """1/2/5 ladder between bounds (reference histogram.c:196-215)."""
+    ch = graticule.histogram_step_choices(50.0 / 64, 32768.0)
+    assert ch[0] == -1.0
+    assert 1.0 in ch and 2.0 in ch and 5.0 in ch and 20000.0 in ch
+    assert all(c <= 32768.0 for c in ch[1:])
+    assert all(c >= 50.0 / 64 for c in ch[1:])
+    ch2 = graticule.histogram_step_choices(1.0 / 64, 50.0)
+    assert 0.02 in ch2 and 50.0 in ch2
+
+
+def test_colorspace_auto_default():
+    from obs_color_monitor_tpu.colorspace import (
+        Colorspace,
+        calc_colorspace,
+        set_default_video_colorspace,
+    )
+
+    assert calc_colorspace(Colorspace.AUTO) == Colorspace.BT709
+    set_default_video_colorspace(Colorspace.BT601)
+    try:
+        assert calc_colorspace(0) == Colorspace.BT601
+        assert calc_colorspace(2) == Colorspace.BT709  # explicit wins
+        with pytest.raises(ValueError):
+            set_default_video_colorspace(Colorspace.AUTO)
+    finally:
+        set_default_video_colorspace(Colorspace.BT709)
