@@ -205,6 +205,11 @@ class CaptureHub:
             h, w = frame.shape[-3], frame.shape[-2]
         scale = self.config.target_scale
         sw, sh = w // scale, h // scale
+        if sw <= 0 or sh <= 0:
+            # frame smaller than the scale divisor: skip, like the reference
+            # (src/common.c:251-254 returns without staging)
+            self.frames_skipped += 1
+            return None
         rect = self.config.resolve_rect(sw, sh)
         full = rect == (0, 0, sw, sh)
         needs = self.union_needs()

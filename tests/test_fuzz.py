@@ -1,0 +1,120 @@
+"""Shape/config fuzz: odd sizes through every kernel, random dock configs.
+
+The reference only ever sees OBS-canvas sizes; a standalone framework must
+hold for arbitrary frames (tiling/padding edge cases are where bit-exactness
+bugs hide).
+"""
+
+import numpy as np
+import pytest
+
+from obs_color_monitor_tpu import golden
+from obs_color_monitor_tpu.colorspace import Colorspace
+from obs_color_monitor_tpu.config import (
+    Components,
+    DisplayMode,
+    DockConfig,
+    LevelMode,
+    ROIConfig,
+)
+from obs_color_monitor_tpu.models import Dock
+from obs_color_monitor_tpu.ops import pallas_stats, stats
+from obs_color_monitor_tpu.ops.fused import analyze
+
+SHAPES = [(1, 1), (7, 3), (8, 128), (31, 257), (130, 96), (257, 129)]
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_stats_odd_shapes_bitexact(rng, shape):
+    h, w = shape
+    f = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    f[..., 3] = np.where(rng.random((h, w)) < 0.2, 0, 255)
+    yuv = golden.rgb_to_yuv_u8(f, Colorspace.BT601)
+    res = analyze(
+        f,
+        cs=1,
+        need_vs=True,
+        need_wv_rgb=True,
+        need_hi_rgb=True,
+        backend="xla",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.vs_counts), golden.vectorscope_counts(yuv)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.wv_rgb), golden.waveform_counts(f, None, Components.RGB)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.hi_rgb), golden.histogram_counts(f, None, Components.RGB)
+    )
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (31, 257), (130, 96)])
+def test_pallas_odd_shapes_bitexact(rng, shape):
+    import os
+
+    interpret = not bool(os.environ.get("OCM_TEST_TPU"))
+    h, w = shape
+    f = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    f[..., 3] = np.where(rng.random((h, w)) < 0.2, 0, 255)
+    yuv = golden.rgb_to_yuv_u8(f, Colorspace.BT709)
+    vs, wv = pallas_stats.fused_vs_wv_pallas_i32(
+        np.moveaxis(f[..., :3], -1, 0),
+        np.moveaxis(yuv, -1, 0),
+        f[..., 3] != 0,
+        interpret=interpret,
+    )
+    np.testing.assert_array_equal(
+        np.minimum(np.asarray(vs), 255).astype(np.uint8),
+        golden.vectorscope_counts(yuv),
+    )
+    np.testing.assert_array_equal(
+        np.minimum(np.asarray(wv), 255).astype(np.uint8),
+        golden.waveform_counts(f, None, Components.RGB),
+    )
+
+
+def test_frame_smaller_than_scale_skipped(rng):
+    """Reference returns without staging when scaled size is 0
+    (src/common.c:251-254)."""
+    from obs_color_monitor_tpu.models import CaptureHub, Histogram
+    from obs_color_monitor_tpu.config import HistogramConfig
+
+    hub = CaptureHub(ROIConfig(target_scale=16, interleave=0))
+    his = Histogram(HistogramConfig())
+    hub.register(his)
+    hub.tick()
+    tiny = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    assert hub.process(tiny) is None
+    assert hub.frames_skipped == 1
+    assert his.counts() is None
+
+
+def test_random_dock_configs(rng):
+    """Random settings through the dock: shapes sane, no crashes."""
+    for trial in range(3):
+        dock = Dock(
+            DockConfig(
+                show_roi=bool(rng.integers(2)),
+                show_vectorscope=bool(rng.integers(2)),
+                show_waveform=True,
+                show_histogram=bool(rng.integers(2)),
+            ),
+            roi=ROIConfig(target_scale=int(rng.integers(1, 4)), interleave=0),
+        )
+        dock.waveform.update(
+            display=DisplayMode(int(rng.integers(3))),
+            components=[Components.RGB, Components.Y, Components.UV, Components.YUV][
+                int(rng.integers(4))
+            ],
+        )
+        dock.histogram.update(
+            level_mode=LevelMode(int(rng.integers(3))),
+            logscale=bool(rng.integers(2)),
+        )
+        f = rng.integers(0, 256, (48, 64, 4), dtype=np.uint8)
+        f[..., 3] = 255
+        dock.push_frame(f)
+        dock.push_frame(f)
+        img = dock.render(width=200, height=800)
+        assert img.shape == (800, 200, 4)
