@@ -8,7 +8,6 @@ SURVEY.md §3).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -15,7 +15,7 @@ into the static flags of ops.fused.analyze.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
