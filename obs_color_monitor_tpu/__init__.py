@@ -48,6 +48,21 @@ from .config import (
 
 __version__ = "0.1.0"
 
+
+def make_full_step(*args, **kwargs):
+    """All six scopes, one jitted program (see api.make_full_step)."""
+    from .api import make_full_step as f
+
+    return f(*args, **kwargs)
+
+
+def make_dock_step(*args, **kwargs):
+    """The composited dock panel as one jitted program
+    (see dock_step.make_dock_step)."""
+    from .dock_step import make_dock_step as f
+
+    return f(*args, **kwargs)
+
 __all__ = [
     "Colorspace",
     "calc_colorspace",

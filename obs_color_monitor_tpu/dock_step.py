@@ -1,0 +1,262 @@
+"""The whole dock as ONE jitted XLA program.
+
+``make_dock_step`` builds (frame, tm) -> composited RGBA panel + stats: the
+fused analysis, all six scope renders, graticule/legend blending, zoom, the
+vertical-stack layout with the reference's aspect rules
+(src/scope-widget.cpp:99-175), and the final composite — a single device
+program per frame.  The reference needs an obs_display draw callback
+iterating 7 sources with GPU state changes for the same panel.
+
+Layout is computed statically (all sizes are known at build time), so the
+composite is static slices + small nearest-resize gathers (outputs are
+panel-sized, so the gathers are tiny).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .colorspace import Colorspace
+from .config import (
+    DockConfig,
+    FalseColorConfig,
+    FocusPeakingConfig,
+    HistogramConfig,
+    VectorscopeConfig,
+    VectorscopeColorType,
+    WaveformConfig,
+    ZebraConfig,
+)
+from .golden.reference import peaking_threshold_fixed, quantize_unorm8
+from .models.dock import SCOPE_ORDER
+from .ops import overlays as overlay_ops
+from .ops import render as render_ops
+from .ops.convert import planarize
+from .ops.fused import analyze
+from .ops.graticule import (
+    histogram_graticule,
+    vectorscope_graticule,
+    waveform_graticule,
+)
+from .ops.stats import apply_channel_select, histogram_hi_max, histogram_levels
+
+
+class DockStepOutput(NamedTuple):
+    panel: jax.Array  # (out_h, out_w, 4) u8 composited dock
+    vs_counts: jax.Array
+    wv_counts: jax.Array
+    hi_counts: jax.Array
+
+
+def _resize_nearest_rgba(img: jax.Array, oh: int, ow: int) -> jax.Array:
+    """(H, W, 4) u8 -> (oh, ow, 4) via u32-bitcast nearest gathers.
+
+    Output-sized gathers only (panels are small); the u32 view keeps the
+    4-byte pixels on full lanes.
+    """
+    h, w = img.shape[0], img.shape[1]
+    x32 = jax.lax.bitcast_convert_type(img, jnp.uint32)  # (H, W)
+    sy = np.minimum((np.arange(oh) * h) // oh, h - 1)
+    sx = np.minimum((np.arange(ow) * w) // ow, w - 1)
+    out32 = jnp.take(jnp.take(x32, sy, axis=0), sx, axis=1)
+    return jax.lax.bitcast_convert_type(out32, jnp.uint8)  # (oh, ow, 4)
+
+
+def _planes_to_rgba(planes: jax.Array) -> jax.Array:
+    """(4, H, W) u8 -> (H, W, 4) via u32 compose (cheap, lane-friendly)."""
+    p = planes.astype(jnp.uint32)
+    x32 = p[0] | (p[1] << 8) | (p[2] << 16) | (p[3] << 24)
+    return jax.lax.bitcast_convert_type(x32, jnp.uint8)
+
+
+def _layout(shown_dims: list[tuple[str, int, int]], cx: int, cy: int, fp_actual: bool):
+    """Static layout (reference draw, src/scope-widget.cpp:117-170)."""
+    rects = {}
+    n_src = len(shown_dims)
+    y0 = 0
+    for k, (name, w_src, h_src) in enumerate(shown_dims):
+        w, h = cx, (cy - y0) // (n_src - k)
+        h_slot = h
+        keep_aspect = name in ("roi", "zebra", "falsecolor") or (
+            name == "focuspeaking" and not fp_actual
+        )
+        if name == "vectorscope":
+            w = h = min(w, h)
+        elif keep_aspect and w_src > 0 and h_src > 0:
+            if w * h_src > h * w_src:
+                w = h * w_src // h_src
+            elif h * w_src > w * h_src:
+                h = w * h_src // w_src
+        rects[name] = ((cx - w) // 2, y0, max(w, 1), max(h, 1))
+        y0 += h_slot
+    return rects
+
+
+def make_dock_step(
+    height: int,
+    width: int,
+    cs: Colorspace = Colorspace.BT709,
+    scale: int = 2,
+    out_width: int = 512,
+    out_height: int = 1536,
+    dock: Optional[DockConfig] = None,
+    vectorscope: Optional[VectorscopeConfig] = None,
+    waveform: Optional[WaveformConfig] = None,
+    histogram: Optional[HistogramConfig] = None,
+    zebra: Optional[ZebraConfig] = None,
+    falsecolor: Optional[FalseColorConfig] = None,
+    focuspeaking: Optional[FocusPeakingConfig] = None,
+):
+    """Build the jitted dock step for a fixed frame shape."""
+    dk = dock or DockConfig()
+    vs_cfg = vectorscope or VectorscopeConfig()
+    wv_cfg = waveform or WaveformConfig()
+    hi_cfg = histogram or HistogramConfig()
+    zb_cfg = zebra or ZebraConfig()
+    fc_cfg = falsecolor or FalseColorConfig()
+    fp_cfg = focuspeaking or FocusPeakingConfig()
+    csi = int(cs)
+    sw, sh = width // scale, height // scale
+    wv_yuv = wv_cfg.components.is_yuv
+    hi_yuv = hi_cfg.components.is_yuv
+    wv_n = wv_cfg.components.n_components
+    hi_n = hi_cfg.components.n_components
+    sel = hi_cfg.components.channel_select()
+    wv_sel = wv_cfg.components.channel_select()
+
+    # static per-scope output dims (w, h)
+    from .config import DisplayMode
+
+    wv_w = sw * (wv_n if wv_cfg.display == DisplayMode.PARADE else 1)
+    wv_h = 256 * (wv_n if wv_cfg.display == DisplayMode.STACK else 1)
+    hi_w = 256 * (hi_n if hi_cfg.display == DisplayMode.PARADE else 1)
+    hi_h = hi_cfg.level_height * (hi_n if hi_cfg.display == DisplayMode.STACK else 1)
+    dims = {
+        "roi": (sw, sh),
+        "vectorscope": (256, 256),
+        "waveform": (wv_w, wv_h),
+        "histogram": (hi_w, hi_h),
+        "zebra": (width, height),
+        "falsecolor": (width, height),
+        "focuspeaking": (width, height),
+    }
+    shown = [
+        (n, *dims[n]) for n in SCOPE_ORDER if getattr(dk, f"show_{n}")
+    ]
+    rects = _layout(shown, out_width, out_height, fp_cfg.actual_size)
+
+    # precomputed device constants
+    vs_grat = vectorscope_graticule(
+        int(vs_cfg.graticule), vs_cfg.graticule_skintone_color, csi
+    )
+    wv_grat = waveform_graticule(
+        wv_cfg.graticule_lines, sw, int(wv_cfg.display), wv_n
+    )
+    hi_grat = histogram_graticule(
+        hi_cfg.graticule_vertical_lines,
+        hi_cfg.graticule_horizontal_step,
+        hi_cfg.level_height,
+        int(hi_cfg.display),
+        hi_n,
+        hi_cfg.level_fixed,
+        hi_cfg.level_ratio_permille,
+        hi_cfg.logscale,
+    )
+    peak_color = jnp.asarray(
+        quantize_unorm8(np.asarray(fp_cfg.peaking_rgba, np.float32))
+    )
+    peak_th = peaking_threshold_fixed(fp_cfg.peaking_threshold)
+
+    @jax.jit
+    def step(frame: jax.Array, tm: jax.Array) -> DockStepOutput:
+        planes = planarize(frame)
+        res = analyze(
+            planes,
+            cs=csi,
+            scale=scale,
+            need_vs=True,
+            need_wv_rgb=not wv_yuv,
+            need_wv_yuv=wv_yuv,
+            need_hi_rgb=not hi_yuv,
+            need_hi_yuv=hi_yuv,
+            keep_rgba=True,
+            is_planar=True,
+        )
+        images = {}
+        if "roi" in rects:
+            images["roi"] = _planes_to_rgba(res.planes)
+        # vectorscope
+        vs_img = render_ops.render_vectorscope(
+            res.vs_counts,
+            intensity=vs_cfg.intensity,
+            cs=csi,
+            white=vs_cfg.color_type == VectorscopeColorType.WHITE,
+        )
+        if vs_grat is not None:
+            vs_img = render_ops.blend_overlay(vs_img, jnp.asarray(vs_grat))
+        vs_img = render_ops.zoom_center(vs_img, zoom=round(vs_cfg.zoom, 3))
+        images["vectorscope"] = vs_img
+        # waveform
+        wv_counts = apply_channel_select(
+            res.wv_yuv if wv_yuv else res.wv_rgb, wv_sel
+        )
+        wv_img = render_ops.render_waveform(
+            wv_counts,
+            intensity=wv_cfg.intensity,
+            display=int(wv_cfg.display),
+            n_components=wv_n,
+            yuv_mode=wv_yuv,
+        )
+        if wv_grat is not None:
+            wv_img = render_ops.blend_overlay(wv_img, jnp.asarray(wv_grat))
+        images["waveform"] = wv_img
+        # histogram
+        hi_counts = apply_channel_select(
+            (res.hi_yuv if hi_yuv else res.hi_rgb).astype(jnp.int32), sel
+        )
+        hi = histogram_hi_max(
+            hi_counts, sel, sw * sh, hi_cfg.level_fixed, hi_cfg.level_ratio_permille
+        )
+        levels, hi_eff = histogram_levels(hi_counts, hi, sel, hi_cfg.logscale)
+        hi_img = render_ops.render_histogram(
+            levels,
+            hi_eff,
+            level_height=hi_cfg.level_height,
+            display=int(hi_cfg.display),
+            n_components=hi_n,
+            yuv_mode=hi_yuv,
+        )
+        if hi_grat is not None:
+            hi_img = render_ops.blend_overlay(hi_img, jnp.asarray(hi_grat))
+        images["histogram"] = hi_img
+        # overlays (full res, planar; to RGBA via u32 compose)
+        images["zebra"] = _planes_to_rgba(
+            overlay_ops.zebra_planes(
+                planes, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high, tm=tm, cs=csi
+            )
+        )
+        images["falsecolor"] = _planes_to_rgba(
+            overlay_ops.falsecolor_planes(planes, cs=csi)
+        )
+        images["focuspeaking"] = _planes_to_rgba(
+            overlay_ops.focus_peaking_planes(planes, peak_th, peak_color)
+        )
+
+        canvas = jnp.zeros((out_height, out_width, 4), jnp.uint8)
+        canvas = canvas.at[..., 3].set(255)
+        for name, _, _ in shown:
+            x0, y0, w, h = rects[name]
+            patch = _resize_nearest_rgba(images[name], h, w)
+            canvas = canvas.at[y0 : y0 + h, x0 : x0 + w, :].set(patch)
+        return DockStepOutput(
+            panel=canvas,
+            vs_counts=res.vs_counts,
+            wv_counts=wv_counts,
+            hi_counts=hi_counts.astype(jnp.uint32),
+        )
+
+    return step

@@ -101,3 +101,28 @@ def test_mouse_routing_zoom_and_roi(dock_frame):
     x0, y0, x1, y1 = dock.hub.config.resolve_rect(rsw, rsh)
     assert (x1 - x0) > 0 and (y1 - y0) > 0
     assert x1 <= rsw and y1 <= rsh
+
+
+def test_one_program_dock_step(dock_frame):
+    """The whole dock as one XLA program (dock_step.make_dock_step)."""
+    import numpy as np
+
+    from obs_color_monitor_tpu import golden
+    from obs_color_monitor_tpu.colorspace import Colorspace
+    from obs_color_monitor_tpu.dock_step import make_dock_step
+
+    h, w = dock_frame.shape[:2]
+    step = make_dock_step(h, w, scale=1, out_width=256, out_height=1200)
+    out = step(dock_frame, np.float32(0.0))
+    assert out.panel.shape == (1200, 256, 4)
+    # stats bit-exact through the full program
+    yuv = golden.rgb_to_yuv_u8(dock_frame, Colorspace.BT709)
+    np.testing.assert_array_equal(
+        np.asarray(out.vs_counts), golden.vectorscope_counts(yuv)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.hi_counts),
+        golden.histogram_counts(dock_frame, None, 7),
+    )
+    panel = np.asarray(out.panel)
+    assert panel[..., :3].sum() > 0 and (panel[..., 3] == 255).all()
