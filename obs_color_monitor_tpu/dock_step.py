@@ -110,8 +110,17 @@ def make_dock_step(
     zebra: Optional[ZebraConfig] = None,
     falsecolor: Optional[FalseColorConfig] = None,
     focuspeaking: Optional[FocusPeakingConfig] = None,
+    overlays_on_capture: bool = True,
 ):
-    """Build the jitted dock step for a fixed frame shape."""
+    """Build the jitted dock step for a fixed frame shape.
+
+    overlays_on_capture=True matches the reference dock, whose overlay
+    scopes consume the shared ROI capture at its target_scale (the dock
+    points every scope at the ROI source, src/scope-widget.cpp:542-561) —
+    and is cheaper.  False runs overlays at full input resolution (the
+    standalone-source default, where zebra/falsecolor/focuspeaking have
+    target_scale=1).
+    """
     dk = dock or DockConfig()
     vs_cfg = vectorscope or VectorscopeConfig()
     wv_cfg = waveform or WaveformConfig()
@@ -135,14 +144,15 @@ def make_dock_step(
     wv_h = 256 * (wv_n if wv_cfg.display == DisplayMode.STACK else 1)
     hi_w = 256 * (hi_n if hi_cfg.display == DisplayMode.PARADE else 1)
     hi_h = hi_cfg.level_height * (hi_n if hi_cfg.display == DisplayMode.STACK else 1)
+    ov_w, ov_h = (sw, sh) if overlays_on_capture else (width, height)
     dims = {
         "roi": (sw, sh),
         "vectorscope": (256, 256),
         "waveform": (wv_w, wv_h),
         "histogram": (hi_w, hi_h),
-        "zebra": (width, height),
-        "falsecolor": (width, height),
-        "focuspeaking": (width, height),
+        "zebra": (ov_w, ov_h),
+        "falsecolor": (ov_w, ov_h),
+        "focuspeaking": (ov_w, ov_h),
     }
     shown = [
         (n, *dims[n]) for n in SCOPE_ORDER if getattr(dk, f"show_{n}")
@@ -233,17 +243,18 @@ def make_dock_step(
         if hi_grat is not None:
             hi_img = render_ops.blend_overlay(hi_img, jnp.asarray(hi_grat))
         images["histogram"] = hi_img
-        # overlays (full res, planar; to RGBA via u32 compose)
+        # overlays (planar; to RGBA via u32 compose)
+        ov_src = res.planes if overlays_on_capture else planes
         images["zebra"] = _planes_to_rgba(
             overlay_ops.zebra_planes(
-                planes, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high, tm=tm, cs=csi
+                ov_src, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high, tm=tm, cs=csi
             )
         )
         images["falsecolor"] = _planes_to_rgba(
-            overlay_ops.falsecolor_planes(planes, cs=csi)
+            overlay_ops.falsecolor_planes(ov_src, cs=csi)
         )
         images["focuspeaking"] = _planes_to_rgba(
-            overlay_ops.focus_peaking_planes(planes, peak_th, peak_color)
+            overlay_ops.focus_peaking_planes(ov_src, peak_th, peak_color)
         )
 
         canvas = jnp.zeros((out_height, out_width, 4), jnp.uint8)

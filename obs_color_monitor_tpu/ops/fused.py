@@ -106,7 +106,9 @@ def analyze(
     need_yuv = need_vs or need_wv_yuv or need_hi_yuv
     yuv = rgb_to_yuv_planes(planes, cs=cs) if need_yuv else None
 
-    use_fused_combo = pall and need_vs and (need_wv_rgb or need_hi_rgb)
+    use_fused_combo = pall and need_vs and (
+        need_wv_rgb or need_hi_rgb or need_wv_yuv or need_hi_yuv
+    )
     if need_vs and not use_fused_combo:
         if pall:
             vs = jnp.minimum(pallas_stats.vectorscope_pallas_i32(yuv), 255).astype(
@@ -133,13 +135,14 @@ def analyze(
         return wv, hi
 
     wv_rgb = hi_rgb = wv_yuv = hi_yuv = None
+    fused_spent = False
     if need_wv_rgb or need_hi_rgb:
         data, mask = select_planes(planes, None, is_yuv=False)
         if use_fused_combo:
-            # the dock's hot combo: one kernel overlaps the VS matmul (MXU)
-            # with the waveform reduction (VPU)
+            # the dock's hot combo: one kernel, one DMA pass for VS + counts
             vs_i32, wv_i32 = pallas_stats.fused_vs_wv_pallas_i32(data, yuv, mask)
             vs = jnp.minimum(vs_i32, 255).astype(jnp.uint8)
+            fused_spent = True
             if need_wv_rgb:
                 wv_rgb = jnp.minimum(wv_i32, 255).astype(jnp.uint8)
             if need_hi_rgb:
@@ -148,7 +151,15 @@ def analyze(
             wv_rgb, hi_rgb = _wv_hi(data, mask, need_wv_rgb, need_hi_rgb)
     if need_wv_yuv or need_hi_yuv:
         data, mask = select_planes(planes, yuv, is_yuv=True)
-        wv_yuv, hi_yuv = _wv_hi(data, mask, need_wv_yuv, need_hi_yuv)
+        if use_fused_combo and not fused_spent:
+            vs_i32, wv_i32 = pallas_stats.fused_vs_wv_pallas_i32(data, yuv, mask)
+            vs = jnp.minimum(vs_i32, 255).astype(jnp.uint8)
+            if need_wv_yuv:
+                wv_yuv = jnp.minimum(wv_i32, 255).astype(jnp.uint8)
+            if need_hi_yuv:
+                hi_yuv = pallas_stats.histogram_from_waveform(wv_i32)
+        else:
+            wv_yuv, hi_yuv = _wv_hi(data, mask, need_wv_yuv, need_hi_yuv)
 
     return AnalysisResult(
         yuv_planes=yuv,

@@ -118,3 +118,39 @@ def test_random_dock_configs(rng):
         dock.push_frame(f)
         img = dock.render(width=200, height=800)
         assert img.shape == (800, 200, 4)
+
+
+def test_fused_combo_yuv_mode_bitexact(rng):
+    """VS + YUV-mode waveform take the fused kernel path too."""
+    f = rng.integers(0, 256, (64, 96, 4), dtype=np.uint8)
+    f[..., 3] = 255
+    yuv = golden.rgb_to_yuv_u8(f, Colorspace.BT601)
+    res = analyze(
+        f, cs=1, need_vs=True, need_wv_yuv=True, need_hi_yuv=True, backend="xla"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.wv_yuv), golden.waveform_counts(f, yuv, Components.YUV)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.hi_yuv), golden.histogram_counts(f, yuv, Components.YUV)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.vs_counts), golden.vectorscope_counts(yuv)
+    )
+
+
+def test_dock_step_overlays_on_capture(rng):
+    """Dock-parity: overlays run on the scaled capture
+    (reference dock points every scope at the ROI source)."""
+    from obs_color_monitor_tpu.dock_step import make_dock_step
+
+    f = rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+    f[..., 3] = 255
+    step = make_dock_step(64, 128, scale=2, out_width=128, out_height=900)
+    out = step(f, np.float32(0.0))
+    assert out.panel.shape == (900, 128, 4)
+    step_full = make_dock_step(
+        64, 128, scale=2, out_width=128, out_height=900, overlays_on_capture=False
+    )
+    out2 = step_full(f, np.float32(0.0))
+    assert out2.panel.shape == (900, 128, 4)
