@@ -27,10 +27,12 @@ def _parse_size(s: str) -> tuple[int, int]:
 
 
 def _make_source(args):
-    from .pipeline.ingest import NV12Source, PatternSource, RawRGBASource
+    from .pipeline.ingest import NV12Source, PatternSource, RawRGBASource, Y4MSource
 
     w, h = _parse_size(args.size)
     if args.input:
+        if args.input.endswith(".y4m"):
+            return Y4MSource(args.input, cs=args.colorspace or 2)
         if args.input.endswith(".nv12"):
             return NV12Source(args.input, w, h, cs=args.colorspace or 2)
         return RawRGBASource(args.input, w, h)

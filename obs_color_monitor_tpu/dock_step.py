@@ -111,6 +111,7 @@ def make_dock_step(
     falsecolor: Optional[FalseColorConfig] = None,
     focuspeaking: Optional[FocusPeakingConfig] = None,
     overlays_on_capture: bool = True,
+    roi_rect: Optional[tuple[int, int, int, int]] = None,
 ):
     """Build the jitted dock step for a fixed frame shape.
 
@@ -130,6 +131,14 @@ def make_dock_step(
     fp_cfg = focuspeaking or FocusPeakingConfig()
     csi = int(cs)
     sw, sh = width // scale, height // scale
+    if roi_rect is not None:
+        # ROI sub-rect in scaled coordinates (reference src/common.c:273-282)
+        x0, y0, x1, y1 = roi_rect
+        x0, y0 = max(0, x0), max(0, y0)
+        x1 = sw if (x1 < 0 or x1 > sw) else x1
+        y1 = sh if (y1 < 0 or y1 > sh) else y1
+        roi_rect = (x0, y0, x1, y1)
+        sw, sh = x1 - x0, y1 - y0
     wv_yuv = wv_cfg.components.is_yuv
     hi_yuv = hi_cfg.components.is_yuv
     wv_n = wv_cfg.components.n_components
@@ -188,6 +197,7 @@ def make_dock_step(
             planes,
             cs=csi,
             scale=scale,
+            rect=roi_rect,
             need_vs=True,
             need_wv_rgb=not wv_yuv,
             need_wv_yuv=wv_yuv,

@@ -59,6 +59,59 @@ class RawRGBASource(FrameSource):
                 )
 
 
+class Y4MSource(FrameSource):
+    """YUV4MPEG2 (.y4m) reader, C420 subsampling.
+
+    The standard raw-video interchange format (ffmpeg: ``-f yuv4mpegpipe``).
+    I420 planes are interleaved to NV12 and converted through the same
+    limited-range fixed-point kernel.
+    """
+
+    def __init__(self, path: str, cs: int = 2):
+        self.path, self.cs = path, cs
+        with open(path, "rb") as f:
+            header = f.readline().decode("ascii", "replace")
+        if not header.startswith("YUV4MPEG2"):
+            raise ValueError(f"{path}: not a YUV4MPEG2 stream")
+        self.width = self.height = 0
+        for tok in header.split()[1:]:
+            if tok.startswith("W"):
+                self.width = int(tok[1:])
+            elif tok.startswith("H"):
+                self.height = int(tok[1:])
+            elif tok.startswith("C") and not tok.startswith("C420"):
+                raise ValueError(f"{path}: only C420 supported, got {tok}")
+        if not self.width or not self.height:
+            raise ValueError(f"{path}: missing W/H in header")
+        self._header_len = len(header.encode())
+
+    def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
+        w, h = self.width, self.height
+        ysz, csz = w * h, (w // 2) * (h // 2)
+        count = 0
+        with open(self.path, "rb") as f:
+            f.seek(self._header_len)
+            while n is None or count < n:
+                marker = f.readline()
+                if not marker.startswith(b"FRAME"):
+                    return
+                buf = f.read(ysz + 2 * csz)
+                if len(buf) < ysz + 2 * csz:
+                    return
+                y = np.frombuffer(buf[:ysz], np.uint8).reshape(h, w)
+                u = np.frombuffer(buf[ysz : ysz + csz], np.uint8).reshape(
+                    h // 2, w // 2
+                )
+                v = np.frombuffer(buf[ysz + csz :], np.uint8).reshape(
+                    h // 2, w // 2
+                )
+                uv = np.empty((h // 2, w), np.uint8)
+                uv[:, 0::2] = u
+                uv[:, 1::2] = v
+                yield native.nv12_to_rgba(y, uv, cs=self.cs)
+                count += 1
+
+
 class NV12Source(FrameSource):
     """Raw NV12 stream (Y plane + interleaved CbCr at half vertical res).
 

@@ -126,3 +126,22 @@ def test_one_program_dock_step(dock_frame):
     )
     panel = np.asarray(out.panel)
     assert panel[..., :3].sum() > 0 and (panel[..., 3] == 255).all()
+
+
+def test_dock_step_roi_rect(rng):
+    """ROI sub-rect in the one-program dock step: stats match a golden crop."""
+    import numpy as np
+
+    from obs_color_monitor_tpu import golden
+    from obs_color_monitor_tpu.dock_step import make_dock_step
+
+    f = rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+    f[..., 3] = 255
+    step = make_dock_step(
+        64, 128, scale=1, out_width=128, out_height=900, roi_rect=(8, 4, 72, 60)
+    )
+    out = step(f, np.float32(0.0))
+    crop = golden.roi_crop(f, 8, 4, 72, 60)
+    np.testing.assert_array_equal(
+        np.asarray(out.hi_counts), golden.histogram_counts(crop, None, 7)
+    )

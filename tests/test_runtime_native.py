@@ -131,3 +131,32 @@ def test_nv12_device_matches_native(rng, cs):
     want = native.nv12_to_rgba(y, uv, cs=cs)  # (H, W, 4)
     got = np.moveaxis(np.asarray(nv12_to_planes(y, uv, cs=cs)), 0, -1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_y4m_source(tmp_path, rng):
+    from obs_color_monitor_tpu.pipeline.ingest import Y4MSource
+
+    w, h = 16, 8
+    y = rng.integers(0, 256, (2, h, w), dtype=np.uint8)
+    u = rng.integers(0, 256, (2, h // 2, w // 2), dtype=np.uint8)
+    v = rng.integers(0, 256, (2, h // 2, w // 2), dtype=np.uint8)
+    buf = b"YUV4MPEG2 W16 H8 F30:1 Ip A1:1 C420jpeg\n"
+    for i in range(2):
+        buf += b"FRAME\n" + y[i].tobytes() + u[i].tobytes() + v[i].tobytes()
+    p = tmp_path / "t.y4m"
+    p.write_bytes(buf)
+
+    src = Y4MSource(str(p), cs=1)
+    assert (src.width, src.height) == (16, 8)
+    frames = list(src.frames())
+    assert len(frames) == 2
+    # matches NV12 conversion of the interleaved planes
+    uv = np.empty((h // 2, w), np.uint8)
+    uv[:, 0::2] = u[0]
+    uv[:, 1::2] = v[0]
+    np.testing.assert_array_equal(frames[0], native.nv12_to_rgba(y[0], uv, cs=1))
+
+    bad = tmp_path / "bad.y4m"
+    bad.write_bytes(b"NOTY4M\n")
+    with pytest.raises(ValueError):
+        Y4MSource(str(bad))
