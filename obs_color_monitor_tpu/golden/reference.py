@@ -263,12 +263,12 @@ def histogram_levels(
 # ---------------------------------------------------------------------------
 
 def _luma_fixed(rgba: np.ndarray, cs: Colorspace) -> np.ndarray:
-    """Quantized-exact luma in 20-bit fixed point, as int64 'luma*2^20*255'.
+    """Quantized-exact luma in 12-bit fixed point, as int64 'luma*2^12*255'.
 
     The overlay shaders compute ``y = dot(rgb, coef)`` on normalized floats
     (data/zebra.effect:29, data/falsecolor.effect:33) and compare against
     thresholds.  Canonical spec: fixed-point ``K_r*r + K_g*g + K_b*b``
-    (u8 inputs), compared against ``round(th * 255 * 2^20)``.
+    (u8 inputs), compared against ``round(th * 255 * 2^12)``.
     """
     cs = Colorspace(cs)
     kr, kg, kb = LUMA_COEF[cs]
@@ -364,7 +364,7 @@ def falsecolor(
     if lut is not None:
         lut = np.asarray(lut, dtype=np.uint8)
         n = lut.shape[0]
-        luma = _luma_fixed(rgba, cs)  # luma * 255 * 2^20
+        luma = _luma_fixed(rgba, cs)  # luma * 255 * 2^12
         scale = 255 << FIXED_SHIFT
         i = np.clip((luma * n) // scale, 0, n - 1)
         return lut[i]
