@@ -64,7 +64,25 @@ class _RoiPreview(Scope):
 
     def render(self) -> Optional[np.ndarray]:
         v = self._read()
-        return None if v is None else np.moveaxis(np.asarray(v), 0, -1)
+        if v is None:
+            return None
+        img = np.moveaxis(np.asarray(v), 0, -1).copy()
+        # selection shading: 50% black outside the ROI + green rect border
+        # (reference draw_roi_range / draw_roi_rect, src/roi.c:207-265)
+        h, w = img.shape[:2]
+        x0, y0, x1, y1 = self._hub.config.resolve_rect(w, h)
+        if (x0, y0, x1, y1) != (0, 0, w, h):
+            mask = np.ones((h, w), bool)
+            mask[y0:y1, x0:x1] = False
+            img[mask, :3] = (img[mask, :3].astype(np.uint16) * 128 // 255).astype(
+                np.uint8
+            )
+            green = (0, 255, 0, 255)
+            img[y0 : max(y0 + 1, 1), x0:x1] = green
+            img[max(y1 - 1, 0) : y1, x0:x1] = green
+            img[y0:y1, x0 : max(x0 + 1, 1)] = green
+            img[y0:y1, max(x1 - 1, 0) : x1] = green
+        return img
 
     @property
     def width(self) -> int:

@@ -145,3 +145,21 @@ def test_dock_step_roi_rect(rng):
     np.testing.assert_array_equal(
         np.asarray(out.hi_counts), golden.histogram_counts(crop, None, 7)
     )
+
+
+def test_roi_preview_selection_shading(dock_frame):
+    """ROI preview darkens outside the rect and draws a green border
+    (reference draw_roi_range/draw_roi_rect, roi.c:207-265)."""
+    import numpy as np
+
+    cfg = DockConfig(show_roi=True)
+    dock = Dock(cfg, roi=ROIConfig(interleave=0, target_scale=1))
+    dock.push_frame(dock_frame)
+    dock.hub.set_roi(20, 10, 100, 50)
+    img = dock.roi_preview.render()
+    assert img is not None
+    # border green
+    assert tuple(img[10, 50][:3]) == (0, 255, 0)
+    # outside darker than source, inside untouched
+    np.testing.assert_array_equal(img[30, 50], dock_frame[30, 50])
+    assert (img[60, 50][:3].astype(int) <= dock_frame[60, 50][:3].astype(int)).all()
