@@ -175,7 +175,21 @@ class Dock:
                     w = h * w_src // h_src
                 elif h * w_src > w * h_src:
                     h = w * h_src // w_src
-            if w > 0 and h > 0:
+            if (
+                name == "focuspeaking"
+                and self.focuspeaking.config.actual_size
+                and w_src > 0
+            ):
+                # 1:1 pixel mapping, centered, cropped to the slot
+                # (reference set_actual_size_matrix, focuspeaking.c:203-220)
+                w, h = min(w, w_src), min(h, h_src)
+                cx0 = (w_src - w) // 2
+                cy0 = (h_src - h) // 2
+                patch = img[cy0 : cy0 + h, cx0 : cx0 + w]
+                x0 = (cx - w) // 2
+                canvas[y0 : y0 + h, x0 : x0 + w] = patch
+                self._rects[name] = (x0, y0, w, h, w_src, h_src)
+            elif w > 0 and h > 0:
                 sy = (np.arange(h) * h_src) // h
                 sx = (np.arange(w) * w_src) // w
                 patch = img[sy][:, sx]

@@ -163,3 +163,26 @@ def test_roi_preview_selection_shading(dock_frame):
     # outside darker than source, inside untouched
     np.testing.assert_array_equal(img[30, 50], dock_frame[30, 50])
     assert (img[60, 50][:3].astype(int) <= dock_frame[60, 50][:3].astype(int)).all()
+
+
+def test_focuspeaking_actual_size(dock_frame):
+    """1:1 centered mapping when actual_size is on (focuspeaking.c:203-220)."""
+    import numpy as np
+
+    cfg = DockConfig(
+        show_vectorscope=False,
+        show_waveform=False,
+        show_histogram=False,
+        show_zebra=False,
+        show_falsecolor=False,
+        show_focuspeaking=True,
+    )
+    dock = Dock(cfg, roi=ROIConfig(interleave=0, target_scale=1))
+    dock.focuspeaking.update(actual_size=True)
+    dock.push_frame(dock_frame)  # source 128x72
+    img = dock.render(width=300, height=300)
+    x0, y0, w, h, _, _ = dock._rects["focuspeaking"]
+    assert (w, h) == (128, 72)  # 1:1, not stretched to 300x300
+    # pixels match the scope output exactly (no resampling)
+    scope_img = dock.focuspeaking.render()
+    np.testing.assert_array_equal(img[y0 : y0 + h, x0 : x0 + w], scope_img)
