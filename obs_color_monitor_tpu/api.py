@@ -146,3 +146,21 @@ def make_full_step(
         )
 
     return step
+
+
+def make_batched_step(height: int, width: int, mesh=None, **kwargs):
+    """Multi-stream serving: (frames (B,H,W,4), tms (B,)) -> batched outputs.
+
+    With a mesh, the batch axis is sharded over devices (pure data-parallel
+    — per-stream results are tiny and land where the frame lives; see
+    parallel/mesh.py).  Shard inputs with
+    ``jax.device_put(frames, NamedSharding(mesh, P("batch")))``.
+    """
+    step = make_full_step(height, width, **kwargs)
+    vstep = jax.vmap(step, in_axes=(0, 0))
+    if mesh is None:
+        return jax.jit(vstep)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("batch"))
+    return jax.jit(vstep, in_shardings=(sh, sh))

@@ -15,6 +15,7 @@ per frame in the hot path.
 
 from __future__ import annotations
 
+import logging
 import threading
 from typing import Optional
 
@@ -24,6 +25,8 @@ import numpy as np
 from ..models.base import CaptureHub
 from . import profiler
 from .queue import DEFAULT_QUEUE_DEPTH, FrameQueue
+
+log = logging.getLogger("obs_color_monitor_tpu.pipeline")
 
 
 class PipelineDriver:
@@ -53,6 +56,7 @@ class PipelineDriver:
         self._thread: Optional[threading.Thread] = None
         self._running = False
         self._lock = threading.Lock()
+        self.n_errors = 0
 
     # -- lifecycle (reference start/stop_pipeline_thread) -------------------
     def start(self) -> None:
@@ -80,14 +84,22 @@ class PipelineDriver:
 
     # -- consumer ------------------------------------------------------------
     def _loop(self) -> None:
+        log.debug("entering pipeline thread")  # reference common.c:376
         while self._running:
             frame = self.queue.pop(timeout=0.1)
             if frame is None:
                 continue
-            with self._lock:
-                with profiler.probe("pipeline_loop"):
-                    self.hub.tick()
-                    self.hub.process(frame)
+            try:
+                with self._lock:
+                    with profiler.probe("pipeline_loop"):
+                        self.hub.tick()
+                        self.hub.process(frame)
+            except Exception:
+                # a consumer failure must not kill the pipeline thread;
+                # the frame is dropped and counted
+                self.n_errors += 1
+                log.exception("pipeline frame failed (frame dropped)")
+        log.debug("leaving pipeline thread")
 
     # -- synchronous convenience ----------------------------------------------
     def process_now(self, frame) -> None:
@@ -117,4 +129,5 @@ class PipelineDriver:
             "dropped": self.queue.n_dropped,
             "processed": self.hub.frames_processed,
             "interleave_skipped": self.hub.frames_skipped,
+            "errors": self.n_errors,
         }

@@ -222,3 +222,33 @@ def test_profiler_probes(frame):
     finally:
         profiler.enable(False)
         profiler.reset()
+
+
+def test_driver_survives_consumer_exception(frame, caplog):
+    """A failing consumer drops the frame but keeps the pipeline alive."""
+    import logging
+
+    class Bomb(Histogram):
+        def __init__(self):
+            super().__init__(HistogramConfig(target_scale=1))
+            self.calls = 0
+
+        def surface_cb(self, surface):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("boom")
+            super().surface_cb(surface)
+
+    bomb = Bomb()
+    drv = PipelineDriver(bomb._hub)
+    drv.start()
+    try:
+        with caplog.at_level(logging.ERROR, "obs_color_monitor_tpu.pipeline"):
+            for _ in range(3):
+                drv.push_frame(frame)
+                time.sleep(0.05)
+            drv.flush()
+    finally:
+        drv.stop()
+    assert drv.n_errors >= 1
+    assert bomb.calls >= 2  # thread kept going after the failure

@@ -69,3 +69,34 @@ def test_spatial_sharding_requires_divisible(rng):
     mesh = make_mesh(8, axis="rows")
     with pytest.raises(ValueError):
         spatial_analyze(frame, mesh, cs=1)
+
+
+@requires_8
+def test_batched_step_sharded(rng):
+    """make_batched_step: batch-DP serving over the mesh, bit-exact."""
+    from obs_color_monitor_tpu import golden
+    from obs_color_monitor_tpu.api import make_batched_step
+    from obs_color_monitor_tpu.colorspace import Colorspace
+    from obs_color_monitor_tpu.config import Components
+    from obs_color_monitor_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8)
+    step = make_batched_step(32, 48, mesh=mesh, cs=Colorspace.BT709, scale=1)
+    frames = rng.integers(0, 256, (8, 32, 48, 4), dtype=np.uint8)
+    frames[..., 3] = 255
+    sh = NamedSharding(mesh, P("batch"))
+    fr = jax.device_put(frames, sh)
+    tm = jax.device_put(np.zeros(8, np.float32), sh)
+    out = step(fr, tm)
+    assert out.panel.shape if hasattr(out, "panel") else True
+    assert out.vs_counts.shape == (8, 256, 256)
+    for b in range(0, 8, 3):
+        yuv = golden.rgb_to_yuv_u8(frames[b], Colorspace.BT709)
+        np.testing.assert_array_equal(
+            np.asarray(out.vs_counts[b]), golden.vectorscope_counts(yuv)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.hi_counts[b]),
+            golden.histogram_counts(frames[b], None, Components.RGB),
+        )
