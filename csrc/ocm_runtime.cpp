@@ -19,9 +19,11 @@
 #include <chrono>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <deque>
 #include <mutex>
+#include <thread>
 #include <vector>
 #include <cmath>
 
@@ -169,6 +171,76 @@ void ocm_interleave_rgba(const uint8_t* r, const uint8_t* g, const uint8_t* b,
     rgba[i * 4 + 3] = a[i];
   }
 }
+
+// ---------------------------------------------------------------------------
+// Native file reader: a producer thread reading raw RGBA or NV12 frames from
+// disk, converting off the Python thread, and pushing into an OcmQueue with
+// optional frame pacing and looping.  The native twin of the reference's
+// capture producer (the graphics thread feeding the staging queue,
+// reference src/common.c:223-333).
+// ---------------------------------------------------------------------------
+
+struct OcmReader {
+  std::thread thread;
+  std::atomic<bool> stop{false};
+  std::atomic<uint64_t> frames_read{0};
+  std::atomic<int> finished{0};  // 1 = EOF reached (non-looping)
+};
+
+static void reader_loop(OcmReader* r, std::string path, int w, int h,
+                        int format, int cs, OcmQueue* q, int loop,
+                        double fps) {
+  const size_t rgba_bytes = static_cast<size_t>(w) * h * 4;
+  const size_t in_bytes =
+      format == 1 ? static_cast<size_t>(w) * h * 3 / 2 : rgba_bytes;
+  std::vector<uint8_t> in_buf(in_bytes);
+  std::vector<uint8_t> rgba(rgba_bytes);
+  const auto frame_period =
+      fps > 0 ? std::chrono::duration<double>(1.0 / fps)
+              : std::chrono::duration<double>(0);
+  auto next_t = std::chrono::steady_clock::now();
+
+  while (!r->stop.load()) {
+    FILE* f = std::fopen(path.c_str(), "rb");
+    if (!f) break;
+    while (!r->stop.load() &&
+           std::fread(in_buf.data(), 1, in_bytes, f) == in_bytes) {
+      const uint8_t* frame = in_buf.data();
+      if (format == 1) {
+        ocm_nv12_to_rgba(in_buf.data(), in_buf.data() + static_cast<size_t>(w) * h,
+                         w, h, w, w, rgba.data(), cs);
+        frame = rgba.data();
+      }
+      if (fps > 0) {
+        next_t += std::chrono::duration_cast<std::chrono::steady_clock::duration>(
+            frame_period);
+        std::this_thread::sleep_until(next_t);
+      }
+      ocm_queue_push(q, frame);  // drop-on-full, like the reference
+      r->frames_read.fetch_add(1);
+    }
+    std::fclose(f);
+    if (!loop) break;
+  }
+  r->finished.store(1);
+}
+
+OcmReader* ocm_reader_start(const char* path, int w, int h, int format,
+                            int cs, OcmQueue* q, int loop, double fps) {
+  auto* r = new OcmReader();
+  r->thread = std::thread(reader_loop, r, std::string(path), w, h, format, cs,
+                          q, loop, fps);
+  return r;
+}
+
+void ocm_reader_stop(OcmReader* r) {
+  r->stop.store(true);
+  if (r->thread.joinable()) r->thread.join();
+  delete r;
+}
+
+uint64_t ocm_reader_frames_read(OcmReader* r) { return r->frames_read.load(); }
+int ocm_reader_finished(OcmReader* r) { return r->finished.load(); }
 
 // ---------------------------------------------------------------------------
 // Synthetic pattern sources (test/bench frame generators)

@@ -86,6 +86,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ocm_interleave_rgba.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_int64, u8p]
         for f in ("ocm_pattern_bars", "ocm_pattern_ramp", "ocm_pattern_zoneplate"):
             getattr(lib, f).argtypes = [u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.ocm_reader_start.restype = ctypes.c_void_p
+        lib.ocm_reader_start.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_double,
+        ]
+        lib.ocm_reader_stop.argtypes = [ctypes.c_void_p]
+        lib.ocm_reader_frames_read.restype = ctypes.c_uint64
+        lib.ocm_reader_frames_read.argtypes = [ctypes.c_void_p]
+        lib.ocm_reader_finished.restype = ctypes.c_int
+        lib.ocm_reader_finished.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -261,5 +271,57 @@ class NativeFrameQueue:
             if self._q is not None and self._lib is not None:
                 self._lib.ocm_queue_destroy(self._q)
                 self._q = None
+        except Exception:
+            pass
+
+
+class NativeFileReader:
+    """C++ producer thread: reads raw RGBA or NV12 frames from a file,
+    converts off the Python thread, and pushes into a NativeFrameQueue with
+    drop-on-full backpressure (the native twin of the reference's capture
+    producer, src/common.c:223-333).  Requires the native runtime.
+    """
+
+    FORMAT_RGBA = 0
+    FORMAT_NV12 = 1
+
+    def __init__(
+        self,
+        path: str,
+        width: int,
+        height: int,
+        queue: NativeFrameQueue,
+        fmt: int = FORMAT_RGBA,
+        cs: int = 2,
+        loop: bool = False,
+        fps: float = 0.0,
+    ):
+        lib = _load()
+        if lib is None or not queue.is_native:
+            raise RuntimeError("native runtime unavailable")
+        if tuple(queue.frame_shape) != (height, width, 4):
+            raise ValueError("queue frame shape must be (height, width, 4)")
+        self._lib = lib
+        self._r = lib.ocm_reader_start(
+            str(path).encode(), width, height, int(fmt), int(cs),
+            queue._q, int(loop), float(fps),
+        )
+
+    @property
+    def frames_read(self) -> int:
+        return int(self._lib.ocm_reader_frames_read(self._r))
+
+    @property
+    def finished(self) -> bool:
+        return bool(self._lib.ocm_reader_finished(self._r))
+
+    def stop(self) -> None:
+        if self._r is not None:
+            self._lib.ocm_reader_stop(self._r)
+            self._r = None
+
+    def __del__(self):
+        try:
+            self.stop()
         except Exception:
             pass

@@ -228,3 +228,49 @@ def test_colorspace_auto_default():
             set_default_video_colorspace(Colorspace.AUTO)
     finally:
         set_default_video_colorspace(Colorspace.BT709)
+
+
+def test_waveform_render_stackuv_paradeuv():
+    """n=2 (Chroma) uses the UV variants: bands .x (V, red tint) and .z
+    (U, blue tint) — reference waveform.effect:55-83 + BGRA order."""
+    counts = np.zeros((3, 256, 4), np.uint8)  # (Y, U, V) planes
+    counts[1, 30, 0] = 255  # U level 30 at col 0
+    counts[2, 200, 1] = 255  # V level 200 at col 1
+    img = np.asarray(
+        render.render_waveform(counts, intensity=255, display=1, n_components=2, yuv_mode=True)
+    )
+    assert img.shape == (512, 4, 4)
+    # top band = display channel 0 = V (red tint row (1,.41,.41))
+    assert tuple(img[255 - 200, 1][:3]) == (255, 105, 105)
+    # bottom band = display channel 2 = U (blue tint row (.53,.53,1))
+    assert tuple(img[256 + 255 - 30, 0][:3]) == (135, 135, 255)
+    parade = np.asarray(
+        render.render_waveform(counts, intensity=255, display=2, n_components=2, yuv_mode=True)
+    )
+    assert parade.shape == (256, 8, 4)
+    assert tuple(parade[255 - 200, 1][:3]) == (255, 105, 105)  # V left
+    assert tuple(parade[255 - 30, 4][:3]) == (135, 135, 255)  # U right
+
+
+def test_histogram_render_uv_stack():
+    levels = np.zeros((3, 256), np.float32)  # (Y, U, V)
+    levels[1, :] = 1.0  # U full
+    hi = np.ones(3, np.float32)
+    img = np.asarray(
+        render.render_histogram(levels, hi, level_height=100, display=1, n_components=2, yuv_mode=True)
+    )
+    assert img.shape == (200, 256, 4)
+    # top band = V (empty -> black), bottom = U (full, blue tint)
+    assert tuple(img[0, 0][:3]) == (0, 0, 0)
+    assert tuple(img[100, 0][:3]) == (135, 135, 255)
+
+
+def test_vectorscope_zoom_formula():
+    """zoom *= exp(dy * 5e-4), floored at 1 (reference vectorscope.c:473-482)."""
+    from obs_color_monitor_tpu.models import Vectorscope
+
+    vs = Vectorscope()
+    vs.zoom_by(1386.3)  # exp(0.69315) ~ 2
+    assert abs(vs.config.zoom - 2.0) < 1e-3
+    vs.zoom_by(-1e6)
+    assert vs.config.zoom == 1.0

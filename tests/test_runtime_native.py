@@ -160,3 +160,48 @@ def test_y4m_source(tmp_path, rng):
     bad.write_bytes(b"NOTY4M\n")
     with pytest.raises(ValueError):
         Y4MSource(str(bad))
+
+
+def test_native_file_reader(tmp_path, rng):
+    """C++ reader thread: reads, converts, pushes with drop-on-full."""
+    from obs_color_monitor_tpu.runtime.native import (
+        NativeFileReader,
+        NativeFrameQueue,
+    )
+
+    h, w = 8, 16
+    frames = rng.integers(0, 256, (5, h, w, 4), dtype=np.uint8)
+    p = tmp_path / "clip.rgba"
+    p.write_bytes(frames.tobytes())
+
+    q = NativeFrameQueue(depth=8, frame_shape=(h, w, 4))
+    r = NativeFileReader(str(p), w, h, q, fmt=NativeFileReader.FORMAT_RGBA)
+    import time
+
+    t0 = time.time()
+    while not r.finished and time.time() - t0 < 5:
+        time.sleep(0.01)
+    assert r.frames_read == 5
+    got = q.pop()
+    np.testing.assert_array_equal(got, frames[0])
+    r.stop()
+
+    # NV12 path converts identically to nv12_to_rgba
+    y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    uv = rng.integers(0, 256, (h // 2, w), dtype=np.uint8)
+    nv = tmp_path / "c.nv12"
+    nv.write_bytes(y.tobytes() + uv.tobytes())
+    q2 = NativeFrameQueue(depth=4, frame_shape=(h, w, 4))
+    r2 = NativeFileReader(str(nv), w, h, q2, fmt=NativeFileReader.FORMAT_NV12, cs=1)
+    t0 = time.time()
+    while not r2.finished and time.time() - t0 < 5:
+        time.sleep(0.01)
+    np.testing.assert_array_equal(q2.pop(), native.nv12_to_rgba(y, uv, cs=1))
+    r2.stop()
+
+    # drop-on-full with a tiny queue + loop mode
+    q3 = NativeFrameQueue(depth=2, frame_shape=(h, w, 4))
+    r3 = NativeFileReader(str(p), w, h, q3, loop=True)
+    time.sleep(0.2)
+    r3.stop()
+    assert q3.n_dropped > 0 and len(q3) == 2
