@@ -2,6 +2,25 @@
 
 from .queue import FrameQueue, DEFAULT_QUEUE_DEPTH
 from .driver import PipelineDriver
+from .targets import (
+    FrameChannel,
+    TargetDirectory,
+    TargetedPipeline,
+    PROGRAM,
+    MAINVIEW,
+    PREVIEW,
+)
 from . import profiler
 
-__all__ = ["FrameQueue", "DEFAULT_QUEUE_DEPTH", "PipelineDriver", "profiler"]
+__all__ = [
+    "FrameQueue",
+    "DEFAULT_QUEUE_DEPTH",
+    "PipelineDriver",
+    "FrameChannel",
+    "TargetDirectory",
+    "TargetedPipeline",
+    "PROGRAM",
+    "MAINVIEW",
+    "PREVIEW",
+    "profiler",
+]
