@@ -102,6 +102,7 @@ class TargetedPipeline:
         self.directory = directory
         self.target_name = target_name
         self._last_seq = 0
+        self._bound_channel: Optional[FrameChannel] = None
 
     def set_target(self, name: str) -> None:
         """Settings change (reference cm_update target_name,
@@ -115,7 +116,13 @@ class TargetedPipeline:
         self.hub.tick()
         ch = self.directory.get(self.target_name)
         if ch is None:
+            self._bound_channel = None  # weak ref released
             return False  # dangling target: idle, no error
+        if ch is not self._bound_channel:
+            # a NEW source took this name: rebind like the reference's
+            # weak-ref refresh (src/common.c:512-526)
+            self._bound_channel = ch
+            self._last_seq = 0
         seq, frame = ch.latest()
         if frame is None or seq == self._last_seq:
             return False
