@@ -28,7 +28,7 @@ from .ops import overlays as overlay_ops
 from .ops import render as render_ops
 from .ops.convert import planarize
 from .ops.fused import analyze
-from .ops.stats import histogram_hi_max, histogram_levels
+from .ops.stats import apply_channel_select, histogram_hi_max, histogram_levels
 
 
 class ScopeOutputs(NamedTuple):
@@ -99,8 +99,6 @@ def make_full_step(
             cs=cs,
             white=vs_cfg.color_type == 0,
         )
-        from .ops.stats import apply_channel_select
-
         wv_counts = res.wv_yuv if wv_yuv_mode else res.wv_rgb
         wv_counts = apply_channel_select(wv_counts, wv_sel)
         wv_img = render_ops.render_waveform(

@@ -125,7 +125,6 @@ def rgb2uv_int(r: int, g: int, b: int, cs: Colorspace) -> tuple[int, int]:
 
 FIXED_SHIFT = 12
 _FIXED_SCALE = 1 << FIXED_SHIFT
-_FIXED_HALF = 1 << (FIXED_SHIFT - 1)
 
 
 def fixed_point_coeffs(cs: Colorspace) -> np.ndarray:

@@ -20,7 +20,7 @@ import math
 import numpy as np
 
 from ..colorspace import Colorspace, rgb2uv_int
-from ..config import GraticuleColor, ShowKey
+from ..config import ShowKey
 from ..utils.draw import OverlayCanvas, alpha_blend_u8
 from ..golden.reference import falsecolor as golden_falsecolor
 
