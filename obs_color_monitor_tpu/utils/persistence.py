@@ -121,3 +121,33 @@ class GlobalConfig:
                 {"ShowSource": self.show_sources, "ShowFilter": self.show_filters}
             )
         )
+
+
+class DockManager:
+    """Named-dock registry with bulk save/load (reference src/scope-dock.cpp:
+    dock list + scene-collection persistence, scope-dock.cpp:72-118)."""
+
+    def __init__(self):
+        self.docks: dict[str, object] = {}
+
+    def add(self, name: str, dock) -> None:
+        if name in self.docks:
+            raise KeyError(f"dock {name!r} already exists")
+        self.docks[name] = dock
+
+    def remove(self, name: str) -> None:
+        self.docks.pop(name)
+
+    def save_all(self) -> dict:
+        """One blob for all docks (the reference stores a 'docks' array in
+        the scene collection's save data)."""
+        return {"docks": {n: dock_save_data(d) for n, d in self.docks.items()}}
+
+    def load_all(self, data: dict, make_dock) -> None:
+        """Recreate docks from save data; ``make_dock()`` builds a fresh Dock."""
+        for name, blob in data.get("docks", {}).items():
+            d = self.docks.get(name)
+            if d is None:
+                d = make_dock()
+                self.docks[name] = d
+            dock_restore(d, blob)

@@ -143,3 +143,33 @@ def test_cli_dock_settings_roundtrip(tmp_path):
     assert rc == 0 and out.exists() and settings.exists()
     data = json.loads(settings.read_text())
     assert data["roi-prop"]["target_scale"] == 1
+
+
+def test_i18n():
+    from obs_color_monitor_tpu.utils.i18n import get_locale, set_locale, text
+
+    assert text("FocusPeaking.Name") == "Focus Peaking"
+    assert text("missing.key") == "missing.key"
+    set_locale("de-DE")
+    try:
+        assert get_locale() == "de-DE"
+        assert text("Waveform") == "Wellenform"
+        assert text("Bypass") == "Bypass"  # untranslated falls back to en-US
+    finally:
+        set_locale("en-US")
+
+
+def test_dock_manager(tmp_path):
+    from obs_color_monitor_tpu.utils.persistence import DockManager
+
+    mgr = DockManager()
+    d1 = Dock()
+    d1.vectorscope.update(intensity=42)
+    mgr.add("main", d1)
+    blob = mgr.save_all()
+
+    mgr2 = DockManager()
+    mgr2.load_all(blob, make_dock=Dock)
+    assert mgr2.docks["main"].vectorscope.config.intensity == 42
+    with pytest.raises(KeyError):
+        mgr.add("main", Dock())
