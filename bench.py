@@ -93,6 +93,12 @@ def main() -> None:
         f"roundtrip={rt*1e3:.1f} ms), device={jax.devices()[0]}",
         file=sys.stderr,
     )
+    print(
+        "# (make_full_step: overlays at full 4K, stats at target_scale=2; the"
+        " reference-dock-parity panel `make_dock_step` measures ~6.4 ms/frame"
+        " — see doc/performance.md)",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":
