@@ -54,11 +54,18 @@ def make_full_step(
     zebra: ZebraConfig | None = None,
     falsecolor: FalseColorConfig | None = None,
     focuspeaking: FocusPeakingConfig | None = None,
+    input_format: str = "rgba",
 ):
     """Build a jitted (frame, tm) -> ScopeOutputs for a fixed frame shape.
 
     Statistics run on the ``scale``-downscaled frame (the reference's
     default target_scale=2, src/common.c:124); overlays run full-res.
+
+    input_format:
+      * "rgba"   — frame is (H, W, 4) u8 (planarized on device);
+      * "planar" — frame is (4, H, W) u8 (skips planarize);
+      * "nv12"   — frame is a (y (H,W) u8, uv (H/2,W) u8) tuple converted
+        on device (1.5 bytes/px ingest; csrc spec, bit-exact vs native).
     """
     vs_cfg = vectorscope or VectorscopeConfig()
     wv_cfg = waveform or WaveformConfig()
@@ -77,10 +84,21 @@ def make_full_step(
     peak_th = peaking_threshold_fixed(fp_cfg.peaking_threshold)
     sw, sh = width // scale, height // scale
 
+    if input_format not in ("rgba", "planar", "nv12"):
+        raise ValueError(f"unknown input_format {input_format!r}")
+
     @jax.jit
-    def step(frame: jax.Array, tm: jax.Array) -> ScopeOutputs:
+    def step(frame, tm: jax.Array) -> ScopeOutputs:
         # planarize ONCE; stats and overlays all consume planes
-        planes = planarize(frame)
+        if input_format == "nv12":
+            from .ops.convert import nv12_to_planes
+
+            y, uv = frame
+            planes = nv12_to_planes(y, uv, cs=cs)
+        elif input_format == "planar":
+            planes = frame
+        else:
+            planes = planarize(frame)
         res = analyze(
             planes,
             cs=cs,

@@ -154,3 +154,29 @@ def test_dock_step_overlays_on_capture(rng):
     )
     out2 = step_full(f, np.float32(0.0))
     assert out2.panel.shape == (900, 128, 4)
+
+
+def test_full_step_nv12_input(rng):
+    """NV12 ingest variant of the full step matches the RGBA path."""
+    from obs_color_monitor_tpu.api import make_full_step
+    from obs_color_monitor_tpu.colorspace import Colorspace
+    from obs_color_monitor_tpu.runtime import native
+
+    h, w = 64, 96
+    y = rng.integers(16, 236, (h, w), dtype=np.uint8)
+    uv = rng.integers(16, 240, (h // 2, w), dtype=np.uint8)
+    rgba = native.nv12_to_rgba(y, uv, cs=2)
+
+    s_nv = make_full_step(h, w, cs=Colorspace.BT709, scale=1, input_format="nv12")
+    s_rgba = make_full_step(h, w, cs=Colorspace.BT709, scale=1)
+    out_nv = s_nv((y, uv), np.float32(0.0))
+    out_rgba = s_rgba(rgba, np.float32(0.0))
+    np.testing.assert_array_equal(
+        np.asarray(out_nv.vs_counts), np.asarray(out_rgba.vs_counts)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_nv.hi_counts), np.asarray(out_rgba.hi_counts)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_nv.zebra), np.asarray(out_rgba.zebra)
+    )
