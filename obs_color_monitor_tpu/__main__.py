@@ -53,10 +53,17 @@ def cmd_dock(args) -> int:
     src = _make_source(args)
     t0 = time.perf_counter()
     n = 0
+    img = None
     for frame in src.frames(args.frames):
-        dock.push_frame(frame)
+        if args.one_program:
+            img = dock.render_device(
+                frame, tm=n / 15.0, width=args.out_width, height=args.out_height
+            )
+        else:
+            dock.push_frame(frame)
         n += 1
-    img = dock.render(width=args.out_width, height=args.out_height)
+    if not args.one_program:
+        img = dock.render(width=args.out_width, height=args.out_height)
     dt = time.perf_counter() - t0
     write_png(args.out, img)
     if args.save_settings:
@@ -137,6 +144,11 @@ def main(argv=None) -> int:
     d = sub.add_parser("dock", help="all six scopes composited")
     add_io(d)
     d.add_argument("--interleave", type=int, default=1)
+    d.add_argument(
+        "--one-program",
+        action="store_true",
+        help="render via make_dock_step (one XLA program per frame)",
+    )
     d.add_argument("--out-width", type=int, default=512)
     d.add_argument("--out-height", type=int, default=1536)
     d.add_argument("--save-settings", help="write dock settings JSON")

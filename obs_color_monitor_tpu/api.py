@@ -73,7 +73,9 @@ def make_full_step(
     zb_cfg = zebra or ZebraConfig()
     fc_cfg = falsecolor or FalseColorConfig()
     fp_cfg = focuspeaking or FocusPeakingConfig()
-    cs = int(cs)
+    from .colorspace import calc_colorspace
+
+    cs = int(calc_colorspace(cs))
     sel = hi_cfg.components.channel_select()
     wv_sel = wv_cfg.components.channel_select()
     wv_yuv_mode = wv_cfg.components.is_yuv

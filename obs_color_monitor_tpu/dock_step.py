@@ -129,7 +129,9 @@ def make_dock_step(
     zb_cfg = zebra or ZebraConfig()
     fc_cfg = falsecolor or FalseColorConfig()
     fp_cfg = focuspeaking or FocusPeakingConfig()
-    csi = int(cs)
+    from .colorspace import calc_colorspace
+
+    csi = int(calc_colorspace(cs))
     sw, sh = width // scale, height // scale
     if roi_rect is not None:
         # ROI sub-rect in scaled coordinates (reference src/common.c:273-282)

@@ -200,6 +200,47 @@ class Dock:
             y0 += h_slot
         return canvas
 
+    def render_device(
+        self,
+        frame,
+        tm: float = 0.0,
+        width: Optional[int] = None,
+        height: Optional[int] = None,
+    ) -> np.ndarray:
+        """One-program panel render: the whole dock as a single XLA program
+        (dock_step.make_dock_step), rebuilt when configs/shape change.
+
+        Unlike push_frame+render (which fetches each scope separately —
+        fine locally, many round trips on remote TPU), this is one device
+        call per frame.
+        """
+        from ..dock_step import make_dock_step
+        from ..utils.persistence import dock_save_data
+
+        cx = width or self.config.width
+        cy = height or self.config.height
+        h, w = frame.shape[-3], frame.shape[-2]
+        key = (h, w, cx, cy, repr(sorted(dock_save_data(self).items())))
+        if getattr(self, "_device_step_key", None) != key:
+            self._device_step = make_dock_step(
+                h,
+                w,
+                cs=self.hub.colorspace,
+                scale=self.hub.config.target_scale,
+                out_width=cx,
+                out_height=cy,
+                dock=self.config,
+                vectorscope=self.vectorscope.config,
+                waveform=self.waveform.config,
+                histogram=self.histogram.config,
+                zebra=self.zebra.config,
+                falsecolor=self.falsecolor.config,
+                focuspeaking=self.focuspeaking.config,
+            )
+            self._device_step_key = key
+        out = self._device_step(frame, np.float32(tm))
+        return np.asarray(out.panel)
+
     # -- mouse routing (reference src/scope-widget.cpp:241-428) --------------
     def _hit(self, x: int, y: int):
         """(name, scope-local x, scope-local y) for a canvas position."""

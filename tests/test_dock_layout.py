@@ -186,3 +186,17 @@ def test_focuspeaking_actual_size(dock_frame):
     # pixels match the scope output exactly (no resampling)
     scope_img = dock.focuspeaking.render()
     np.testing.assert_array_equal(img[y0 : y0 + h, x0 : x0 + w], scope_img)
+
+
+def test_render_device_matches_shape_and_caches(dock_frame):
+    import numpy as np
+
+    dock = Dock(roi=ROIConfig(interleave=0, target_scale=1))
+    p1 = dock.render_device(dock_frame, tm=0.0, width=256, height=1200)
+    assert p1.shape == (1200, 256, 4)
+    step1 = dock._device_step
+    p2 = dock.render_device(dock_frame, tm=1.0, width=256, height=1200)
+    assert dock._device_step is step1  # cached, no rebuild
+    dock.vectorscope.update(intensity=200)
+    dock.render_device(dock_frame, tm=0.0, width=256, height=1200)
+    assert dock._device_step is not step1  # config change -> rebuild
