@@ -68,11 +68,14 @@ def cmd_dock(args) -> int:
     write_png(args.out, img)
     if args.save_settings:
         save_dock(dock, args.save_settings)
-    print(
-        f"dock: {n} frames in {dt:.2f}s "
-        f"(processed {dock.hub.frames_processed}, "
-        f"interleave-skipped {dock.hub.frames_skipped}) -> {args.out}"
-    )
+    if args.one_program:
+        print(f"dock (one-program): {n} frames in {dt:.2f}s -> {args.out}")
+    else:
+        print(
+            f"dock: {n} frames in {dt:.2f}s "
+            f"(processed {dock.hub.frames_processed}, "
+            f"interleave-skipped {dock.hub.frames_skipped}) -> {args.out}"
+        )
     return 0
 
 
