@@ -123,3 +123,17 @@ def test_zebra_tm_clock():
     assert tm == 4.0
     tm = golden.zebra_tm_advance(tm, 2.5)  # 14 -> wraps
     assert abs(tm - 2.0) < 1e-9
+
+
+def test_zebra_phase_at_4k_coordinates(rng):
+    """Stripe phase stays exact at large x+y (f32 integer-exactness):
+    test a strip placed at 4K-scale offsets via a wide frame."""
+    f = rng.integers(0, 256, (4, 4000, 4), dtype=np.uint8)
+    f[..., 3] = 255
+    f[..., :3] = 220  # all striped-eligible
+    want = golden.zebra(f, 0.75, 1.00, 7.3, Colorspace.BT709)
+    got = np.asarray(overlays.zebra(f, 0.75, 1.00, 7.3, cs=2))
+    np.testing.assert_array_equal(got, want)
+    # stripes actually present at the far right
+    black = (got[..., :3] == 0).all(-1)
+    assert black[:, 3900:].any() and not black[:, 3900:].all()
