@@ -192,6 +192,10 @@ def make_dock_step(
     )
     peak_th = peaking_threshold_fixed(fp_cfg.peaking_threshold)
 
+    need_vs = dk.show_vectorscope
+    need_wv = dk.show_waveform
+    need_hi = dk.show_histogram
+
     @jax.jit
     def step(frame: jax.Array, tm: jax.Array) -> DockStepOutput:
         planes = planarize(frame)
@@ -200,74 +204,87 @@ def make_dock_step(
             cs=csi,
             scale=scale,
             rect=roi_rect,
-            need_vs=True,
-            need_wv_rgb=not wv_yuv,
-            need_wv_yuv=wv_yuv,
-            need_hi_rgb=not hi_yuv,
-            need_hi_yuv=hi_yuv,
+            need_vs=need_vs,
+            need_wv_rgb=need_wv and not wv_yuv,
+            need_wv_yuv=need_wv and wv_yuv,
+            need_hi_rgb=need_hi and not hi_yuv,
+            need_hi_yuv=need_hi and hi_yuv,
             keep_rgba=True,
             is_planar=True,
         )
         images = {}
         if "roi" in rects:
             images["roi"] = _planes_to_rgba(res.planes)
-        # vectorscope
-        vs_img = render_ops.render_vectorscope(
-            res.vs_counts,
-            intensity=vs_cfg.intensity,
-            cs=csi,
-            white=vs_cfg.color_type == VectorscopeColorType.WHITE,
-        )
-        if vs_grat is not None:
-            vs_img = render_ops.blend_overlay(vs_img, jnp.asarray(vs_grat))
-        vs_img = render_ops.zoom_center(vs_img, zoom=round(vs_cfg.zoom, 3))
-        images["vectorscope"] = vs_img
-        # waveform
-        wv_counts = apply_channel_select(
-            res.wv_yuv if wv_yuv else res.wv_rgb, wv_sel
-        )
-        wv_img = render_ops.render_waveform(
-            wv_counts,
-            intensity=wv_cfg.intensity,
-            display=int(wv_cfg.display),
-            n_components=wv_n,
-            yuv_mode=wv_yuv,
-        )
-        if wv_grat is not None:
-            wv_img = render_ops.blend_overlay(wv_img, jnp.asarray(wv_grat))
-        images["waveform"] = wv_img
-        # histogram
-        hi_counts = apply_channel_select(
-            (res.hi_yuv if hi_yuv else res.hi_rgb).astype(jnp.int32), sel
-        )
-        hi = histogram_hi_max(
-            hi_counts, sel, sw * sh, hi_cfg.level_fixed, hi_cfg.level_ratio_permille
-        )
-        levels, hi_eff = histogram_levels(hi_counts, hi, sel, hi_cfg.logscale)
-        hi_img = render_ops.render_histogram(
-            levels,
-            hi_eff,
-            level_height=hi_cfg.level_height,
-            display=int(hi_cfg.display),
-            n_components=hi_n,
-            yuv_mode=hi_yuv,
-        )
-        if hi_grat is not None:
-            hi_img = render_ops.blend_overlay(hi_img, jnp.asarray(hi_grat))
-        images["histogram"] = hi_img
+        if need_vs:
+            vs_img = render_ops.render_vectorscope(
+                res.vs_counts,
+                intensity=vs_cfg.intensity,
+                cs=csi,
+                white=vs_cfg.color_type == VectorscopeColorType.WHITE,
+            )
+            if vs_grat is not None:
+                vs_img = render_ops.blend_overlay(vs_img, jnp.asarray(vs_grat))
+            images["vectorscope"] = render_ops.zoom_center(
+                vs_img, zoom=round(vs_cfg.zoom, 3)
+            )
+            vs_counts = res.vs_counts
+        else:
+            vs_counts = jnp.zeros((256, 256), jnp.uint8)
+        if need_wv:
+            wv_counts = apply_channel_select(
+                res.wv_yuv if wv_yuv else res.wv_rgb, wv_sel
+            )
+            wv_img = render_ops.render_waveform(
+                wv_counts,
+                intensity=wv_cfg.intensity,
+                display=int(wv_cfg.display),
+                n_components=wv_n,
+                yuv_mode=wv_yuv,
+            )
+            if wv_grat is not None:
+                wv_img = render_ops.blend_overlay(wv_img, jnp.asarray(wv_grat))
+            images["waveform"] = wv_img
+        else:
+            wv_counts = jnp.zeros((3, 256, sw), jnp.uint8)
+        if need_hi:
+            hi_counts = apply_channel_select(
+                (res.hi_yuv if hi_yuv else res.hi_rgb).astype(jnp.int32), sel
+            )
+            hi = histogram_hi_max(
+                hi_counts, sel, sw * sh, hi_cfg.level_fixed,
+                hi_cfg.level_ratio_permille,
+            )
+            levels, hi_eff = histogram_levels(hi_counts, hi, sel, hi_cfg.logscale)
+            hi_img = render_ops.render_histogram(
+                levels,
+                hi_eff,
+                level_height=hi_cfg.level_height,
+                display=int(hi_cfg.display),
+                n_components=hi_n,
+                yuv_mode=hi_yuv,
+            )
+            if hi_grat is not None:
+                hi_img = render_ops.blend_overlay(hi_img, jnp.asarray(hi_grat))
+            images["histogram"] = hi_img
+        else:
+            hi_counts = jnp.zeros((3, 256), jnp.int32)
         # overlays (planar; to RGBA via u32 compose)
         ov_src = res.planes if overlays_on_capture else planes
-        images["zebra"] = _planes_to_rgba(
-            overlay_ops.zebra_planes(
-                ov_src, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high, tm=tm, cs=csi
+        if dk.show_zebra:
+            images["zebra"] = _planes_to_rgba(
+                overlay_ops.zebra_planes(
+                    ov_src, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high, tm=tm,
+                    cs=csi,
+                )
             )
-        )
-        images["falsecolor"] = _planes_to_rgba(
-            overlay_ops.falsecolor_planes(ov_src, cs=csi)
-        )
-        images["focuspeaking"] = _planes_to_rgba(
-            overlay_ops.focus_peaking_planes(ov_src, peak_th, peak_color)
-        )
+        if dk.show_falsecolor:
+            images["falsecolor"] = _planes_to_rgba(
+                overlay_ops.falsecolor_planes(ov_src, cs=csi)
+            )
+        if dk.show_focuspeaking:
+            images["focuspeaking"] = _planes_to_rgba(
+                overlay_ops.focus_peaking_planes(ov_src, peak_th, peak_color)
+            )
 
         canvas = jnp.zeros((out_height, out_width, 4), jnp.uint8)
         canvas = canvas.at[..., 3].set(255)
@@ -277,7 +294,7 @@ def make_dock_step(
             canvas = canvas.at[y0 : y0 + h, x0 : x0 + w, :].set(patch)
         return DockStepOutput(
             panel=canvas,
-            vs_counts=res.vs_counts,
+            vs_counts=vs_counts,
             wv_counts=wv_counts,
             hi_counts=hi_counts.astype(jnp.uint32),
         )

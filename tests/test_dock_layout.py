@@ -200,3 +200,22 @@ def test_render_device_matches_shape_and_caches(dock_frame):
     dock.vectorscope.update(intensity=200)
     dock.render_device(dock_frame, tm=0.0, width=256, height=1200)
     assert dock._device_step is not step1  # config change -> rebuild
+
+
+def test_dock_step_hidden_scopes_skip_stats(rng):
+    """Hidden scopes compile out of the one-program step (zero stats)."""
+    import numpy as np
+
+    from obs_color_monitor_tpu.dock_step import make_dock_step
+
+    f = rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+    f[..., 3] = 255
+    cfg = DockConfig(show_vectorscope=False, show_histogram=False)
+    step = make_dock_step(
+        64, 128, scale=1, out_width=128, out_height=800, dock=cfg
+    )
+    out = step(f, np.float32(0.0))
+    assert np.asarray(out.vs_counts).sum() == 0
+    assert np.asarray(out.hi_counts).sum() == 0
+    assert np.asarray(out.wv_counts).sum() > 0  # waveform still shown
+    assert out.panel.shape == (800, 128, 4)
