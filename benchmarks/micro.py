@@ -16,7 +16,21 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-ROUND_TRIP_S = 0.0315
+def _round_trip_s():
+    """Measure the host<->device round trip (tunnel latency) dynamically."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+    import time as _t
+
+    tiny = jax.jit(lambda x: x + 1)
+    _ = _np.asarray(tiny(jnp.int32(0)))
+    best = 1e9
+    for _i in range(3):
+        t0 = _t.perf_counter()
+        _ = _np.asarray(tiny(jnp.int32(0)))
+        best = min(best, _t.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -26,6 +40,9 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
+
+    rt = _round_trip_s()
+    print(f"# round trip: {rt*1e3:.1f} ms")
 
     from obs_color_monitor_tpu.ops import convert, overlays, pallas_stats
     from obs_color_monitor_tpu.api import make_full_step
@@ -59,7 +76,7 @@ def main() -> None:
             t0 = time.perf_counter()
             _ = np.asarray(rep(arg))
             best = min(best, time.perf_counter() - t0)
-        print(f"{name:44s} {(best - ROUND_TRIP_S) * 1e3 / n:9.3f} ms")
+        print(f"{name:44s} {(best - rt) * 1e3 / n:9.3f} ms")
 
     bench("planarize 4K (u32 bitcast)", frame4k, lambda f, i: convert.planarize(f))
     bench("downscale x2 4K planar", planes4k, lambda p, i: convert.downscale_planes(p, scale=2))
