@@ -47,7 +47,11 @@ def cmd_dock(args) -> int:
     from .utils.image_io import write_png
     from .utils.persistence import load_dock, save_dock
 
-    dock = Dock(roi=ROIConfig(target_scale=args.scale, interleave=args.interleave))
+    roi_cfg = ROIConfig(target_scale=args.scale, interleave=args.interleave)
+    if args.roi:
+        x0, y0, x1, y1 = (int(v) for v in args.roi.split(","))
+        roi_cfg.x0, roi_cfg.y0, roi_cfg.x1, roi_cfg.y1 = x0, y0, x1, y1
+    dock = Dock(roi=roi_cfg)
     if args.load_settings:
         load_dock(dock, args.load_settings)
     src = _make_source(args)
@@ -147,6 +151,7 @@ def main(argv=None) -> int:
     d = sub.add_parser("dock", help="all six scopes composited")
     add_io(d)
     d.add_argument("--interleave", type=int, default=1)
+    d.add_argument("--roi", help="x0,y0,x1,y1 in scaled coordinates")
     d.add_argument(
         "--one-program",
         action="store_true",

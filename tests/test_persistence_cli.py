@@ -173,3 +173,17 @@ def test_dock_manager(tmp_path):
     assert mgr2.docks["main"].vectorscope.config.intensity == 42
     with pytest.raises(KeyError):
         mgr.add("main", Dock())
+
+
+def test_cli_dock_roi(tmp_path):
+    from obs_color_monitor_tpu.__main__ import main
+
+    out = tmp_path / "roi.png"
+    rc = main(
+        [
+            "dock", "--pattern", "bars", "--size", "128x64", "--frames", "2",
+            "--scale", "1", "--interleave", "0", "--roi", "16,8,80,56",
+            "--out-width", "128", "--out-height", "600", "--out", str(out),
+        ]
+    )
+    assert rc == 0 and out.exists()
