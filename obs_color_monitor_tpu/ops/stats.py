@@ -114,11 +114,14 @@ def histogram_hi_max(
         v = jnp.uint32(max(1, int(level_fixed)))
         return jnp.full((3,), v, dtype=jnp.uint32)
     if level_ratio_permille > 0:
-        v = (
-            jnp.asarray(n_pixels, dtype=jnp.uint64)
-            * jnp.uint64(level_ratio_permille)
-            // jnp.uint64(1000)
-        )
+        # floor(n*p/1000) computed overflow-safe in uint32: with n = 1000q+r,
+        # n*p/1000 = q*p + r*p/1000 exactly.  (A naive uint64 product silently
+        # narrows to uint32 under JAX's default x64-off and overflows above
+        # ~4.3M pixels; reference src/histogram.c:397-402 uses a real uint64.)
+        n = jnp.asarray(n_pixels, dtype=jnp.uint32)
+        p = jnp.uint32(level_ratio_permille)
+        q, r = n // 1000, n % 1000
+        v = q * p + (r * p) // 1000
         v = jnp.maximum(v, 1).astype(jnp.uint32)
         return jnp.full((3,), 1, dtype=jnp.uint32) * v
     hi = jnp.maximum(counts.max(axis=1), 1).astype(jnp.uint32)

@@ -165,6 +165,29 @@ def test_hi_max_modes(small_frame):
     assert want[0] == (w * h * 100) // 1000
 
 
+def test_hi_max_ratio_large_frames():
+    """Ratio mode above 4.3M pixels: n*permille overflows uint32 if computed
+    naively (and jnp.uint64 silently narrows to uint32 with x64 off).
+    4K at scale 1 = 8.3 MP is in scope (reference src/histogram.c:397-402)."""
+    counts = np.zeros((3, 256), np.uint32)
+    for h, w, permille in [
+        (2160, 3840, 1000),  # 8.3 MP, full ratio
+        (2160, 3840, 100),
+        (2160, 3840, 999),
+        (4320, 7680, 1000),  # 33 MP (8K)
+        (2073, 2073, 1000),  # just above the uint32 overflow threshold
+        (7, 9, 1),  # tiny: max(1, ...) clamp
+    ]:
+        want = golden.histogram_hi_max(counts, Components.RGB, w, h, 0, permille)
+        got = np.asarray(
+            stats.histogram_hi_max(
+                counts.astype(np.int32), (True, True, True), h * w, 0, permille
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+        assert got[0] == max(1, (h * w * permille) // 1000)
+
+
 def test_histogram_levels_logscale(small_frame):
     counts = golden.histogram_counts(small_frame, None, Components.RGB)
     h, w = small_frame.shape[:2]
