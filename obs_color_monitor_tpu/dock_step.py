@@ -132,6 +132,12 @@ def make_dock_step(
     from .colorspace import calc_colorspace
 
     csi = int(calc_colorspace(cs))
+    # Overlay scopes select their draw technique by their OWN colorspace
+    # property even when hub-fed (reference zbs_render uses
+    # src->cm.colorspace, src/zebra.c:620); stats scopes inherit the hub's
+    # conversion colorspace (src/vectorscope.c:262).
+    zb_cs = int(calc_colorspace(zb_cfg.colorspace))
+    fc_cs = int(calc_colorspace(fc_cfg.colorspace))
     sw, sh = width // scale, height // scale
     if roi_rect is not None:
         # ROI sub-rect in scaled coordinates (reference src/common.c:273-282)
@@ -156,13 +162,19 @@ def make_dock_step(
     hi_w = 256 * (hi_n if hi_cfg.display == DisplayMode.PARADE else 1)
     hi_h = hi_cfg.level_height * (hi_n if hi_cfg.display == DisplayMode.STACK else 1)
     ov_w, ov_h = (sw, sh) if overlays_on_capture else (width, height)
+    # key legend extends the falsecolor canvas for OUTSIDE/BELOW
+    # (reference src/zebra.c:316-334)
+    from .config import ShowKey
+    from .ops.graticule import falsecolor_key_overlay, key_canvas_size
+
+    fc_w, fc_h = key_canvas_size(fc_cfg.show_key, ov_w, ov_h)
     dims = {
         "roi": (sw, sh),
         "vectorscope": (256, 256),
         "waveform": (wv_w, wv_h),
         "histogram": (hi_w, hi_h),
         "zebra": (ov_w, ov_h),
-        "falsecolor": (ov_w, ov_h),
+        "falsecolor": (fc_w, fc_h),
         "focuspeaking": (ov_w, ov_h),
     }
     shown = [
@@ -191,6 +203,18 @@ def make_dock_step(
         quantize_unorm8(np.asarray(fp_cfg.peaking_rgba, np.float32))
     )
     peak_th = peaking_threshold_fixed(fp_cfg.peaking_threshold)
+    fc_lut = (
+        jnp.asarray(fc_cfg.lut) if (fc_cfg.use_lut and fc_cfg.lut is not None) else None
+    )
+    # key legend: a device constant per (placement, size, cs, lut), planar,
+    # blended on device (reference draws it per frame, src/zebra.c:385-597)
+    fc_key = None
+    if fc_cfg.show_key != ShowKey.NONE:
+        key_rgba = falsecolor_key_overlay(
+            fc_cfg.show_key, ov_w, ov_h, fc_cs,
+            lut=fc_cfg.lut if fc_cfg.use_lut else None,
+        )
+        fc_key = jnp.asarray(np.ascontiguousarray(np.moveaxis(key_rgba, -1, 0)))
 
     need_vs = dk.show_vectorscope
     need_wv = dk.show_waveform
@@ -274,13 +298,23 @@ def make_dock_step(
             images["zebra"] = _planes_to_rgba(
                 overlay_ops.zebra_planes(
                     ov_src, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high, tm=tm,
-                    cs=csi,
+                    cs=zb_cs,
                 )
             )
         if dk.show_falsecolor:
-            images["falsecolor"] = _planes_to_rgba(
-                overlay_ops.falsecolor_planes(ov_src, cs=csi)
-            )
+            if fc_lut is not None:
+                fc = overlay_ops.falsecolor_lut_planes(
+                    ov_src, fc_lut, cs=fc_cs, lut_n=fc_lut.shape[0]
+                )
+            else:
+                fc = overlay_ops.falsecolor_planes(ov_src, cs=fc_cs)
+            if fc_key is not None:
+                if (fc_h, fc_w) != (ov_h, ov_w):
+                    canvas_fc = jnp.zeros((4, fc_h, fc_w), jnp.uint8)
+                    canvas_fc = canvas_fc.at[3].set(255)
+                    fc = canvas_fc.at[:, :ov_h, :ov_w].set(fc)
+                fc = render_ops.blend_overlay_planes(fc, fc_key)
+            images["falsecolor"] = _planes_to_rgba(fc)
         if dk.show_focuspeaking:
             images["focuspeaking"] = _planes_to_rgba(
                 overlay_ops.focus_peaking_planes(ov_src, peak_th, peak_color)
@@ -288,9 +322,19 @@ def make_dock_step(
 
         canvas = jnp.zeros((out_height, out_width, 4), jnp.uint8)
         canvas = canvas.at[..., 3].set(255)
-        for name, _, _ in shown:
+        for name, w_src, h_src in shown:
             x0, y0, w, h = rects[name]
-            patch = _resize_nearest_rgba(images[name], h, w)
+            if name == "focuspeaking" and fp_cfg.actual_size:
+                # 1:1 pixel mapping, centered, cropped to the slot
+                # (reference set_actual_size_matrix, focuspeaking.c:203-220;
+                # twin of models/dock.py Dock.render)
+                w, h = min(w, w_src), min(h, h_src)
+                cx0 = (w_src - w) // 2
+                cy0 = (h_src - h) // 2
+                patch = images[name][cy0 : cy0 + h, cx0 : cx0 + w]
+                x0 = (out_width - w) // 2
+            else:
+                patch = _resize_nearest_rgba(images[name], h, w)
             canvas = canvas.at[y0 : y0 + h, x0 : x0 + w, :].set(patch)
         return DockStepOutput(
             panel=canvas,

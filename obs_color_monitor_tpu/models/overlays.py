@@ -59,8 +59,13 @@ class _OverlayScope(Scope, StandaloneScopeMixin):
         v = self._read()
         if v is None:
             return None
-        planes, cs = v
-        out = np.asarray(self.apply_planes(planes, cs=cs))
+        planes, _hub_cs = v
+        # The raw-texture pixels come from the hub, but the overlay's draw
+        # technique is selected by the SCOPE's own colorspace property even
+        # when ROI-fed (reference zbs_render uses src->cm.colorspace,
+        # src/zebra.c:620; only the stats scopes inherit the surface's
+        # colorspace, src/vectorscope.c:262).
+        out = np.asarray(self.apply_planes(planes, cs=None))
         return np.moveaxis(out, 0, -1)
 
     @property
@@ -122,7 +127,12 @@ class FalseColor(_OverlayScope):
             out = overlay_ops.falsecolor(frame, cs=int(cs))
         if cfg.show_key != ShowKey.NONE:
             h, w = frame.shape[-3], frame.shape[-2]
-            out = self._composite_key(np.asarray(out), w, h, cs)
+            key, (oh, ow) = self._key_const(w, h, cs, planar=False)
+            if (oh, ow) != (h, w):
+                canvas = jax.numpy.zeros((oh, ow, 4), jax.numpy.uint8)
+                canvas = canvas.at[..., 3].set(255)
+                out = canvas.at[:h, :w].set(out)
+            out = render_ops.blend_overlay(out, key)
         return out
 
     def apply_planes(self, planes, cs=None):
@@ -136,28 +146,37 @@ class FalseColor(_OverlayScope):
             out = overlay_ops.falsecolor_planes(planes, cs=int(cs))
         if cfg.show_key != ShowKey.NONE:
             h, w = planes.shape[-2], planes.shape[-1]
-            inter = self._composite_key(
-                np.moveaxis(np.asarray(out), 0, -1), w, h, cs
-            )
-            return jax.numpy.moveaxis(jax.numpy.asarray(inter), -1, 0)
+            key, (oh, ow) = self._key_const(w, h, cs, planar=True)
+            if (oh, ow) != (h, w):
+                canvas = jax.numpy.zeros((4, oh, ow), jax.numpy.uint8)
+                canvas = canvas.at[3].set(255)
+                out = canvas.at[:, :h, :w].set(out)
+            out = render_ops.blend_overlay_planes(out, key)
         return out
 
-    def _composite_key(self, out_hw4: np.ndarray, w: int, h: int, cs):
-        """Extend the canvas if needed and blend the key legend
-        (reference src/zebra.c:385-597)."""
+    # key overlays are constant per (placement, size, cs, lut): precomputed
+    # once on the host and cached as device constants so streamed frames
+    # never pay a host round trip (the legend drawing itself is the golden
+    # rasterizer port of reference src/zebra.c:385-597)
+    _key_cache: dict | None = None
+
+    def _key_const(self, w: int, h: int, cs, planar: bool):
         cfg = self.config
-        ow, oh = key_canvas_size(cfg.show_key, w, h)
-        if (oh, ow) != (h, w):
-            canvas = np.zeros((oh, ow, 4), dtype=np.uint8)
-            canvas[..., 3] = 255
-            canvas[:h, :w] = out_hw4
-            out_hw4 = canvas
-        key = falsecolor_key_overlay(
-            cfg.show_key, w, h, cs, lut=cfg.lut if cfg.use_lut else None
-        )
-        return np.asarray(
-            render_ops.blend_overlay(jax.numpy.asarray(out_hw4), key)
-        )
+        lut = cfg.lut if cfg.use_lut else None
+        key_id = (int(cfg.show_key), w, h, int(cs), planar, id(lut))
+        if self._key_cache is None:
+            self._key_cache = {}
+        hit = self._key_cache.get(key_id)
+        if hit is None:
+            overlay = falsecolor_key_overlay(cfg.show_key, w, h, cs, lut=lut)
+            if planar:
+                overlay = np.moveaxis(overlay, -1, 0)
+            hit = (
+                jax.device_put(np.ascontiguousarray(overlay)),
+                key_canvas_size(cfg.show_key, w, h)[::-1],
+            )
+            self._key_cache[key_id] = hit
+        return hit
 
     @property
     def width(self) -> int:

@@ -1,25 +1,37 @@
-"""Pallas TPU kernels for the statistics accumulators.
+"""Pallas TPU kernels for the statistics accumulators (round-2 design).
 
-These are the hand-scheduled versions of ops.stats: same exact integer
-semantics (bit-exact vs the golden model), but with explicit VMEM
-accumulators and tiling chosen for the v5e:
+Same exact integer semantics as ops.stats (bit-exact vs the golden model),
+but formulated so ALL hot work rides the MXU and the VPU only builds
+one-hots in their cheapest layout:
 
-  * ``vectorscope_pallas`` — streams 128-row blocks; per 32x128 sub-tile it
-    builds (4096, 256) int8 one-hots of U and V and rides
-    ``one_hot(V)^T @ one_hot(U)`` on the MXU into a VMEM-resident 256x256
-    int32 accumulator (the output block, constant index map — written back
-    once).  Invalid (padding) pixels get value 256 and miss every bin; no
-    multiply needed for masking.
-  * ``waveform_pallas`` — grid (columns, rows); per column stripe a
-    (C, 256, 128) int32 accumulator lives in the output block; the one-hot
-    is built bins-on-sublanes (256, SUB, 128) so the row reduction needs no
-    transpose.  The alpha-skip mask folds into the same value-256 trick.
+  * Frames are pre-arranged in XLA into **column stripes**: a (H, W) plane
+    becomes (S, Rf, 1, 8192) where each 8192-lane "flat row" holds 64 image
+    rows x 128 columns of one stripe (lane L belongs to column L%128).
+    In this layout a bins-first one-hot — ``iota(256,8192) == row`` — is a
+    cheap sublane broadcast-compare (no transpose/relayout), measured ~10x
+    cheaper than the pixels-first build of the round-1 kernels.
+  * **Vectorscope** = ``one_hot(V) @ one_hot(U)^T`` per flat row: an NT
+    matmul (contract the 8192-pixel lane axis of both int8 operands) into a
+    VMEM-resident 256x256 int32 accumulator.  K=8192 per step keeps the MXU
+    at ~80% of its int8 peak.
+  * **Waveform** = ``one_hot(vals) @ SEL`` where SEL is the fixed 0/1
+    selection matrix SEL[p, c] = [p % 128 == c]: the per-column reduction is
+    itself an int8 MXU matmul, so the whole statistics pass is MXU-bound
+    (the VPU reshape-reduce alternative measured 3x slower — lane-axis
+    reshapes relayout).
+  * **Masking without masks**: alpha-skipped pixels are pre-zeroed in XLA
+    and their per-column population subtracted from bin 0 afterwards;
+    stripe padding is likewise subtracted (bin (0,0) for the vectorscope,
+    bin 0 per column for the waveform).  Exact integer corrections — no
+    256-wide mask AND in the hot loop.
 
 Histograms reuse the waveform accumulator: ``hist = wv.sum(-1)``
 (identical counting semantics, reference src/histogram.c:357-395).
 
 All outputs are raw int32 counts; saturation (and u8 cast) happens at the
-caller so multi-device psum merges stay bit-exact.
+caller so multi-device psum merges stay bit-exact (reference semantics:
+u8 saturating increments, src/vectorscope.c:217-238, src/waveform.c:220-257
+— saturation commutes with counting).
 """
 
 from __future__ import annotations
@@ -28,72 +40,80 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 N_BINS = 256
-_ROW_BLOCK = 128
-_COL_BLOCK = 128
-# Rows per one-hot/matmul sub-tile inside a block.  Swept on v5e: 64 is
-# ~1.5x faster than 32 (larger vector ops, K=8192 matmuls); 128 is equal
-# but doubles transient VMEM.
-_SUB = 64
+_LANES = 8192
+_COLS = 128           # image columns per stripe
+_ROWS = _LANES // _COLS  # image rows per flat row (64)
 
 
-def _pad_to(x: jax.Array, h: int, w: int, axes=(0, 1), fill=0) -> jax.Array:
-    pads = [(0, 0)] * x.ndim
-    pads[axes[0]] = (0, h - x.shape[axes[0]])
-    pads[axes[1]] = (0, w - x.shape[axes[1]])
-    if any(p != (0, 0) for p in pads):
-        x = jnp.pad(x, pads, constant_values=fill)
-    return x
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
 
-def _round_up(a: int, b: int) -> int:
-    return -(-a // b) * b
+def _stripe4(plane: jax.Array) -> jax.Array:
+    """(H, W) u8 -> (S, Rf, 1, 8192) column-stripe layout, zero-padded.
+
+    Lane L of a flat row belongs to image column (stripe*128 + L%128); the
+    64 row-groups of a flat row are consecutive image rows.
+    """
+    h, w = plane.shape
+    s = _cdiv(w, _COLS)
+    rf = _cdiv(h, _ROWS)
+    p = jnp.pad(plane, ((0, rf * _ROWS - h), (0, s * _COLS - w)))
+    return p.reshape(rf * _ROWS, s, _COLS).swapaxes(0, 1).reshape(s, rf, 1, _LANES)
+
+
+def _sel_matrix() -> jax.Array:
+    """SEL[p, c] = [p % 128 == c] as int8 (the waveform's column-reduction
+    matmul operand); built on device, folded by XLA."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _COLS), 0) % _COLS
+    c = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _COLS), 1)
+    return (r == c).astype(jnp.int8)
+
+
+def _in4(c: int | None = None) -> pl.BlockSpec:
+    if c is None:
+        return pl.BlockSpec(
+            (1, 1, 1, _LANES), lambda s, r: (s, r, 0, 0), memory_space=pltpu.VMEM
+        )
+    return pl.BlockSpec(
+        (c, 1, 1, 1, _LANES), lambda s, r: (0, s, r, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _one_hot_bins_first(row: jax.Array) -> jax.Array:
+    """(1, 8192) u8 -> (256, 8192) int8 one-hot (sublane broadcast-compare)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N_BINS, _LANES), 0)
+    return (iota == row.astype(jnp.int32)).astype(jnp.int8)
+
+
+def _nt_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(256, K) x (256, K) -> (256, 256) int32, contracting the lane axis."""
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
 
 
 # ---------------------------------------------------------------------------
 # Vectorscope
 # ---------------------------------------------------------------------------
 
-def _vs_kernel(h: int, w: int, u_ref, v_ref, out_ref):
-    j = pl.program_id(0)  # column tile
-    i = pl.program_id(1)  # row block (fast axis)
+def _vs_kernel(u_ref, v_ref, out_ref):
+    s = pl.program_id(0)
+    r = pl.program_id(1)
 
-    @pl.when((i == 0) & (j == 0))
+    @pl.when((s == 0) & (r == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    row0 = i * _ROW_BLOCK
-    col0 = j * _COL_BLOCK
-
-    def sub(s, _):
-        u = u_ref[pl.ds(s * _SUB, _SUB), :].astype(jnp.int32)
-        v = v_ref[pl.ds(s * _SUB, _SUB), :].astype(jnp.int32)
-        # out-of-bounds rows/cols -> value 256 (misses every bin)
-        rows = row0 + s * _SUB + jax.lax.broadcasted_iota(
-            jnp.int32, (_SUB, _COL_BLOCK), 0
-        )
-        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (_SUB, _COL_BLOCK), 1)
-        u = jnp.where((rows < h) & (cols < w), u, 256)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N_BINS), 2)
-        ohu = (u[:, :, None] == iota).astype(jnp.int8).reshape(
-            _SUB * _COL_BLOCK, N_BINS
-        )
-        ohv = (v[:, :, None] == iota).astype(jnp.int8).reshape(
-            _SUB * _COL_BLOCK, N_BINS
-        )
-        out_ref[:] += jax.lax.dot_general(
-            ohv,
-            ohu,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        return _
-
-    jax.lax.fori_loop(0, _ROW_BLOCK // _SUB, sub, None)
+    ohu = _one_hot_bins_first(u_ref[0, 0])
+    ohv = _one_hot_bins_first(v_ref[0, 0])
+    out_ref[:] += _nt_matmul(ohv, ohu)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -103,52 +123,49 @@ def vectorscope_pallas_i32(yuv_planes: jax.Array, interpret: bool = False) -> ja
     yuv_planes: uint8 (3, H, W) in Y,U,V plane order.
     """
     h, w = yuv_planes.shape[1], yuv_planes.shape[2]
-    hp = _round_up(h, _ROW_BLOCK)
-    wp = _round_up(w, _COL_BLOCK)
-    u = _pad_to(yuv_planes[1], hp, wp)
-    v = _pad_to(yuv_planes[2], hp, wp)
-    grid = (wp // _COL_BLOCK, hp // _ROW_BLOCK)
-    return pl.pallas_call(
-        functools.partial(_vs_kernel, h, w),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (_ROW_BLOCK, _COL_BLOCK), lambda j, i: (i, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (_ROW_BLOCK, _COL_BLOCK), lambda j, i: (i, j), memory_space=pltpu.VMEM
-            ),
-        ],
+    u_s = _stripe4(yuv_planes[1])
+    v_s = _stripe4(yuv_planes[2])
+    s, rf = u_s.shape[0], u_s.shape[1]
+    counts = pl.pallas_call(
+        _vs_kernel,
+        grid=(s, rf),
+        in_specs=[_in4(), _in4()],
         out_specs=pl.BlockSpec(
-            (N_BINS, N_BINS), lambda j, i: (0, 0), memory_space=pltpu.VMEM
+            (N_BINS, N_BINS), lambda s, r: (0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((N_BINS, N_BINS), jnp.int32),
         interpret=interpret,
-    )(u, v)
+    )(u_s, v_s)
+    # stripe padding is zero-valued -> counted at (v=0, u=0); subtract exactly
+    n_pad = s * _COLS * rf * _ROWS - h * w
+    return counts.at[0, 0].add(jnp.int32(-n_pad))
 
 
 # ---------------------------------------------------------------------------
 # Waveform (+ histogram via column sum)
 # ---------------------------------------------------------------------------
 
-def _wv_kernel(c: int, planes_ref, mask_ref, out_ref):
-    i = pl.program_id(1)  # row block (fast axis)
+def _wv_kernel(c: int, data_ref, sel_ref, out_ref):
+    r = pl.program_id(1)
 
-    @pl.when(i == 0)
+    @pl.when(r == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    def sub(s, _):
-        m = mask_ref[pl.ds(s * _SUB, _SUB), :].astype(jnp.int32)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (N_BINS, 1, 1), 0)
-        for ci in range(c):
-            vals = planes_ref[ci, pl.ds(s * _SUB, _SUB), :].astype(jnp.int32)
-            vals = jnp.where(m != 0, vals, 256)  # skipped pixels miss all bins
-            oh = (iota == vals[None, :, :]).astype(jnp.int8)  # (256, SUB, 128)
-            out_ref[ci, :, :] += oh.sum(axis=1, dtype=jnp.int32)
-        return _
+    for ci in range(c):
+        oh = _one_hot_bins_first(data_ref[ci, 0, 0])
+        out_ref[ci] += jax.lax.dot_general(
+            oh, sel_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
 
-    jax.lax.fori_loop(0, _ROW_BLOCK // _SUB, sub, None)
+
+def _wv_corrections(mask: jax.Array, h: int, w: int, rf: int) -> jax.Array:
+    """Per-column count of pixels that were force-zeroed: alpha-skipped ones
+    plus the (rf*64 - h) stripe pad rows every column receives."""
+    skipped = jnp.sum(~mask, axis=0, dtype=jnp.int32)
+    return skipped + jnp.int32(rf * _ROWS - h)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -160,31 +177,24 @@ def waveform_pallas_i32(
     planes_in: uint8 (C, H, W) value planes; mask: bool (H, W).
     """
     c, h, w = planes_in.shape
-    hp = _round_up(h, _ROW_BLOCK)
-    wp = _round_up(w, _COL_BLOCK)
-    planes = _pad_to(planes_in, hp, wp, axes=(1, 2))
-    m = _pad_to(mask.astype(jnp.uint8), hp, wp)
-    grid = (wp // _COL_BLOCK, hp // _ROW_BLOCK)
-    out = pl.pallas_call(
+    vals = jnp.where(mask[None], planes_in, 0)
+    striped = jax.vmap(_stripe4)(vals)  # (C, S, Rf, 1, LANES)
+    s, rf = striped.shape[1], striped.shape[2]
+    wv = pl.pallas_call(
         functools.partial(_wv_kernel, c),
-        grid=grid,
+        grid=(s, rf),
         in_specs=[
-            pl.BlockSpec(
-                (c, _ROW_BLOCK, _COL_BLOCK),
-                lambda j, i: (0, i, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (_ROW_BLOCK, _COL_BLOCK), lambda j, i: (i, j), memory_space=pltpu.VMEM
-            ),
+            _in4(c),
+            pl.BlockSpec((_LANES, _COLS), lambda s, r: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (c, N_BINS, _COL_BLOCK), lambda j, i: (0, 0, j), memory_space=pltpu.VMEM
+            (c, N_BINS, _COLS), lambda s, r: (0, 0, s), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((c, N_BINS, wp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((c, N_BINS, s * _COLS), jnp.int32),
         interpret=interpret,
-    )(planes, m)
-    return out[:, :, :w]
+    )(striped, _sel_matrix())
+    wv = wv[:, :, :w]
+    return wv.at[:, 0, :].add(-_wv_corrections(mask, h, w, rf)[None, :])
 
 
 def histogram_from_waveform(wv_i32: jax.Array) -> jax.Array:
@@ -193,63 +203,32 @@ def histogram_from_waveform(wv_i32: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Fused vectorscope + waveform (the dock's hot combination)
-#
-# The VS matmul rides the MXU while the waveform one-hot reduction rides the
-# VPU; in one kernel Mosaic can overlap them, where separate pallas_calls
-# serialize (~1.3 ms saved per 4K frame at scale 2).
+# Fused vectorscope + waveform (the dock's hot combination): one kernel,
+# shared grid, everything on the MXU.
 # ---------------------------------------------------------------------------
 
-def _fused_kernel(c: int, h: int, w: int, planes_ref, u_ref, v_ref, mask_ref,
-                  vs_ref, wv_ref):
-    j = pl.program_id(0)
-    i = pl.program_id(1)
+def _fused_kernel(c: int, u_ref, v_ref, data_ref, sel_ref, vs_ref, wv_ref):
+    s = pl.program_id(0)
+    r = pl.program_id(1)
 
-    @pl.when((i == 0) & (j == 0))
+    @pl.when((s == 0) & (r == 0))
     def _():
         vs_ref[:] = jnp.zeros_like(vs_ref)
 
-    @pl.when(i == 0)
+    @pl.when(r == 0)
     def _():
         wv_ref[:] = jnp.zeros_like(wv_ref)
 
-    row0 = i * _ROW_BLOCK
-    col0 = j * _COL_BLOCK
-    iota_px = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N_BINS), 2)
-    iota_bins = jax.lax.broadcasted_iota(jnp.int32, (N_BINS, 1, 1), 0)
-
-    def body(s, _):
-        # --- waveform: bins-on-sublanes one-hot row reduction (VPU) ---
-        m = mask_ref[pl.ds(s * _SUB, _SUB), :].astype(jnp.int32)
-        for ci in range(c):
-            vals = planes_ref[ci, pl.ds(s * _SUB, _SUB), :].astype(jnp.int32)
-            vals = jnp.where(m != 0, vals, 256)
-            oh = (iota_bins == vals[None]).astype(jnp.int8)
-            wv_ref[ci, :, :] += oh.sum(axis=1, dtype=jnp.int32)
-
-        # --- vectorscope: one_hot(V)^T @ one_hot(U) (MXU) ---
-        u = u_ref[pl.ds(s * _SUB, _SUB), :].astype(jnp.int32)
-        v = v_ref[pl.ds(s * _SUB, _SUB), :].astype(jnp.int32)
-        rows = row0 + s * _SUB + jax.lax.broadcasted_iota(
-            jnp.int32, (_SUB, _COL_BLOCK), 0
-        )
-        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (_SUB, _COL_BLOCK), 1)
-        u = jnp.where((rows < h) & (cols < w), u, 256)
-        ohu = (u[:, :, None] == iota_px).astype(jnp.int8).reshape(
-            _SUB * _COL_BLOCK, N_BINS
-        )
-        ohv = (v[:, :, None] == iota_px).astype(jnp.int8).reshape(
-            _SUB * _COL_BLOCK, N_BINS
-        )
-        vs_ref[:] += jax.lax.dot_general(
-            ohv,
-            ohu,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+    ohu = _one_hot_bins_first(u_ref[0, 0])
+    ohv = _one_hot_bins_first(v_ref[0, 0])
+    vs_ref[:] += _nt_matmul(ohv, ohu)
+    for ci in range(c):
+        oh = _one_hot_bins_first(data_ref[ci, 0, 0])
+        wv_ref[ci] += jax.lax.dot_general(
+            oh, sel_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        return _
-
-    jax.lax.fori_loop(0, _ROW_BLOCK // _SUB, body, None)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -265,46 +244,36 @@ def fused_vs_wv_pallas_i32(
     mask: (H, W) bool (waveform alpha skip; VS counts every pixel).
     """
     c, h, w = planes_in.shape
-    hp = _round_up(h, _ROW_BLOCK)
-    wp = _round_up(w, _COL_BLOCK)
-    planes = _pad_to(planes_in, hp, wp, axes=(1, 2))
-    u = _pad_to(yuv_planes[1], hp, wp)
-    v = _pad_to(yuv_planes[2], hp, wp)
-    m = _pad_to(mask.astype(jnp.uint8), hp, wp)
-    grid = (wp // _COL_BLOCK, hp // _ROW_BLOCK)
+    vals = jnp.where(mask[None], planes_in, 0)
+    striped = jax.vmap(_stripe4)(vals)
+    u_s = _stripe4(yuv_planes[1])
+    v_s = _stripe4(yuv_planes[2])
+    s, rf = u_s.shape[0], u_s.shape[1]
     vs, wv = pl.pallas_call(
-        functools.partial(_fused_kernel, c, h, w),
-        grid=grid,
+        functools.partial(_fused_kernel, c),
+        grid=(s, rf),
         in_specs=[
-            pl.BlockSpec(
-                (c, _ROW_BLOCK, _COL_BLOCK),
-                lambda j, i: (0, i, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (_ROW_BLOCK, _COL_BLOCK), lambda j, i: (i, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (_ROW_BLOCK, _COL_BLOCK), lambda j, i: (i, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (_ROW_BLOCK, _COL_BLOCK), lambda j, i: (i, j), memory_space=pltpu.VMEM
-            ),
+            _in4(),
+            _in4(),
+            _in4(c),
+            pl.BlockSpec((_LANES, _COLS), lambda s, r: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
-                (N_BINS, N_BINS), lambda j, i: (0, 0), memory_space=pltpu.VMEM
+                (N_BINS, N_BINS), lambda s, r: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (c, N_BINS, _COL_BLOCK),
-                lambda j, i: (0, 0, j),
-                memory_space=pltpu.VMEM,
+                (c, N_BINS, _COLS), lambda s, r: (0, 0, s), memory_space=pltpu.VMEM
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N_BINS, N_BINS), jnp.int32),
-            jax.ShapeDtypeStruct((c, N_BINS, wp), jnp.int32),
+            jax.ShapeDtypeStruct((c, N_BINS, s * _COLS), jnp.int32),
         ),
         interpret=interpret,
-    )(planes, u, v, m)
-    return vs, wv[:, :, :w]
+    )(u_s, v_s, striped, _sel_matrix())
+    n_pad = s * _COLS * rf * _ROWS - h * w
+    vs = vs.at[0, 0].add(jnp.int32(-n_pad))
+    wv = wv[:, :, :w]
+    wv = wv.at[:, 0, :].add(-_wv_corrections(mask, h, w, rf)[None, :])
+    return vs, wv

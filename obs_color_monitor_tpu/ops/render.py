@@ -197,6 +197,19 @@ def blend_overlay(image: jax.Array, overlay: jax.Array) -> jax.Array:
     )
 
 
+@jax.jit
+def blend_overlay_planes(planes: jax.Array, overlay_planes: jax.Array) -> jax.Array:
+    """Planar twin of blend_overlay: (4, H, W) image, (4, H, W) overlay.
+
+    Same integer srcalpha/invsrcalpha rounding; alpha channel passes through.
+    """
+    a = overlay_planes[3:4].astype(jnp.int32)
+    s = overlay_planes[:3].astype(jnp.int32)
+    d = planes[:3].astype(jnp.int32)
+    rgb = (s * a + d * (255 - a) + 127) // 255
+    return jnp.concatenate([rgb.astype(jnp.uint8), planes[3:]], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("zoom",))
 def zoom_center(image: jax.Array, zoom: float) -> jax.Array:
     """Vectorscope mouse-wheel zoom about the center

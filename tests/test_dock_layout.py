@@ -188,6 +188,88 @@ def test_focuspeaking_actual_size(dock_frame):
     np.testing.assert_array_equal(img[y0 : y0 + h, x0 : x0 + w], scope_img)
 
 
+def _panel_parity(dock_frame, out_w, out_h, scale=1, **scope_cfgs):
+    """Build the model-layer Dock and the one-program step from the same
+    configs; assert the composited panels match pixel-for-pixel."""
+    import numpy as np
+
+    from obs_color_monitor_tpu.dock_step import make_dock_step
+
+    h, w = dock_frame.shape[:2]
+    dock = Dock(roi=ROIConfig(interleave=0, target_scale=scale), **scope_cfgs)
+    # twice: the waveform publishes its read buffer on the NEXT tick
+    # (reference wvs_tick double-buffer latency, src/waveform.c:394-400)
+    dock.push_frame(dock_frame)
+    dock.push_frame(dock_frame)
+    want = dock.render(width=out_w, height=out_h)
+    step = make_dock_step(
+        h,
+        w,
+        cs=dock.hub.colorspace,
+        scale=scale,
+        out_width=out_w,
+        out_height=out_h,
+        **{k: v for k, v in scope_cfgs.items()},
+    )
+    got = np.asarray(step(dock_frame, np.float32(dock.zebra.tm)).panel)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dock_step_panel_parity_default(dock_frame):
+    _panel_parity(dock_frame, 192, 1100)
+
+
+def test_dock_step_panel_parity_falsecolor_key_and_lut(dock_frame):
+    """LUT + key legend in the one-program dock must match the model layer
+    (reference key drawing src/zebra.c:385-597, LUT falsecolor.effect:36-37)."""
+    import numpy as np
+
+    from obs_color_monitor_tpu.config import FalseColorConfig, ShowKey
+
+    lut = np.zeros((64, 4), np.uint8)
+    lut[:, 0] = np.arange(64) * 4
+    lut[:, 2] = 255 - np.arange(64) * 4
+    lut[:, 3] = 255
+    for key in (ShowKey.LEFT, ShowKey.BELOW, ShowKey.OUTSIDE):
+        _panel_parity(
+            dock_frame,
+            160,
+            900,
+            falsecolor=FalseColorConfig(use_lut=True, lut=lut, show_key=key),
+        )
+
+
+def test_dock_step_panel_parity_key_no_lut(dock_frame):
+    from obs_color_monitor_tpu.config import FalseColorConfig, ShowKey
+
+    _panel_parity(
+        dock_frame, 160, 900, falsecolor=FalseColorConfig(show_key=ShowKey.TOP)
+    )
+
+
+def test_dock_step_panel_parity_fp_actual_size(dock_frame):
+    from obs_color_monitor_tpu.config import FocusPeakingConfig
+
+    _panel_parity(
+        dock_frame, 96, 700, focuspeaking=FocusPeakingConfig(actual_size=True)
+    )
+
+
+def test_dock_step_panel_parity_per_scope_colorspace(dock_frame):
+    """Overlay scopes use their OWN colorspace in the dock (reference
+    zbs_render, src/zebra.c:620) while stats use the hub's conversion."""
+    from obs_color_monitor_tpu.colorspace import Colorspace
+    from obs_color_monitor_tpu.config import FalseColorConfig, ZebraConfig
+
+    _panel_parity(
+        dock_frame,
+        160,
+        1000,
+        zebra=ZebraConfig(colorspace=Colorspace.BT601),
+        falsecolor=FalseColorConfig(colorspace=Colorspace.BT601),
+    )
+
+
 def test_render_device_matches_shape_and_caches(dock_frame):
     import numpy as np
 
