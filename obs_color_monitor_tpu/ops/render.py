@@ -42,6 +42,20 @@ def _scale_q12(v: jax.Array, coef_q12) -> jax.Array:
     return (v * jnp.asarray(coef_q12, jnp.int32) + 2048) >> 12
 
 
+def _compose_rgba(r: jax.Array, g: jax.Array, b: jax.Array) -> jax.Array:
+    """Three (H, W) channel planes (int values 0..255) -> (H, W, 4) u8 with
+    alpha 255, via one u32 compose + bitcast.  Stacking channels onto the
+    minor axis directly (moveaxis/stack) forces lane relayouts XLA executes
+    slowly; the u32 route is HBM-bound (same trick as convert.planarize)."""
+    x = (
+        r.astype(jnp.uint32)
+        | (g.astype(jnp.uint32) << 8)
+        | (b.astype(jnp.uint32) << 16)
+        | jnp.uint32(0xFF000000)
+    )
+    return jax.lax.bitcast_convert_type(x, jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("intensity", "cs", "white"))
 def render_vectorscope(
     counts: jax.Array, intensity: int, cs: int, white: bool
@@ -56,29 +70,26 @@ def render_vectorscope(
     """
     v = jnp.minimum(counts[::-1].astype(jnp.int32) * jnp.int32(intensity), 255)
     if white:
-        rgb = jnp.repeat(v[..., None], 3, axis=-1).astype(jnp.uint8)
-    else:
-        tint = VECTORSCOPE_TINT[Colorspace(cs)]
-        C = np.round(np.asarray(tint["color"][:3]) * 4096).astype(np.int64)
-        Cu = np.round(np.asarray(tint["color_u"]) * 4096).astype(np.int64)
-        Cv = np.round(np.asarray(tint["color_v"]) * 4096).astype(np.int64)
-        col = jax.lax.broadcasted_iota(jnp.int32, (VS_SIZE, VS_SIZE), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (VS_SIZE, VS_SIZE), 0)
-        # (2u-1) = (2col+1-256)/256 ; (1-2v) = (256-(2row+1))/256 at pixel
-        # centers; numerators kept integral over denominator 2^12 * 256.
-        fu = 2 * col + 1 - 256
-        fv = 256 - (2 * row + 1)
-        chans = []
-        for c in range(3):
-            num = jnp.int32(int(C[c]) * 256) + jnp.int32(int(Cu[c])) * fu + jnp.int32(
-                int(Cv[c])
-            ) * fv  # Q12 * 256 = Q20
-            prod = num * v  # |num| < 2^21, v <= 255 -> < 2^29
-            out = (prod + (1 << 19)) >> 20
-            chans.append(jnp.clip(out, 0, 255).astype(jnp.uint8))
-        rgb = jnp.stack(chans, axis=-1)
-    alpha = jnp.full((VS_SIZE, VS_SIZE, 1), 255, jnp.uint8)
-    return jnp.concatenate([rgb, alpha], axis=-1)
+        return _compose_rgba(v, v, v)
+    tint = VECTORSCOPE_TINT[Colorspace(cs)]
+    C = np.round(np.asarray(tint["color"][:3]) * 4096).astype(np.int64)
+    Cu = np.round(np.asarray(tint["color_u"]) * 4096).astype(np.int64)
+    Cv = np.round(np.asarray(tint["color_v"]) * 4096).astype(np.int64)
+    col = jax.lax.broadcasted_iota(jnp.int32, (VS_SIZE, VS_SIZE), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (VS_SIZE, VS_SIZE), 0)
+    # (2u-1) = (2col+1-256)/256 ; (1-2v) = (256-(2row+1))/256 at pixel
+    # centers; numerators kept integral over denominator 2^12 * 256.
+    fu = 2 * col + 1 - 256
+    fv = 256 - (2 * row + 1)
+    chans = []
+    for c in range(3):
+        num = jnp.int32(int(C[c]) * 256) + jnp.int32(int(Cu[c])) * fu + jnp.int32(
+            int(Cv[c])
+        ) * fv  # Q12 * 256 = Q20
+        prod = num * v  # |num| < 2^21, v <= 255 -> < 2^29
+        out = (prod + (1 << 19)) >> 20
+        chans.append(jnp.clip(out, 0, 255))
+    return _compose_rgba(*chans)
 
 
 def _disp_order(yuv_mode: bool) -> tuple[int, int, int]:
@@ -116,19 +127,22 @@ def render_waveform(
 
     n = n_components
     if n <= 1 or disp == DisplayMode.OVERLAY:
-        rgb = jnp.moveaxis(vals, 0, -1).astype(jnp.uint8)  # (256, W, 3)
-    else:
-        bands = (0, 1, 2) if n == 3 else (0, 2)
-        chans = []
-        for b in bands:
-            band_rgb = jnp.stack(
-                [_scale_q12(vals[b], _TINT_FIXED[b, c]) for c in range(3)], axis=-1
+        return _compose_rgba(vals[0], vals[1], vals[2])
+    bands = (0, 1, 2) if n == 3 else (0, 2)
+    # channel planes per band, concatenated planar, ONE compose at the end
+    axis = 0 if disp == DisplayMode.STACK else 1
+    chans = []
+    for c in range(3):
+        chans.append(
+            jnp.concatenate(
+                [
+                    jnp.clip(_scale_q12(vals[b], _TINT_FIXED[b, c]), 0, 255)
+                    for b in bands
+                ],
+                axis=axis,
             )
-            chans.append(jnp.clip(band_rgb, 0, 255).astype(jnp.uint8))
-        axis = 0 if disp == DisplayMode.STACK else 1
-        rgb = jnp.concatenate(chans, axis=axis)
-    alpha = jnp.full(rgb.shape[:-1] + (1,), 255, jnp.uint8)
-    return jnp.concatenate([rgb, alpha], axis=-1)
+        )
+    return _compose_rgba(*chans)
 
 
 @functools.partial(
@@ -165,23 +179,25 @@ def render_histogram(
 
     n = n_components
     if n <= 1 or disp == DisplayMode.OVERLAY:
-        rgb = jnp.moveaxis(
-            jnp.where(fill, jnp.uint8(255), jnp.uint8(0)), 0, -1
-        )  # (H, 256, 3)
-    else:
-        bands = (0, 1, 2) if n == 3 else (0, 2)
-        tint_u8 = np.floor(
-            np.clip(_TINT_ROWS, 0, 1) * 255.0 + 0.5
-        ).astype(np.uint8)  # quantized band colors
-        chans = []
-        for b in bands:
-            color = jnp.asarray(tint_u8[b])  # (3,)
-            band = jnp.where(fill[b][..., None], color, jnp.uint8(0))  # (H,256,3)
-            chans.append(band)
-        axis = 0 if disp == DisplayMode.STACK else 1
-        rgb = jnp.concatenate(chans, axis=axis)
-    alpha = jnp.full(rgb.shape[:-1] + (1,), 255, jnp.uint8)
-    return jnp.concatenate([rgb, alpha], axis=-1)
+        on = [jnp.where(fill[c], jnp.int32(255), jnp.int32(0)) for c in range(3)]
+        return _compose_rgba(*on)
+    bands = (0, 1, 2) if n == 3 else (0, 2)
+    tint_u8 = np.floor(
+        np.clip(_TINT_ROWS, 0, 1) * 255.0 + 0.5
+    ).astype(np.uint8)  # quantized band colors
+    axis = 0 if disp == DisplayMode.STACK else 1
+    chans = []
+    for c in range(3):
+        chans.append(
+            jnp.concatenate(
+                [
+                    jnp.where(fill[b], jnp.int32(int(tint_u8[b, c])), jnp.int32(0))
+                    for b in bands
+                ],
+                axis=axis,
+            )
+        )
+    return _compose_rgba(*chans)
 
 
 @jax.jit

@@ -29,12 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import pallas_stats
 from ..ops.convert import planarize, rgb_to_yuv_planes
-from ..ops.stats import (
-    histogram_counts,
-    vectorscope_counts_i32,
-    waveform_counts_i32,
-)
+from ..ops.fused import default_backend
+from ..ops.stats import vectorscope_counts_i32, waveform_counts_i32
 
 BATCH_AXIS = "batch"
 SPATIAL_AXIS = "rows"
@@ -52,59 +50,70 @@ def shard_batch(frames: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.device_put(frames, NamedSharding(mesh, P(BATCH_AXIS)))
 
 
-def batch_analyze(frames: jax.Array, mesh: Mesh, cs: int):
+def batch_analyze(frames: jax.Array, mesh: Mesh, cs: int, backend: str | None = None):
     """Pure batch-DP: vmap the fused stats over sharded frames.
 
     Returns (vs_counts (B,256,256) u8, hist (B,3,256) u32,
     waveform (B,3,256,W) u8) with outputs sharded like the inputs.
+    backend None = auto (Pallas kernels on TPU, XLA elsewhere).
     """
-    from ..ops.stats import vectorscope_counts, waveform_counts
 
-    @functools.partial(jax.jit, static_argnames=("cs_",))
-    def run(f, cs_):
+    @functools.partial(jax.jit, static_argnames=("cs_", "backend_"))
+    def run(f, cs_, backend_):
         def one(frame):
             planes = planarize(frame)
             yuv = rgb_to_yuv_planes(planes, cs=cs_)
             mask = planes[3] != 0
+            vs, wv = _stats_i32(planes, yuv, mask, backend_)
             return (
-                vectorscope_counts(yuv),
-                histogram_counts(planes[:3], mask),
-                waveform_counts(planes[:3], mask),
+                jnp.minimum(vs, 255).astype(jnp.uint8),
+                wv.sum(axis=-1).astype(jnp.uint32),
+                jnp.minimum(wv, 255).astype(jnp.uint8),
             )
 
         return jax.vmap(one)(f)
 
     with jax.set_mesh(mesh):
-        return run(shard_batch(frames, mesh), cs_=cs)
+        return run(shard_batch(frames, mesh), cs_=cs, backend_=backend or default_backend())
 
 
-def spatial_analyze(frame: jax.Array, mesh: Mesh, cs: int):
+def _stats_i32(planes, yuv, mask, backend: str):
+    """Unsaturated (vs (256,256), wv (3,256,W)) int32 via the selected
+    backend — on real TPU the Mosaic kernels run inside shard_map/vmap too,
+    so the sharded paths get the same speed-of-light formulation as the
+    single-chip step."""
+    if backend == "pallas":
+        return pallas_stats.fused_vs_wv_pallas_i32(planes[:3], yuv, mask)
+    return vectorscope_counts_i32(yuv), waveform_counts_i32(planes[:3], mask)
+
+
+def spatial_analyze(frame: jax.Array, mesh: Mesh, cs: int, backend: str | None = None):
     """One frame, rows sharded over the mesh; partial bins psum-merged.
 
     frame: (H, W, 4) u8 with H divisible by the mesh size.  Returns
     (vs u8 (256,256), hist u32 (3,256), waveform u8 (3,256,W)) replicated.
+    The histogram is the column sum of the merged waveform (identical
+    counting semantics, reference src/histogram.c:357-395).
     """
     (axis,) = mesh.axis_names
     n = mesh.devices.size
     h = frame.shape[0]
     if h % n:
         raise ValueError(f"height {h} not divisible by mesh size {n}")
+    backend = backend or default_backend()
 
     def shard_fn(f):
         # f: (H/n, W, 4) — this device's row block
         planes = planarize(f)
         yuv = rgb_to_yuv_planes(planes, cs=cs)
         mask = planes[3] != 0
-        vs = vectorscope_counts_i32(yuv)
-        hi = histogram_counts(planes[:3], mask).astype(jnp.int32)
-        wv = waveform_counts_i32(planes[:3], mask)
+        vs, wv = _stats_i32(planes, yuv, mask, backend)
         # merge partial integer counts over ICI, THEN saturate
         vs = jax.lax.psum(vs, axis)
-        hi = jax.lax.psum(hi, axis)
         wv = jax.lax.psum(wv, axis)
         return (
             jnp.minimum(vs, 255).astype(jnp.uint8),
-            hi.astype(jnp.uint32),
+            wv.sum(axis=-1).astype(jnp.uint32),
             jnp.minimum(wv, 255).astype(jnp.uint8),
         )
 
