@@ -12,61 +12,101 @@ from pathlib import Path
 
 _LOCALE_DIR = Path(__file__).resolve().parents[1] / "data" / "locale"
 
-# Built-in en-US strings (the reference's data/locale/en-US.ini key set).
+# Built-in en-US strings (full key set of the reference's
+# data/locale/en-US.ini, 91 keys; data/locale/en-US.json is the same
+# table on disk for tooling).
 _EN_US = {
-    "Vectorscope": "Vectorscope",
-    "Waveform": "Waveform",
-    "Histogram": "Histogram",
-    "Zebra": "Zebra",
-    "FalseColor": "False Color",
-    "FocusPeaking.Name": "Focus Peaking",
-    "ROI": "ROI",
-    "Source": "Source",
-    "Scale": "Scale",
-    "Bypass": "Bypass",
-    "Intensity": "Intensity",
-    "Graticule": "Graticule",
-    "Skin tone color": "Skin tone color",
-    "Color space": "Color space",
-    "Auto": "Auto",
     "601": "601",
     "709": "709",
-    "Display": "Display",
-    "Overlay": "Overlay",
-    "Stack": "Stack",
-    "Parade": "Parade",
-    "Components": "Components",
-    "RGB": "RGB",
-    "Luma": "Luma",
+    "Amber": "Amber",
+    "Amber, IQ": "Amber, IQ",
+    "Auto": "Auto",
+    "Basic.PropertiesWindow.AddEditableListEntry": "Add entry to '%1'",
+    "Basic.PropertiesWindow.AutoSelectFormat": "%1 (autoselect: %2)",
+    "Basic.PropertiesWindow.EditEditableListEntry": "Edit entry from '%1'",
+    "Basic.PropertiesWindow.SelectColor": "Select color",
+    "Basic.PropertiesWindow.SelectFont": "Select font",
+    "Bypass": "Bypass",
     "Chroma": "Chroma",
-    "YUV": "YUV",
-    "Height": "Height",
-    "Log scale": "Log scale",
-    "Level mode": "Level mode",
-    "Pixels": "Pixels",
-    "Ratio": "Ratio",
-    "Top level": "Top level",
-    "None": "None",
-    "Threshold (lower)": "Threshold (lower)",
-    "Threshold (high)": "Threshold (high)",
-    "Interleave": "Interleave",
-    "VS.Prop.ColorType": "Color",
-    "VS.Prop.ColorType.White": "White",
-    "VS.Prop.ColorType.UV": "Chroma",
+    "Color space": "Color space",
+    "Components": "Components",
+    "Display": "Display",
+    "False Color": "False Color",
     "FalseColor.Prop.LUT": "Use LUT",
-    "FalseColor.Prop.LUTFile": "LUT file",
-    "Prop.ShowKey": "Show key",
-    "Prop.ShowKey.None": "None",
-    "Prop.ShowKey.Left": "Left",
-    "Prop.ShowKey.Right": "Right",
-    "Prop.ShowKey.Outside": "Outside",
-    "Prop.ShowKey.Top": "Top",
-    "Prop.ShowKey.Bottom": "Bottom",
-    "Prop.ShowKey.Below": "Below",
-    "FocusPeaking.Prop.PeakingColor": "Peaking color",
-    "FocusPeaking.Prop.PeakingThreshold": "Peaking threshold",
-    "FocusPeaking.Prop.ActualSize": "Actual size",
+    "FalseColor.Prop.LUTFile": "LUT file name",
+    "FalseColor.Prop.LUTFile.Filter.All": "All files",
+    "FalseColor.Prop.LUTFile.Filter.Image": "All image files",
+    "FocusPeaking.Name": "Focus Peaking",
+    "FocusPeaking.Prop.ActualSize": "Actual Size",
+    "FocusPeaking.Prop.PeakingColor": "Color",
+    "FocusPeaking.Prop.PeakingThreshold": "Threshold",
+    "Graticule": "Graticule",
+    "Graticule.Step.10": "Each 10%",
+    "Graticule.Step.100": "0%, 100%",
+    "Graticule.Step.20": "Each 20%",
+    "Graticule.Step.25": "Each 25%",
+    "Graticule.Step.50": "0%, 50%, 100%",
+    "Green": "Green",
+    "Green, IQ": "Green, IQ",
+    "Height": "Height",
+    "Hide": "Hide",
+    "Histogram": "Histogram",
+    "Histogram.Graticule.H": "Graticule (Horizontal)",
+    "Histogram.Graticule.V": "Graticule (Vertical)",
+    "Intensity": "Intensity",
+    "Interleave": "Interleave",
+    "Level mode": "Level mode",
+    "Log scale": "Log scale",
+    "Luma": "Luma",
+    "MainView": "Main view",
     "New Scope Dock...": "New Scope Dock...",
+    "None": "None",
+    "OK": "OK",
+    "Overlay": "Overlay",
+    "Parade": "Parade",
+    "Pixels": "Pixels",
+    "Preview": "Preview",
+    "Program": "Program",
+    "Prop.ShowKey": "Show key",
+    "Prop.ShowKey.Below": "Outside (Bottom)",
+    "Prop.ShowKey.Bottom": "Bottom",
+    "Prop.ShowKey.Left": "Left",
+    "Prop.ShowKey.None": "None",
+    "Prop.ShowKey.Outside": "Outside (Right)",
+    "Prop.ShowKey.Right": "Right",
+    "Prop.ShowKey.Top": "Top",
+    "RGB": "RGB",
+    "ROI": "ROI",
+    "Ratio": "Ratio",
+    "Scale": "Scale",
+    "Show": "Show",
+    "Skin tone color": "Skin tone color",
+    "Source": "Source",
+    "Stack": "Stack",
+    "Threshold (high)": "Threshold (high)",
+    "Threshold (lower)": "Threshold (lower)",
+    "Top level": "Top level",
+    "VS.Prop.ColorType": "Color Type",
+    "VS.Prop.ColorType.UV": "Chroma",
+    "VS.Prop.ColorType.White": "White",
+    "Vectorscope": "Vectorscope",
+    "Waveform": "Waveform",
+    "YUV": "YUV",
+    "Zebra": "Zebra",
+    "dock.dialog.note": "Other sources can be selected from the property after creating the dock.",
+    "dock.dialog.title": "Dock Title",
+    "dock.menu.close": "Close (&X)",
+    "dock.menu.projector": "Open Pro&jector",
+    "dock.menu.properties": "Properties...",
+    "dock.menu.show.falsecolor": "Show &False Color",
+    "dock.menu.show.focuspeaking": "Show Focus &Peaking",
+    "dock.menu.show.histogram": "Show &Histogram",
+    "dock.menu.show.roi": "Show &ROI",
+    "dock.menu.show.vectorscope": "Show &Vectorscope",
+    "dock.menu.show.waveform": "Show &Waveform",
+    "dock.menu.show.zebra": "Show &Zebra",
+    "srclist.prefix.scene": "Scene: ",
+    "srclist.prefix.source": "Source: ",
 }
 
 _current: dict[str, str] = dict(_EN_US)

@@ -159,6 +159,32 @@ def test_i18n():
         set_locale("en-US")
 
 
+def test_i18n_reference_locales_complete():
+    """Every key of the reference's en-US.ini resolves in all 5 languages
+    (reference data/locale/{en-US,fr-FR,ja-JP,pt-BR,zh-CN}.ini, 91 keys)."""
+    import json
+    from pathlib import Path
+
+    from obs_color_monitor_tpu.utils import i18n
+
+    locale_dir = Path(i18n.__file__).resolve().parents[1] / "data" / "locale"
+    en_keys = set(json.loads((locale_dir / "en-US.json").read_text()))
+    assert len(en_keys) == 91
+    assert en_keys == set(i18n._EN_US)  # builtin covers the full key set
+    for tag in ("fr-FR", "ja-JP", "pt-BR", "zh-CN"):
+        table = json.loads((locale_dir / f"{tag}.json").read_text(encoding="utf-8"))
+        assert set(table) == en_keys, f"{tag} key set diverges"
+        i18n.set_locale(tag)
+        try:
+            for k in en_keys:
+                assert i18n.text(k)  # resolves, non-empty
+            # spot-check a translation actually differs from the key
+            # (pt-BR keeps "Vectorscope" untranslated in the reference)
+            assert i18n.text("Interleave") != "Interleave"
+        finally:
+            i18n.set_locale("en-US")
+
+
 def test_dock_manager(tmp_path):
     from obs_color_monitor_tpu.utils.persistence import DockManager
 
