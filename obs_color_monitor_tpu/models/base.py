@@ -24,6 +24,8 @@ from ..colorspace import Colorspace, calc_colorspace
 from ..config import CaptureConfig, ROIConfig
 from ..ops.fused import AnalysisResult, analyze
 
+_MISS = object()
+
 # Capture flags (reference src/common.h:90-93).
 FLAG_CONVERT_RGB = 1
 FLAG_CONVERT_YUV = 2
@@ -118,16 +120,41 @@ class Scope:
         if getattr(self.config, "bypass", False) and surface.result.planes is not None:
             self._bypass_planes = surface.result.planes
 
-    def render_bypass(self) -> Optional[np.ndarray]:
-        """The scaled captured frame itself (reference bypass mode)."""
+    def render_bypass(self):
+        """The scaled captured frame itself (reference bypass mode);
+        device-resident RGBA."""
         if self._bypass_planes is None:
             return None
-        return np.moveaxis(np.asarray(self._bypass_planes), 0, -1)
+        from ..ops.convert import planes_to_rgba
+
+        return planes_to_rgba(self._bypass_planes)
+
+    # -- cached device constants (graticules, key legends) -------------------
+    _const_cache: Optional[dict] = None
+
+    def _device_const(self, key, build):
+        """Host-built overlays are constant per config: build once, keep on
+        device (streamed frames must not re-upload them every render)."""
+        if self._const_cache is None:
+            self._const_cache = {}
+        hit = self._const_cache.get(key, _MISS)
+        if hit is _MISS:
+            v = build()
+            hit = None if v is None else jax.device_put(np.ascontiguousarray(v))
+            self._const_cache[key] = hit
+        return hit
 
     # -- output -------------------------------------------------------------
+    def render_image(self):
+        """DEVICE-resident RGBA u8 image (jax.Array), or None before the
+        first frame.  No host transfer happens here — the dock composites
+        scope images on device and fetches the panel once."""
+        raise NotImplementedError
+
     def render(self) -> Optional[np.ndarray]:
         """RGBA u8 image of the scope, or None before the first frame."""
-        raise NotImplementedError
+        img = self.render_image()
+        return None if img is None else np.asarray(img)
 
     @property
     def width(self) -> int:

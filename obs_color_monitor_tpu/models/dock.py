@@ -11,8 +11,10 @@ same layout rules.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import numpy as np
 
 from ..config import (
@@ -44,6 +46,57 @@ SCOPE_ORDER = (
 )
 
 
+def _composite(cy: int, cx: int, spec: tuple, images: tuple):
+    """Device panel composite for a static layout: nearest resizes (or the
+    focus-peaking centered crop) + static canvas slices.  Pixel-identical to
+    the reference draw order (src/scope-widget.cpp:99-175)."""
+    import jax.numpy as jnp
+
+    from ..dock_step import _resize_nearest_rgba
+
+    canvas = jnp.zeros((cy, cx, 4), jnp.uint8)
+    canvas = canvas.at[..., 3].set(255)
+    for ((h_src, w_src), x0, y0, w, h, crop), img in zip(spec, images):
+        if crop is not None:
+            cy0, cx0 = crop
+            patch = img[cy0 : cy0 + h, cx0 : cx0 + w]
+        else:
+            patch = _resize_nearest_rgba(img, h, w)
+        canvas = canvas.at[y0 : y0 + h, x0 : x0 + w, :].set(patch)
+    return canvas
+
+
+@functools.partial(jax.jit, static_argnames=("rect",))
+def _shaded_preview(planes, rect: tuple[int, int, int, int]):
+    """ROI selection shading on device: 50% black outside the rect + green
+    border (reference draw_roi_range / draw_roi_rect, src/roi.c:207-265)."""
+    import jax.numpy as jnp
+
+    from ..ops.convert import planes_to_rgba
+
+    x0, y0, x1, y1 = rect
+    h, w = planes.shape[-2], planes.shape[-1]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    outside = (ri < y0) | (ri >= y1) | (ci < x0) | (ci >= x1)
+
+    def shade(p):
+        return jnp.where(
+            outside, (p.astype(jnp.int32) * 128) // 255, p.astype(jnp.int32)
+        ).astype(jnp.uint8)
+
+    chans = [shade(planes[0]), shade(planes[1]), shade(planes[2]), planes[3]]
+    green = (0, 255, 0, 255)
+    for c in range(4):
+        p = chans[c]
+        p = p.at[y0 : max(y0 + 1, 1), x0:x1].set(green[c])
+        p = p.at[max(y1 - 1, 0) : y1, x0:x1].set(green[c])
+        p = p.at[y0:y1, x0 : max(x0 + 1, 1)].set(green[c])
+        p = p.at[y0:y1, max(x1 - 1, 0) : x1].set(green[c])
+        chans[c] = p
+    return planes_to_rgba(jnp.stack(chans))
+
+
 class _RoiPreview(Scope):
     """The dock's row 0: the captured frame itself (the ROI source's own
     render, reference src/roi.c:279-315)."""
@@ -62,27 +115,17 @@ class _RoiPreview(Scope):
             self._size = (surface.width, surface.height)
             self._publish(surface.result.planes)
 
-    def render(self) -> Optional[np.ndarray]:
+    def render_image(self):
         v = self._read()
         if v is None:
             return None
-        img = np.moveaxis(np.asarray(v), 0, -1).copy()
-        # selection shading: 50% black outside the ROI + green rect border
-        # (reference draw_roi_range / draw_roi_rect, src/roi.c:207-265)
-        h, w = img.shape[:2]
-        x0, y0, x1, y1 = self._hub.config.resolve_rect(w, h)
-        if (x0, y0, x1, y1) != (0, 0, w, h):
-            mask = np.ones((h, w), bool)
-            mask[y0:y1, x0:x1] = False
-            img[mask, :3] = (img[mask, :3].astype(np.uint16) * 128 // 255).astype(
-                np.uint8
-            )
-            green = (0, 255, 0, 255)
-            img[y0 : max(y0 + 1, 1), x0:x1] = green
-            img[max(y1 - 1, 0) : y1, x0:x1] = green
-            img[y0:y1, x0 : max(x0 + 1, 1)] = green
-            img[y0:y1, max(x1 - 1, 0) : x1] = green
-        return img
+        h, w = v.shape[-2], v.shape[-1]
+        rect = self._hub.config.resolve_rect(w, h)
+        if rect == (0, 0, w, h):
+            from ..ops.convert import planes_to_rgba
+
+            return planes_to_rgba(v)
+        return _shaded_preview(v, rect)
 
     @property
     def width(self) -> int:
@@ -130,6 +173,7 @@ class Dock:
         # per-scope display rects from the last render, for mouse routing
         # (reference src/scope-widget.cpp:146-153,241-428)
         self._rects: dict[str, tuple[int, int, int, int]] = {}
+        self._composite_fns: dict = {}
         self.roi_interact = None  # created when the ROI preview is shown
 
     def shown(self, name: str) -> bool:
@@ -146,24 +190,28 @@ class Dock:
         """Composite all shown scopes (reference draw,
         src/scope-widget.cpp:99-175): vertical stack, each scope centered;
         vectorscope forced square; ROI/zebra/falsecolor/focuspeaking keep
-        their aspect; waveform/histogram stretch."""
+        their aspect; waveform/histogram stretch.
+
+        The composite runs ON DEVICE (nearest resizes + static slices) and
+        the finished panel is fetched in ONE transfer — scope images never
+        individually cross the host boundary (the round-1 path did ~8
+        fetches per panel; on a remote TPU that dominated render time)."""
         cx = width or self.config.width
         cy = height or self.config.height
-        canvas = np.zeros((cy, cx, 4), dtype=np.uint8)
-        canvas[..., 3] = 255
 
         shown = [n for n in SCOPE_ORDER if self.shown(n)]
         n_src = len(shown)
         self._rects = {}
+        spec: list[tuple] = []
+        images: list = []
         y0 = 0
         for k, name in enumerate(shown):
-            scope = self.scopes[name]
-            img = scope.render()
+            img = self.scopes[name].render_image()
             h_slot = (cy - y0) // (n_src - k)
             if img is None:
                 y0 += h_slot
                 continue
-            h_src, w_src = img.shape[0], img.shape[1]
+            h_src, w_src = int(img.shape[0]), int(img.shape[1])
             w, h = cx, h_slot
             keep_aspect = name in ("roi", "zebra", "falsecolor") or (
                 name == "focuspeaking" and not self.focuspeaking.config.actual_size
@@ -175,6 +223,7 @@ class Dock:
                     w = h * w_src // h_src
                 elif h * w_src > w * h_src:
                     h = w * h_src // w_src
+            crop = None
             if (
                 name == "focuspeaking"
                 and self.focuspeaking.config.actual_size
@@ -183,22 +232,20 @@ class Dock:
                 # 1:1 pixel mapping, centered, cropped to the slot
                 # (reference set_actual_size_matrix, focuspeaking.c:203-220)
                 w, h = min(w, w_src), min(h, h_src)
-                cx0 = (w_src - w) // 2
-                cy0 = (h_src - h) // 2
-                patch = img[cy0 : cy0 + h, cx0 : cx0 + w]
+                crop = ((h_src - h) // 2, (w_src - w) // 2)
+            if w > 0 and h > 0:
                 x0 = (cx - w) // 2
-                canvas[y0 : y0 + h, x0 : x0 + w] = patch
-                self._rects[name] = (x0, y0, w, h, w_src, h_src)
-            elif w > 0 and h > 0:
-                sy = (np.arange(h) * h_src) // h
-                sx = (np.arange(w) * w_src) // w
-                patch = img[sy][:, sx]
-                x0 = (cx - w) // 2
-                canvas[y0 : y0 + h, x0 : x0 + w] = patch
-                # rect + source dims for mouse routing
+                spec.append(((h_src, w_src), x0, y0, w, h, crop))
+                images.append(img)
                 self._rects[name] = (x0, y0, w, h, w_src, h_src)
             y0 += h_slot
-        return canvas
+
+        key = (cy, cx, tuple(spec))
+        fn = self._composite_fns.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(_composite, cy, cx, tuple(spec)))
+            self._composite_fns[key] = fn
+        return np.asarray(fn(tuple(images)))
 
     def render_device(
         self,

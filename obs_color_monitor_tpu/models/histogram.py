@@ -78,7 +78,7 @@ class Histogram(Scope, StandaloneScopeMixin):
         v = self._read()
         return None if v is None else np.asarray(v[0])
 
-    def render(self) -> Optional[np.ndarray]:
+    def render_image(self):
         if self.config.bypass:
             return self.render_bypass()
         v = self._read()
@@ -94,7 +94,7 @@ class Histogram(Scope, StandaloneScopeMixin):
             n_components=n,
             yuv_mode=self.config.components.is_yuv,
         )
-        overlay = histogram_graticule(
+        key = (
             self.config.graticule_vertical_lines,
             self.config.graticule_horizontal_step,
             self.config.level_height,
@@ -104,9 +104,10 @@ class Histogram(Scope, StandaloneScopeMixin):
             self.config.level_ratio_permille,
             self.config.logscale,
         )
+        overlay = self._device_const(key, lambda: histogram_graticule(*key))
         if overlay is not None:
             img = render_ops.blend_overlay(img, overlay)
-        return np.asarray(img)
+        return img
 
     @property
     def width(self) -> int:

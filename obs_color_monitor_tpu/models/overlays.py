@@ -55,7 +55,7 @@ class _OverlayScope(Scope, StandaloneScopeMixin):
         """Planar fast path: (4,H,W) in, (4,H,W) out."""
         raise NotImplementedError
 
-    def render(self) -> Optional[np.ndarray]:
+    def render_image(self):
         v = self._read()
         if v is None:
             return None
@@ -65,8 +65,9 @@ class _OverlayScope(Scope, StandaloneScopeMixin):
         # when ROI-fed (reference zbs_render uses src->cm.colorspace,
         # src/zebra.c:620; only the stats scopes inherit the surface's
         # colorspace, src/vectorscope.c:262).
-        out = np.asarray(self.apply_planes(planes, cs=None))
-        return np.moveaxis(out, 0, -1)
+        from ..ops.convert import planes_to_rgba
+
+        return planes_to_rgba(self.apply_planes(planes, cs=None))
 
     @property
     def width(self) -> int:
@@ -195,20 +196,23 @@ class FocusPeaking(_OverlayScope):
     def __init__(self, config: Optional[FocusPeakingConfig] = None):
         super().__init__(config or FocusPeakingConfig())
 
-    def apply(self, frame, cs=None):
+    def _peaking_color(self):
         cfg = self.config
-        color_u8 = quantize_unorm8(np.asarray(cfg.peaking_rgba, np.float32))
+        return self._device_const(
+            ("peak_color", tuple(cfg.peaking_rgba)),
+            lambda: quantize_unorm8(np.asarray(cfg.peaking_rgba, np.float32)),
+        )
+
+    def apply(self, frame, cs=None):
         return overlay_ops.focus_peaking(
             frame,
-            peaking_threshold_fixed(cfg.peaking_threshold),
-            jax.numpy.asarray(color_u8),
+            peaking_threshold_fixed(self.config.peaking_threshold),
+            self._peaking_color(),
         )
 
     def apply_planes(self, planes, cs=None):
-        cfg = self.config
-        color_u8 = quantize_unorm8(np.asarray(cfg.peaking_rgba, np.float32))
         return overlay_ops.focus_peaking_planes(
             planes,
-            peaking_threshold_fixed(cfg.peaking_threshold),
-            jax.numpy.asarray(color_u8),
+            peaking_threshold_fixed(self.config.peaking_threshold),
+            self._peaking_color(),
         )

@@ -47,7 +47,7 @@ class Vectorscope(Scope, StandaloneScopeMixin):
         """Mouse-wheel zoom (reference src/vectorscope.c:473-482)."""
         self.config.zoom = max(1.0, self.config.zoom * float(np.exp(wheel_delta * 5e-4)))
 
-    def render(self) -> Optional[np.ndarray]:
+    def render_image(self):
         if self.config.bypass:
             return self.render_bypass()
         counts = self._read()
@@ -60,15 +60,14 @@ class Vectorscope(Scope, StandaloneScopeMixin):
             cs=int(cs),
             white=self.config.color_type == VectorscopeColorType.WHITE,
         )
-        overlay = vectorscope_graticule(
-            int(self.config.graticule),
-            self.config.graticule_skintone_color,
-            int(cs),
+        key = (int(self.config.graticule), self.config.graticule_skintone_color, int(cs))
+        overlay = self._device_const(
+            key,
+            lambda: vectorscope_graticule(key[0], key[1], key[2]),
         )
         if overlay is not None:
             img = render_ops.blend_overlay(img, overlay)
-        img = render_ops.zoom_center(img, zoom=round(self.config.zoom, 3))
-        return np.asarray(img)
+        return render_ops.zoom_center(img, zoom=round(self.config.zoom, 3))
 
     @property
     def width(self) -> int:

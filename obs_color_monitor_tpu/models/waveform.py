@@ -64,7 +64,7 @@ class Waveform(Scope, StandaloneScopeMixin):
         # the read buffer only advances on tick (reference waveform.c:394-400)
         self._r_buf = self._w_buf ^ 1
 
-    def render(self) -> Optional[np.ndarray]:
+    def render_image(self):
         if self.config.bypass:
             return self.render_bypass()
         counts = self._buf[self._r_buf]
@@ -78,15 +78,16 @@ class Waveform(Scope, StandaloneScopeMixin):
             n_components=n,
             yuv_mode=self.config.components.is_yuv,
         )
-        overlay = waveform_graticule(
+        key = (
             self.config.graticule_lines,
             self._buf_width[self._r_buf],
             int(self.config.display),
             n,
         )
+        overlay = self._device_const(key, lambda: waveform_graticule(*key))
         if overlay is not None:
             img = render_ops.blend_overlay(img, overlay)
-        return np.asarray(img)
+        return img
 
     @property
     def width(self) -> int:

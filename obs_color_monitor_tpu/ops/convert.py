@@ -48,6 +48,15 @@ def interleave(planes: jax.Array) -> jax.Array:
     return jnp.moveaxis(planes, -3, -1)
 
 
+@jax.jit
+def planes_to_rgba(planes: jax.Array) -> jax.Array:
+    """(4, H, W) u8 -> (H, W, 4) u8 via u32 compose (planarize's inverse;
+    a direct moveaxis relayout is lane-hostile)."""
+    p = planes.astype(jnp.uint32)
+    x32 = p[0] | (p[1] << 8) | (p[2] << 16) | (p[3] << 24)
+    return jax.lax.bitcast_convert_type(x32, jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("cs",))
 def rgb_to_yuv_planes(planes: jax.Array, cs: int) -> jax.Array:
     """Quantized RGB->YUV on planes: (..., C>=3, H, W) u8 -> (..., 3, H, W).
@@ -128,12 +137,30 @@ def downscale_planes(planes: jax.Array, scale: int) -> jax.Array:
     # column pair sits inside one wider word, so a free bitcast + shifts
     # extracts it at full lane utilization (little-endian byte order).
     if scale == 2:
-        x16 = jax.lax.bitcast_convert_type(
-            x.reshape(x.shape[:-1] + (ow, 2)), jnp.uint16
-        ).astype(jnp.int32)  # (..., H, ow); u16 = (col0 | col1<<8)
-        csum = (x16 & 0xFF) + (x16 >> 8)
-        s = row_pairs(csum, 0)
-        return ((s + 2) >> 2).astype(jnp.uint8)
+        # Column pairs ride the MXU: a bf16 matmul against the fixed 0/1
+        # pair matrix P[k, j] = [k//2 == j].  Exact: u8 values are exact in
+        # bf16, products are the values themselves, and the f32 accumulation
+        # of two terms <= 510 is exact.  Measured ~0.3 ms faster than the
+        # u16-bitcast VPU variant in the full 4K analysis pipeline (the f32
+        # output fuses into the YUV/stripe consumers).
+        wpad = (-x.shape[-1]) % 256
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, wpad)])
+        nb = xp.shape[-1] // 256
+        xb = xp.reshape(xp.shape[:-1] + (nb, 256)).astype(jnp.bfloat16)
+        pair = (
+            jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0) // 2
+            == jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
+        ).astype(jnp.bfloat16)
+        csum = jax.lax.dot_general(
+            xb,
+            pair,
+            dimension_numbers=(((xb.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (..., H, nb, 128)
+        csum = csum.reshape(csum.shape[:-2] + (nb * 128,))[..., :ow]
+        rows = csum.reshape(csum.shape[:-2] + (oh, 2, ow))
+        s = rows[..., :, 0, :] + rows[..., :, 1, :]
+        return jnp.floor((s + 2.0) * 0.25).astype(jnp.uint8)
     if scale == 4:
         x32 = jax.lax.bitcast_convert_type(
             x.reshape(x.shape[:-1] + (ow, 4)), jnp.uint32

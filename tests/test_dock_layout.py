@@ -270,6 +270,34 @@ def test_dock_step_panel_parity_per_scope_colorspace(dock_frame):
     )
 
 
+def test_dock_render_single_fetch(dock_frame, monkeypatch):
+    """Dock.render composites on device and fetches the panel ONCE — scope
+    images never individually cross the host boundary (round-1 did ~8
+    transfers per panel)."""
+    import jax
+    import numpy as np
+
+    dock = Dock(roi=ROIConfig(interleave=0, target_scale=1))
+    dock.push_frame(dock_frame)
+    dock.push_frame(dock_frame)
+    dock.render(width=128, height=900)  # warm compile + overlay constants
+
+    fetches = 0
+    orig = np.asarray
+
+    def counting(x, *a, **k):
+        nonlocal fetches
+        if isinstance(x, jax.Array):
+            fetches += 1
+        return orig(x, *a, **k)
+
+    monkeypatch.setattr(np, "asarray", counting)
+    dock.push_frame(dock_frame)
+    panel = dock.render(width=128, height=900)
+    assert fetches == 1, f"expected 1 device fetch per panel, saw {fetches}"
+    assert panel.shape == (900, 128, 4)
+
+
 def test_render_device_matches_shape_and_caches(dock_frame):
     import numpy as np
 
