@@ -99,6 +99,35 @@ def analyze(
     pall = backend == "pallas"
 
     planes = frame if is_planar else planarize(frame)
+
+    # Fast path: the default dock/serving shape — scale 2, full frame, VS +
+    # one waveform/histogram family — runs the fused Mosaic ingest
+    # (downscale+YUV+mask+stripe in one pass) + the all-MXU stats kernel.
+    rgb_fam = need_wv_rgb or need_hi_rgb
+    yuv_fam = need_wv_yuv or need_hi_yuv
+    if (
+        pall
+        and scale == 2
+        and rect is None
+        and need_vs
+        and (rgb_fam != yuv_fam)
+    ):
+        vs_i32, wv_i32, dsp = pallas_stats.fused_ingest_stats_scale2(
+            planes, cs=cs, yuv_data=yuv_fam
+        )
+        vs = jnp.minimum(vs_i32, 255).astype(jnp.uint8)
+        wv_u8 = jnp.minimum(wv_i32, 255).astype(jnp.uint8)
+        hi = pallas_stats.histogram_from_waveform(wv_i32)
+        return AnalysisResult(
+            yuv_planes=None,
+            vs_counts=vs,
+            wv_rgb=wv_u8 if (rgb_fam and need_wv_rgb) else None,
+            wv_yuv=wv_u8 if (yuv_fam and need_wv_yuv) else None,
+            hi_rgb=hi if (rgb_fam and need_hi_rgb) else None,
+            hi_yuv=hi if (yuv_fam and need_hi_yuv) else None,
+            planes=dsp if keep_rgba else None,
+        )
+
     planes = downscale_planes(planes, scale=scale)
     if rect is not None:
         planes = roi_crop_planes(planes, *rect)

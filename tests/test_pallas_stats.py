@@ -83,3 +83,35 @@ def test_fused_vs_wv_bitexact(rng, shape):
         np.asarray(pallas_stats.histogram_from_waveform(wv)),
         golden.histogram_counts(f, None, Components.RGB),
     )
+
+
+@pytest.mark.parametrize("shape", [(128, 256), (130, 190), (258, 514)])
+@pytest.mark.parametrize("yuv_data", [False, True])
+def test_fused_ingest_stats_scale2_bitexact(rng, shape, yuv_data):
+    """The one-pass Mosaic ingest (downscale x2 + YUV + mask + stripe) +
+    stats must equal golden: downscale -> convert -> accumulate
+    (reference src/common.c:141-250 + the scope loops)."""
+    f = _mk(rng, *shape)
+    planes = np.moveaxis(f, -1, 0)
+    vs_i32, wv_i32, dsp = pallas_stats.fused_ingest_stats_scale2(
+        planes, cs=2, yuv_data=yuv_data, interpret=INTERPRET
+    )
+    scaled = golden.downscale(f, 2)
+    yuv = golden.rgb_to_yuv_u8(scaled, Colorspace.BT709)
+    np.testing.assert_array_equal(
+        np.minimum(np.asarray(vs_i32), 255).astype(np.uint8),
+        golden.vectorscope_counts(yuv),
+    )
+    comp = Components.YUV if yuv_data else Components.RGB
+    yuv_arg = yuv if yuv_data else None
+    np.testing.assert_array_equal(
+        np.minimum(np.asarray(wv_i32), 255).astype(np.uint8),
+        golden.waveform_counts(scaled, yuv_arg, comp),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pallas_stats.histogram_from_waveform(wv_i32)),
+        golden.histogram_counts(scaled, yuv_arg, comp),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dsp), np.moveaxis(scaled, -1, 0)
+    )
