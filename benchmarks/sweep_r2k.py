@@ -85,66 +85,67 @@ def _ov_kernel(params, cur_ref, prev_ref, nxt_ref, tm_ref, zb_ref, fc_ref, fp_re
     r_blk = pl.program_id(0)
     tm = tm_ref[0, 0]
 
-    cur = [cur_ref[c] for c in range(4)]  # (RB, W) u8
+    # all pixel data lives in i32 inside the kernel: bool masks over mixed
+    # u8/f32 tile granularities hit "invalid relayout" in Mosaic
+    cur = [cur_ref[c].astype(jnp.int32) for c in range(4)]  # (RB, W) i32
     ri = r_blk * RB + jax.lax.broadcasted_iota(jnp.int32, (RB, w), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (RB, w), 1)
 
     # shared luma (integer-valued f32, scale 255*2^12)
-    f32 = lambda x: x.astype(jnp.int32).astype(jnp.float32)
-    r, g, b = f32(cur[0]), f32(cur[1]), f32(cur[2])
+    r, g, b = (cur[c].astype(jnp.float32) for c in range(3))
     luma = kl[0] * r + kl[1] * g + kl[2] * b
 
     # ---- zebra ----
     phase = jnp.floor(ri.astype(jnp.float32) + ci.astype(jnp.float32) + 1.0 + tm).astype(jnp.int32) % 6
     stripe = (luma >= zb_lo) & (luma <= zb_hi) & (phase < 3)
-    zb = [jnp.where(stripe, jnp.uint8(0), cur[c]) for c in range(3)]
-    zb.append(jnp.where(stripe, jnp.uint8(255), cur[3]))
-    zb_ref[:] = jnp.stack(zb, axis=0)
+    zb = [jnp.where(stripe, 0, cur[c]) for c in range(3)]
+    zb.append(jnp.where(stripe, 255, cur[3]))
+    zb_ref[:] = jnp.stack([x.astype(jnp.uint8) for x in zb], axis=0)
 
     # ---- false color (12-band ladder, transition-deduped) ----
     fc = []
     for c in range(4):
-        out = jnp.full((RB, w), _BAND_COLORS[-1][c], jnp.uint8)
+        out = jnp.full((RB, w), int(_BAND_COLORS[-1][c]), jnp.int32)
         prev_val = int(_BAND_COLORS[-1][c])
         for i in range(len(_BAND_THRESH) - 1, -1, -1):
             v = int(_BAND_COLORS[i][c])
             if v == prev_val:
                 continue
-            out = jnp.where(luma < np.float32(_BAND_THRESH[i]), jnp.uint8(v), out)
+            out = jnp.where(luma < np.float32(_BAND_THRESH[i]), v, out)
             prev_val = v
         fc.append(out)
-    fc_ref[:] = jnp.stack(fc, axis=0)
+    fc_ref[:] = jnp.stack([x.astype(jnp.uint8) for x in fc], axis=0)
 
     # ---- focus peaking (4-neighbor cross, edge diffs zero) ----
     def absdiff3(a3, b3):
         acc = None
         for a, b in zip(a3, b3):
-            d = (jnp.maximum(a, b) - jnp.minimum(a, b)).astype(jnp.int16)
+            d = jnp.abs(a - b)
             acc = d if acc is None else acc + d
-        return acc  # (RB, W) i16
+        return acc  # (RB, W) i32
 
-    rgb = cur[:3]
-    right = [pltpu.roll(x, -1, 1) for x in rgb]  # x[c+1] (wraps at W-1)
-    dxf = absdiff3(right, rgb)
-    dxf = jnp.where(ci == w - 1, jnp.int16(0), dxf)  # forward diff, zero at last col
+    rgb32 = cur[:3]
+    right = [pltpu.roll(x, w - 1, 1) for x in rgb32]
+    dxf = absdiff3(right, rgb32)
+    dxf = jnp.where(ci == w - 1, 0, dxf)  # forward diff, zero at last col
     sx = dxf + pltpu.roll(dxf, 1, 1)  # + dx[c-1]; rolled-in col0 is dx[W-1]=0
 
     up = [
-        jnp.concatenate([p[-1:], x[:-1]], axis=0)
-        for x, p in zip(rgb, (prev_ref[c] for c in range(3)))
+        jnp.concatenate([p[-1:].astype(jnp.int32), x[:-1]], axis=0)
+        for x, p in zip(rgb32, (prev_ref[c] for c in range(3)))
     ]
     down = [
-        jnp.concatenate([x[1:], nx[:1]], axis=0)
-        for x, nx in zip(rgb, (nxt_ref[c] for c in range(3)))
+        jnp.concatenate([x[1:], nx[:1].astype(jnp.int32)], axis=0)
+        for x, nx in zip(rgb32, (nxt_ref[c] for c in range(3)))
     ]
-    du = absdiff3(rgb, up)
-    du = jnp.where(ri == 0, jnp.int16(0), du)
-    dd = absdiff3(down, rgb)
-    dd = jnp.where(ri == h - 1, jnp.int16(0), dd)
-    acc = (sx + du + dd).astype(jnp.int32)
+    du = absdiff3(rgb32, up)
+    du = jnp.where(ri == 0, 0, du)
+    dd = absdiff3(down, rgb32)
+    dd = jnp.where(ri == h - 1, 0, dd)
+    acc = sx + du + dd
     peak = acc >= peak_th
-    fp = [jnp.where(peak, jnp.uint8(peak_rgba[c]), cur[c]) for c in range(4)]
-    fp_ref[:] = jnp.stack(fp, axis=0)
+    fp = [jnp.where(peak, peak_rgba[c], cur[c]) for c in range(4)]
+    fp_ref[:] = jnp.stack([x.astype(jnp.uint8) for x in fp], axis=0)
 
 
 def fused_overlays(planes, tm, zb_lo, zb_hi, cs, peak_th, peak_rgba):

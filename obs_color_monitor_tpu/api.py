@@ -74,8 +74,13 @@ def make_full_step(
     fc_cfg = falsecolor or FalseColorConfig()
     fp_cfg = focuspeaking or FocusPeakingConfig()
     from .colorspace import calc_colorspace
+    from .ops.fused import default_backend
 
     cs = int(calc_colorspace(cs))
+    # overlay scopes draw with their OWN colorspace property (reference
+    # zbs_render uses src->cm.colorspace, src/zebra.c:620)
+    zb_cs = int(calc_colorspace(zb_cfg.colorspace))
+    fc_cs = int(calc_colorspace(fc_cfg.colorspace))
     sel = hi_cfg.components.channel_select()
     wv_sel = wv_cfg.components.channel_select()
     wv_yuv_mode = wv_cfg.components.is_yuv
@@ -146,11 +151,36 @@ def make_full_step(
             n_components=hi_cfg.components.n_components,
             yuv_mode=hi_yuv_mode,
         )
-        zb_img = overlay_ops.zebra_planes(
-            planes, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high, tm=tm, cs=cs
-        )
-        fc_img = overlay_ops.falsecolor_planes(planes, cs=cs)
-        fp_img = overlay_ops.focus_peaking_planes(planes, peak_th, peak_color)
+        use_lut = fc_cfg.use_lut and fc_cfg.lut is not None
+        if default_backend() == "pallas" and not use_lut:
+            # one pass over the frame for all three overlays (shared read +
+            # shared luma; Mosaic kernel, bit-exact twin of the XLA ops)
+            from .ops.pallas_overlays import fused_overlays_planes
+
+            zb_img, fc_img, fp_img = fused_overlays_planes(
+                planes,
+                tm,
+                th_low=zb_cfg.th_low,
+                th_high=zb_cfg.th_high,
+                zb_cs=zb_cs,
+                fc_cs=fc_cs,
+                peak_th=int(peak_th),
+                peak_rgba=tuple(int(v) for v in np.asarray(peak_color)),
+            )
+        else:
+            zb_img = overlay_ops.zebra_planes(
+                planes, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high, tm=tm, cs=zb_cs
+            )
+            if use_lut:
+                fc_img = overlay_ops.falsecolor_lut_planes(
+                    planes,
+                    jnp.asarray(fc_cfg.lut),
+                    cs=fc_cs,
+                    lut_n=fc_cfg.lut.shape[0],
+                )
+            else:
+                fc_img = overlay_ops.falsecolor_planes(planes, cs=fc_cs)
+            fp_img = overlay_ops.focus_peaking_planes(planes, peak_th, peak_color)
         return ScopeOutputs(
             vectorscope=vs_img,
             waveform=wv_img,

@@ -294,7 +294,31 @@ def make_dock_step(
             hi_counts = jnp.zeros((3, 256), jnp.int32)
         # overlays (planar; to RGBA via u32 compose)
         ov_src = res.planes if overlays_on_capture else planes
-        if dk.show_zebra:
+        fc = fp = None
+        from .ops.fused import default_backend
+
+        if (
+            dk.show_zebra
+            and dk.show_falsecolor
+            and dk.show_focuspeaking
+            and fc_lut is None
+            and default_backend() == "pallas"
+        ):
+            # one Mosaic pass for all three (shared read + luma)
+            from .ops.pallas_overlays import fused_overlays_planes
+
+            zb_p, fc, fp = fused_overlays_planes(
+                ov_src,
+                tm,
+                th_low=zb_cfg.th_low,
+                th_high=zb_cfg.th_high,
+                zb_cs=zb_cs,
+                fc_cs=fc_cs,
+                peak_th=int(peak_th),
+                peak_rgba=tuple(int(v) for v in np.asarray(peak_color)),
+            )
+            images["zebra"] = _planes_to_rgba(zb_p)
+        elif dk.show_zebra:
             images["zebra"] = _planes_to_rgba(
                 overlay_ops.zebra_planes(
                     ov_src, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high, tm=tm,
@@ -302,12 +326,13 @@ def make_dock_step(
                 )
             )
         if dk.show_falsecolor:
-            if fc_lut is not None:
-                fc = overlay_ops.falsecolor_lut_planes(
-                    ov_src, fc_lut, cs=fc_cs, lut_n=fc_lut.shape[0]
-                )
-            else:
-                fc = overlay_ops.falsecolor_planes(ov_src, cs=fc_cs)
+            if fc is None:
+                if fc_lut is not None:
+                    fc = overlay_ops.falsecolor_lut_planes(
+                        ov_src, fc_lut, cs=fc_cs, lut_n=fc_lut.shape[0]
+                    )
+                else:
+                    fc = overlay_ops.falsecolor_planes(ov_src, cs=fc_cs)
             if fc_key is not None:
                 if (fc_h, fc_w) != (ov_h, ov_w):
                     canvas_fc = jnp.zeros((4, fc_h, fc_w), jnp.uint8)
@@ -316,9 +341,9 @@ def make_dock_step(
                 fc = render_ops.blend_overlay_planes(fc, fc_key)
             images["falsecolor"] = _planes_to_rgba(fc)
         if dk.show_focuspeaking:
-            images["focuspeaking"] = _planes_to_rgba(
-                overlay_ops.focus_peaking_planes(ov_src, peak_th, peak_color)
-            )
+            if fp is None:
+                fp = overlay_ops.focus_peaking_planes(ov_src, peak_th, peak_color)
+            images["focuspeaking"] = _planes_to_rgba(fp)
 
         canvas = jnp.zeros((out_height, out_width, 4), jnp.uint8)
         canvas = canvas.at[..., 3].set(255)

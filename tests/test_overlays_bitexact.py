@@ -180,3 +180,33 @@ def test_falsecolor_key_streaming_stays_on_device(rng, monkeypatch):
     key = falsecolor_key_overlay(ShowKey.BELOW, 64, 40, Colorspace.BT709)
     want = composite_overlay(canvas, key)
     np.testing.assert_array_equal(np.moveaxis(np.asarray(out), 0, -1), want)
+
+
+@pytest.mark.parametrize("shape", [(64, 128), (70, 200)])
+@pytest.mark.parametrize("zb_cs,fc_cs", [(2, 2), (1, 2)])
+def test_fused_overlays_kernel_bitexact(rng, shape, zb_cs, fc_cs):
+    """The single-pass Mosaic overlay kernel == the three XLA ops,
+    incl. per-scope colorspaces and the focus-peaking row/col halos."""
+    import jax.numpy as jnp
+
+    from obs_color_monitor_tpu.ops.pallas_overlays import fused_overlays_planes
+
+    f = rng.integers(0, 256, (*shape, 4), dtype=np.uint8)
+    f[..., 3] = 255
+    planes = jnp.asarray(np.moveaxis(f, -1, 0))
+    pc = np.array([255, 84, 0, 255], np.uint8)
+    zb, fc, fp = fused_overlays_planes(
+        planes, 7.0, th_low=0.75, th_high=1.0, zb_cs=zb_cs, fc_cs=fc_cs,
+        peak_th=3062, peak_rgba=(255, 84, 0, 255), interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(zb),
+        np.asarray(overlays.zebra_planes(planes, 0.75, 1.0, 7.0, cs=zb_cs)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fc), np.asarray(overlays.falsecolor_planes(planes, cs=fc_cs))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fp),
+        np.asarray(overlays.focus_peaking_planes(planes, 3062, jnp.asarray(pc))),
+    )
