@@ -94,9 +94,9 @@ def main() -> None:
         file=sys.stderr,
     )
     print(
-        "# (make_full_step: overlays at full 4K, stats at target_scale=2; the"
-        " reference-dock-parity panel `make_dock_step` measures ~6.4 ms/frame"
-        " — see doc/performance.md)",
+        "# (make_full_step: overlays at full 4K, stats at target_scale=2 —"
+        " the reference's default settings; the reference-dock-parity panel"
+        " `make_dock_step` measures ~3.3 ms/frame — see doc/performance.md)",
         file=sys.stderr,
     )
 

@@ -91,6 +91,23 @@ def main() -> None:
         planes1080,
         lambda p, i: pallas_stats.fused_vs_wv_pallas_i32(p[:3], yuv1080, p[3] != 0),
     )
+    bench(
+        "fused ingest+stats 4K->1080p",
+        planes4k,
+        lambda p, i: pallas_stats.fused_ingest_stats_scale2(p, cs=2),
+        n=16,
+    )
+    from obs_color_monitor_tpu.ops.pallas_overlays import fused_overlays_planes
+
+    bench(
+        "fused overlays 4K (zb+fc+fp)",
+        planes4k,
+        lambda p, i: fused_overlays_planes(
+            p, i.astype(jnp.float32), th_low=0.75, th_high=1.0, zb_cs=2, fc_cs=2,
+            peak_th=3062, peak_rgba=(255, 84, 0, 255),
+        ),
+        n=16,
+    )
     step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=2)
     bench("make_full_step 4K (all six)", frame4k, lambda f, i: step(f, i.astype(jnp.float32)), n=16)
     dstep = make_dock_step(2160, 3840, scale=2)
