@@ -85,9 +85,9 @@ def make_full_step(
     wv_sel = wv_cfg.components.channel_select()
     wv_yuv_mode = wv_cfg.components.is_yuv
     hi_yuv_mode = hi_cfg.components.is_yuv
-    peak_color = jnp.asarray(
-        quantize_unorm8(np.asarray(fp_cfg.peaking_rgba, np.float32))
-    )
+    peak_color_u8 = quantize_unorm8(np.asarray(fp_cfg.peaking_rgba, np.float32))
+    peak_color = jnp.asarray(peak_color_u8)
+    peak_tuple = tuple(int(v) for v in peak_color_u8)
     peak_th = peaking_threshold_fixed(fp_cfg.peaking_threshold)
     sw, sh = width // scale, height // scale
 
@@ -165,7 +165,7 @@ def make_full_step(
                 zb_cs=zb_cs,
                 fc_cs=fc_cs,
                 peak_th=int(peak_th),
-                peak_rgba=tuple(int(v) for v in np.asarray(peak_color)),
+                peak_rgba=peak_tuple,
             )
         else:
             zb_img = overlay_ops.zebra_planes(

@@ -199,9 +199,9 @@ def make_dock_step(
         hi_cfg.level_ratio_permille,
         hi_cfg.logscale,
     )
-    peak_color = jnp.asarray(
-        quantize_unorm8(np.asarray(fp_cfg.peaking_rgba, np.float32))
-    )
+    peak_color_u8 = quantize_unorm8(np.asarray(fp_cfg.peaking_rgba, np.float32))
+    peak_color = jnp.asarray(peak_color_u8)
+    peak_tuple = tuple(int(v) for v in peak_color_u8)
     peak_th = peaking_threshold_fixed(fp_cfg.peaking_threshold)
     fc_lut = (
         jnp.asarray(fc_cfg.lut) if (fc_cfg.use_lut and fc_cfg.lut is not None) else None
@@ -315,7 +315,7 @@ def make_dock_step(
                 zb_cs=zb_cs,
                 fc_cs=fc_cs,
                 peak_th=int(peak_th),
-                peak_rgba=tuple(int(v) for v in np.asarray(peak_color)),
+                peak_rgba=peak_tuple,
             )
             images["zebra"] = _planes_to_rgba(zb_p)
         elif dk.show_zebra:

@@ -243,6 +243,8 @@ class Dock:
         key = (cy, cx, tuple(spec))
         fn = self._composite_fns.get(key)
         if fn is None:
+            if len(self._composite_fns) > 32:  # bound growth under live resizing
+                self._composite_fns.clear()
             fn = jax.jit(functools.partial(_composite, cy, cx, tuple(spec)))
             self._composite_fns[key] = fn
         return np.asarray(fn(tuple(images)))

@@ -111,6 +111,8 @@ def analyze(
         and rect is None
         and need_vs
         and (rgb_fam != yuv_fam)
+        and planes.shape[-2] >= 2
+        and planes.shape[-1] >= 2
     ):
         vs_i32, wv_i32, dsp = pallas_stats.fused_ingest_stats_scale2(
             planes, cs=cs, yuv_data=yuv_fam
