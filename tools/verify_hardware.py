@@ -1,0 +1,104 @@
+"""Hardware verification: the Mosaic fast paths vs golden, on a real TPU.
+
+The pytest suite runs on a forced-CPU mesh (tests/conftest.py), where the
+TPU-only branches (fused ingest, fused overlays, Mosaic stats) are either
+interpreted or skipped.  This script drives them on real hardware:
+
+    python tools/verify_hardware.py
+
+Checks:
+  1. ops.fused.analyze (fused ingest + all-MXU stats) bit-exact vs golden.
+  2. The one-program dock panel is bit-identical between the TPU path
+     (Mosaic kernels) and the CPU/XLA path — full-pipeline determinism.
+  3. The fused overlay kernel vs the golden overlay models.
+
+Also run `OCM_TEST_TPU=1 python -m pytest tests/ -q` for the kernel suite
+with interpret=False.
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    import jax
+
+    assert jax.default_backend() != "cpu", "run this on a TPU host"
+
+    from obs_color_monitor_tpu import golden
+    from obs_color_monitor_tpu.colorspace import Colorspace
+    from obs_color_monitor_tpu.config import Components
+    from obs_color_monitor_tpu.dock_step import make_dock_step
+    from obs_color_monitor_tpu.ops.fused import analyze
+
+    rng = np.random.default_rng(3)
+    f = rng.integers(0, 256, (360, 640, 4), np.uint8)
+    f[..., 3] = np.where(rng.random((360, 640)) < 0.1, 0, 255)
+
+    # 1. fused ingest + stats vs golden
+    res = analyze(
+        f, cs=2, scale=2, need_vs=True, need_wv_rgb=True, need_hi_rgb=True,
+        keep_rgba=True,
+    )
+    scaled = golden.downscale(f, 2)
+    yuv = golden.rgb_to_yuv_u8(scaled, Colorspace.BT709)
+    np.testing.assert_array_equal(
+        np.asarray(res.vs_counts), golden.vectorscope_counts(yuv)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.wv_rgb), golden.waveform_counts(scaled, None, Components.RGB)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.hi_rgb), golden.histogram_counts(scaled, None, Components.RGB)
+    )
+    np.testing.assert_array_equal(np.asarray(res.planes), np.moveaxis(scaled, -1, 0))
+    print("1. analyze (fused ingest + MXU stats): bit-exact vs golden")
+
+    # 2. dock panel: TPU vs CPU backends bit-identical
+    frame = rng.integers(0, 256, (180, 320, 4), dtype=np.uint8)
+    frame[..., 3] = 255
+    step = make_dock_step(180, 320, scale=2, out_width=200, out_height=1100)
+    out = step(frame, np.float32(3.5))
+    tpu_panel = np.asarray(out.panel)
+    np.save("/tmp/_ocm_vh_frame.npy", frame)
+    np.save("/tmp/_ocm_vh_panel.npy", tpu_panel)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import numpy as np\n"
+        "from obs_color_monitor_tpu.dock_step import make_dock_step\n"
+        "f = np.load('/tmp/_ocm_vh_frame.npy')\n"
+        "s = make_dock_step(180, 320, scale=2, out_width=200, out_height=1100)\n"
+        "p = np.asarray(s(f, np.float32(3.5)).panel)\n"
+        "assert (p == np.load('/tmp/_ocm_vh_panel.npy')).all()\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True)
+    print("2. dock panel: TPU (Mosaic) == CPU (XLA), bit-identical")
+
+    # 3. fused overlay kernel vs golden
+    from obs_color_monitor_tpu.ops.pallas_overlays import fused_overlays_planes
+
+    planes = np.moveaxis(frame, -1, 0)
+    zb, fc, fp = fused_overlays_planes(
+        planes, 7.0, th_low=0.75, th_high=1.0, zb_cs=1, fc_cs=2,
+        peak_th=3062, peak_rgba=(0, 84, 255, 255),
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(zb), 0, -1),
+        golden.zebra(frame, 0.75, 1.0, 7.0, Colorspace.BT601),
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(fc), 0, -1),
+        golden.falsecolor(frame, Colorspace.BT709),
+    )
+    print("3. fused overlay kernel: bit-exact vs golden (mixed colorspaces)")
+    print("hardware verification OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
