@@ -107,16 +107,22 @@ def analyze(
     yuv_fam = need_wv_yuv or need_hi_yuv
     if (
         pall
-        and scale == 2
+        and scale in (1, 2)
         and rect is None
         and need_vs
         and (rgb_fam != yuv_fam)
-        and planes.shape[-2] >= 2
-        and planes.shape[-1] >= 2
+        and planes.shape[-2] >= scale
+        and planes.shape[-1] >= scale
     ):
-        vs_i32, wv_i32, dsp = pallas_stats.fused_ingest_stats_scale2(
-            planes, cs=cs, yuv_data=yuv_fam
-        )
+        if scale == 2:
+            vs_i32, wv_i32, dsp = pallas_stats.fused_ingest_stats_scale2(
+                planes, cs=cs, yuv_data=yuv_fam
+            )
+        else:
+            vs_i32, wv_i32 = pallas_stats.fused_ingest_stats_scale1(
+                planes, cs=cs, yuv_data=yuv_fam
+            )
+            dsp = planes
         vs = jnp.minimum(vs_i32, 255).astype(jnp.uint8)
         wv_u8 = jnp.minimum(wv_i32, 255).astype(jnp.uint8)
         hi = pallas_stats.histogram_from_waveform(wv_i32)

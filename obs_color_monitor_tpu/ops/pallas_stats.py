@@ -301,6 +301,113 @@ def _ingest_kernel(kcoef, h, w, yuv_data: bool, planes_ref, p2_ref, q2_ref,
         d2_ref[:] = jnp.where(mask, to_u8(b8), zero)[None, None]
 
 
+def _ingest1_kernel(kcoef, h, w, yuv_data: bool, planes_ref, u_ref, v_ref,
+                    d0_ref, d1_ref, d2_ref):
+    s_blk = pl.program_id(0)
+    r_blk = pl.program_id(1)
+    rowi = r_blk * _ROWS + jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _COLS), 0)
+    coli = s_blk * _COLS + jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _COLS), 1)
+    valid = (rowi < h) & (coli < w)
+    chan = [planes_ref[c].astype(jnp.int32) for c in range(4)]
+    r8, g8, b8 = (c.astype(jnp.float32) for c in chan[:3])
+    half = np.float32(1 << 11)
+    inv = np.float32(1.0 / (1 << 12))
+    yuv = []
+    for i in range(3):
+        acc = (
+            kcoef[i][0] * r8 + kcoef[i][1] * g8 + kcoef[i][2] * b8
+            + np.float32(kcoef[i][3] + half)
+        )
+        q = jnp.clip(jnp.floor(acc * inv), 0.0, 255.0).astype(jnp.int32)
+        yuv.append(jnp.where(valid, q, 0).astype(jnp.uint8))
+    u_ref[:] = yuv[1][None, None]
+    v_ref[:] = yuv[2][None, None]
+    if yuv_data:
+        d0_ref[:] = yuv[0][None, None]
+        d1_ref[:] = yuv[1][None, None]
+        d2_ref[:] = yuv[2][None, None]
+    else:
+        keep = valid & (chan[3] != 0)
+        for ref, c in ((d0_ref, 0), (d1_ref, 1), (d2_ref, 2)):
+            ref[:] = jnp.where(keep, chan[c], 0).astype(jnp.uint8)[None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("cs", "yuv_data", "interpret"))
+def fused_ingest_stats_scale1(
+    planes: jax.Array,
+    cs: int,
+    yuv_data: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """(4, H, W) u8 planar -> the scale-1 statistics (no downscale).
+
+    Returns (vs_i32 (256,256), wv_i32 (3,256,W)): one Mosaic pass fuses
+    RGB->YUV + alpha pre-zeroing + the stripe layout, feeding the all-MXU
+    stats kernel (the scale-2 twin is fused_ingest_stats_scale2).
+    """
+    from ..colorspace import Colorspace, FIXED_COEFFS
+
+    _, h, w = planes.shape
+    s = _cdiv(w, _COLS)
+    rf = _cdiv(h, _ROWS)
+    x = jnp.pad(planes, ((0, 0), (0, rf * _ROWS - h), (0, s * _COLS - w)))
+    k = np.asarray(FIXED_COEFFS[Colorspace(cs)], np.float32)
+    kcoef = tuple(tuple(float(v) for v in row) for row in k)
+    sb = lambda: pl.BlockSpec(
+        (1, 1, _ROWS, _COLS), lambda si, ri: (si, ri, 0, 0), memory_space=pltpu.VMEM
+    )
+    u_s, v_s, d0, d1, d2 = pl.pallas_call(
+        functools.partial(_ingest1_kernel, kcoef, h, w, yuv_data),
+        grid=(s, rf),
+        in_specs=[
+            pl.BlockSpec(
+                (4, _ROWS, _COLS), lambda si, ri: (0, ri, si), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(sb(),) * 5,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((s, rf, _ROWS, _COLS), jnp.uint8) for _ in range(5)
+        ),
+        interpret=interpret,
+    )(x)
+
+    resh = lambda a: a.reshape(s, rf, 1, _LANES)
+    striped = jnp.stack([resh(d0), resh(d1), resh(d2)], axis=0)
+    vs, wv = pl.pallas_call(
+        functools.partial(_fused_kernel, 3),
+        grid=(s, rf),
+        in_specs=[
+            _in4(),
+            _in4(),
+            _in4(3),
+            pl.BlockSpec((_LANES, _COLS), lambda si, ri: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (N_BINS, N_BINS), lambda si, ri: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, N_BINS, _COLS), lambda si, ri: (0, 0, si), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N_BINS, N_BINS), jnp.int32),
+            jax.ShapeDtypeStruct((3, N_BINS, s * _COLS), jnp.int32),
+        ),
+        interpret=interpret,
+    )(resh(u_s), resh(v_s), striped, _sel_matrix())
+
+    n_pad = s * _COLS * rf * _ROWS - h * w
+    vs = vs.at[0, 0].add(jnp.int32(-n_pad))
+    wv = wv[:, :, :w]
+    if yuv_data:
+        corr = jnp.full((w,), rf * _ROWS - h, jnp.int32)
+    else:
+        corr = _wv_corrections(planes[3] != 0, h, w, rf)
+    wv = wv.at[:, 0, :].add(-corr[None, :])
+    return vs, wv
+
+
 @functools.partial(jax.jit, static_argnames=("cs", "yuv_data", "interpret"))
 def fused_ingest_stats_scale2(
     planes: jax.Array,

@@ -115,3 +115,29 @@ def test_fused_ingest_stats_scale2_bitexact(rng, shape, yuv_data):
     np.testing.assert_array_equal(
         np.asarray(dsp), np.moveaxis(scaled, -1, 0)
     )
+
+
+@pytest.mark.parametrize("shape", [(128, 128), (67, 190)])
+@pytest.mark.parametrize("yuv_data", [False, True])
+def test_fused_ingest_stats_scale1_bitexact(rng, shape, yuv_data):
+    """Scale-1 one-pass ingest (YUV + mask + stripe, no downscale) vs golden."""
+    f = _mk(rng, *shape)
+    planes = np.moveaxis(f, -1, 0)
+    vs_i32, wv_i32 = pallas_stats.fused_ingest_stats_scale1(
+        planes, cs=2, yuv_data=yuv_data, interpret=INTERPRET
+    )
+    yuv = golden.rgb_to_yuv_u8(f, Colorspace.BT709)
+    np.testing.assert_array_equal(
+        np.minimum(np.asarray(vs_i32), 255).astype(np.uint8),
+        golden.vectorscope_counts(yuv),
+    )
+    comp = Components.YUV if yuv_data else Components.RGB
+    yuv_arg = yuv if yuv_data else None
+    np.testing.assert_array_equal(
+        np.minimum(np.asarray(wv_i32), 255).astype(np.uint8),
+        golden.waveform_counts(f, yuv_arg, comp),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pallas_stats.histogram_from_waveform(wv_i32)),
+        golden.histogram_counts(f, yuv_arg, comp),
+    )
