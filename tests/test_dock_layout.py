@@ -255,6 +255,33 @@ def test_dock_step_panel_parity_fp_actual_size(dock_frame):
     )
 
 
+def test_dock_step_panel_parity_scale2_and_displays(dock_frame):
+    """Non-default displays at the dock's default scale 2: waveform parade,
+    histogram stack, vectorscope white+zoom — panel still pixel-identical."""
+    from obs_color_monitor_tpu.config import (
+        Components,
+        DisplayMode,
+        HistogramConfig,
+        VectorscopeConfig,
+        VectorscopeColorType,
+        WaveformConfig,
+    )
+
+    _panel_parity(
+        dock_frame,
+        200,
+        1200,
+        scale=2,
+        vectorscope=VectorscopeConfig(
+            color_type=VectorscopeColorType.WHITE, zoom=1.7
+        ),
+        waveform=WaveformConfig(display=DisplayMode.PARADE),
+        histogram=HistogramConfig(
+            display=DisplayMode.STACK, components=Components.YUV
+        ),
+    )
+
+
 def test_dock_step_panel_parity_per_scope_colorspace(dock_frame):
     """Overlay scopes use their OWN colorspace in the dock (reference
     zbs_render, src/zebra.c:620) while stats use the hub's conversion."""
