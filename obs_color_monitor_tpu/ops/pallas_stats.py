@@ -242,200 +242,108 @@ def _fused_kernel(c: int, u_ref, v_ref, data_ref, sel_ref, vs_ref, wv_ref):
 # default MXU operand precision would be off by one).
 # ---------------------------------------------------------------------------
 
-def _ingest_kernel(kcoef, h, w, yuv_data: bool, planes_ref, p2_ref, q2_ref,
+def _ingest_kernel(kcoef, h, w, s_total: int, scale: int, yuv_data: bool,
+                   planes_ref, p2_ref, q2_ref,
                    u_ref, v_ref, d0_ref, d1_ref, d2_ref, ds_ref):
-    p2 = p2_ref[:]
-    q2 = q2_ref[:]
-    ds = []
-    for c in range(4):
-        x = planes_ref[c].astype(jnp.int32).astype(jnp.float32)  # (128, 256)
-        t = jax.lax.dot_general(
-            x, p2,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        rp = jax.lax.dot_general(
-            q2, t,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        ds.append(jnp.floor((rp + 2.0) * 0.25))  # (64,128) f32, bilinear x2
-    s_blk = pl.program_id(0)
-    r_blk = pl.program_id(1)
-    rowi = r_blk * _ROWS + jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _COLS), 0)
-    coli = s_blk * _COLS + jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _COLS), 1)
-    # zero outside the real image: the stripe grid covers padded geometry,
-    # and zeros land in bin 0 / (0,0) where the exact corrections remove them
-    valid = (rowi < h) & (coli < w)
-    ds = [jnp.where(valid, x, 0.0) for x in ds]
-    r8, g8, b8, a8 = ds
-
-    def to_u8(x):
-        return x.astype(jnp.int32).astype(jnp.uint8)
-
-    ds_ref[:] = jnp.stack([to_u8(x) for x in ds], axis=0)
+    """One grid step = one 64-output-row BAND across the full width; the
+    stripe loop is unrolled inside (few fat steps amortize per-step
+    overhead — the per-(s,r)-block variant measured 0.33 ms/4K frame of
+    pure grid overhead, this one is ~free)."""
+    r_blk = pl.program_id(0)
     half = np.float32(1 << 11)
     inv = np.float32(1.0 / (1 << 12))
-    yuv = []
-    for i in range(3):
-        acc = (
-            kcoef[i][0] * r8 + kcoef[i][1] * g8 + kcoef[i][2] * b8
-            + np.float32(kcoef[i][3] + half)
+    for s in range(s_total):
+        if scale == 2:
+            p2 = p2_ref[:]
+            q2 = q2_ref[:]
+            ds = []
+            for c in range(4):
+                x = (
+                    planes_ref[c, :, s * 2 * _COLS : (s + 1) * 2 * _COLS]
+                    .astype(jnp.int32)
+                    .astype(jnp.float32)
+                )  # (128, 256)
+                t = jax.lax.dot_general(
+                    x, p2,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                rp = jax.lax.dot_general(
+                    q2, t,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    # t holds pair sums <= 510: NOT bf16-exact; the default
+                    # MXU operand precision would be off by one
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                ds.append(jnp.floor((rp + 2.0) * 0.25))  # (64,128) bilinear x2
+        else:
+            ds = [
+                planes_ref[c, :, s * _COLS : (s + 1) * _COLS]
+                .astype(jnp.int32)
+                .astype(jnp.float32)
+                for c in range(4)
+            ]
+        rowi = r_blk * _ROWS + jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _COLS), 0)
+        coli = s * _COLS + jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _COLS), 1)
+        # zero outside the real image: the stripe grid covers padded
+        # geometry, and zeros land in bin 0 / (0,0) where the exact
+        # corrections remove them
+        valid = (rowi < h) & (coli < w)
+        ds = [jnp.where(valid, x, 0.0) for x in ds]
+        r8, g8, b8, a8 = ds
+
+        def to_u8(x):
+            return x.astype(jnp.int32).astype(jnp.uint8)
+
+        ds_ref[:, :, s * _COLS : (s + 1) * _COLS] = jnp.stack(
+            [to_u8(x) for x in ds], axis=0
         )
-        q = jnp.clip(jnp.floor(acc * inv), 0.0, 255.0)
-        yuv.append(jnp.where(valid, to_u8(q), jnp.uint8(0)))
-    u_ref[:] = yuv[1][None, None]
-    v_ref[:] = yuv[2][None, None]
-    if yuv_data:
-        # YUV component mode: waveform data = Y,U,V; no alpha skip
-        # (the reference conversion writes a=1, data/common.effect:30,41)
-        d0_ref[:] = yuv[0][None, None]
-        d1_ref[:] = yuv[1][None, None]
-        d2_ref[:] = yuv[2][None, None]
-    else:
-        mask = a8 != 0.0
-        zero = jnp.uint8(0)
-        d0_ref[:] = jnp.where(mask, to_u8(r8), zero)[None, None]
-        d1_ref[:] = jnp.where(mask, to_u8(g8), zero)[None, None]
-        d2_ref[:] = jnp.where(mask, to_u8(b8), zero)[None, None]
+        yuv = []
+        for i in range(3):
+            acc = (
+                kcoef[i][0] * r8 + kcoef[i][1] * g8 + kcoef[i][2] * b8
+                + np.float32(kcoef[i][3] + half)
+            )
+            q = jnp.clip(jnp.floor(acc * inv), 0.0, 255.0)
+            yuv.append(jnp.where(valid, to_u8(q), jnp.uint8(0)))
+        u_ref[s, 0] = yuv[1]
+        v_ref[s, 0] = yuv[2]
+        if yuv_data:
+            # YUV component mode: waveform data = Y,U,V; no alpha skip
+            # (the reference conversion writes a=1, data/common.effect:30,41)
+            d0_ref[s, 0] = yuv[0]
+            d1_ref[s, 0] = yuv[1]
+            d2_ref[s, 0] = yuv[2]
+        else:
+            mask = a8 != 0.0
+            zero = jnp.uint8(0)
+            d0_ref[s, 0] = jnp.where(mask, to_u8(r8), zero)
+            d1_ref[s, 0] = jnp.where(mask, to_u8(g8), zero)
+            d2_ref[s, 0] = jnp.where(mask, to_u8(b8), zero)
 
 
-def _ingest1_kernel(kcoef, h, w, yuv_data: bool, planes_ref, u_ref, v_ref,
-                    d0_ref, d1_ref, d2_ref):
-    s_blk = pl.program_id(0)
-    r_blk = pl.program_id(1)
-    rowi = r_blk * _ROWS + jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _COLS), 0)
-    coli = s_blk * _COLS + jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _COLS), 1)
-    valid = (rowi < h) & (coli < w)
-    chan = [planes_ref[c].astype(jnp.int32) for c in range(4)]
-    r8, g8, b8 = (c.astype(jnp.float32) for c in chan[:3])
-    half = np.float32(1 << 11)
-    inv = np.float32(1.0 / (1 << 12))
-    yuv = []
-    for i in range(3):
-        acc = (
-            kcoef[i][0] * r8 + kcoef[i][1] * g8 + kcoef[i][2] * b8
-            + np.float32(kcoef[i][3] + half)
-        )
-        q = jnp.clip(jnp.floor(acc * inv), 0.0, 255.0).astype(jnp.int32)
-        yuv.append(jnp.where(valid, q, 0).astype(jnp.uint8))
-    u_ref[:] = yuv[1][None, None]
-    v_ref[:] = yuv[2][None, None]
-    if yuv_data:
-        d0_ref[:] = yuv[0][None, None]
-        d1_ref[:] = yuv[1][None, None]
-        d2_ref[:] = yuv[2][None, None]
-    else:
-        keep = valid & (chan[3] != 0)
-        for ref, c in ((d0_ref, 0), (d1_ref, 1), (d2_ref, 2)):
-            ref[:] = jnp.where(keep, chan[c], 0).astype(jnp.uint8)[None, None]
-
-
-@functools.partial(jax.jit, static_argnames=("cs", "yuv_data", "interpret"))
-def fused_ingest_stats_scale1(
-    planes: jax.Array,
-    cs: int,
-    yuv_data: bool = False,
-    interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """(4, H, W) u8 planar -> the scale-1 statistics (no downscale).
-
-    Returns (vs_i32 (256,256), wv_i32 (3,256,W)): one Mosaic pass fuses
-    RGB->YUV + alpha pre-zeroing + the stripe layout, feeding the all-MXU
-    stats kernel (the scale-2 twin is fused_ingest_stats_scale2).
-    """
-    from ..colorspace import Colorspace, FIXED_COEFFS
-
-    _, h, w = planes.shape
-    s = _cdiv(w, _COLS)
-    rf = _cdiv(h, _ROWS)
-    x = jnp.pad(planes, ((0, 0), (0, rf * _ROWS - h), (0, s * _COLS - w)))
-    k = np.asarray(FIXED_COEFFS[Colorspace(cs)], np.float32)
-    kcoef = tuple(tuple(float(v) for v in row) for row in k)
-    sb = lambda: pl.BlockSpec(
-        (1, 1, _ROWS, _COLS), lambda si, ri: (si, ri, 0, 0), memory_space=pltpu.VMEM
-    )
-    u_s, v_s, d0, d1, d2 = pl.pallas_call(
-        functools.partial(_ingest1_kernel, kcoef, h, w, yuv_data),
-        grid=(s, rf),
-        in_specs=[
-            pl.BlockSpec(
-                (4, _ROWS, _COLS), lambda si, ri: (0, ri, si), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=(sb(),) * 5,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((s, rf, _ROWS, _COLS), jnp.uint8) for _ in range(5)
-        ),
-        interpret=interpret,
-    )(x)
-
-    resh = lambda a: a.reshape(s, rf, 1, _LANES)
-    striped = jnp.stack([resh(d0), resh(d1), resh(d2)], axis=0)
-    vs, wv = pl.pallas_call(
-        functools.partial(_fused_kernel, 3),
-        grid=(s, rf),
-        in_specs=[
-            _in4(),
-            _in4(),
-            _in4(3),
-            pl.BlockSpec((_LANES, _COLS), lambda si, ri: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (N_BINS, N_BINS), lambda si, ri: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (3, N_BINS, _COLS), lambda si, ri: (0, 0, si), memory_space=pltpu.VMEM
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((N_BINS, N_BINS), jnp.int32),
-            jax.ShapeDtypeStruct((3, N_BINS, s * _COLS), jnp.int32),
-        ),
-        interpret=interpret,
-    )(resh(u_s), resh(v_s), striped, _sel_matrix())
-
-    n_pad = s * _COLS * rf * _ROWS - h * w
-    vs = vs.at[0, 0].add(jnp.int32(-n_pad))
-    wv = wv[:, :, :w]
-    if yuv_data:
-        corr = jnp.full((w,), rf * _ROWS - h, jnp.int32)
-    else:
-        corr = _wv_corrections(planes[3] != 0, h, w, rf)
-    wv = wv.at[:, 0, :].add(-corr[None, :])
-    return vs, wv
-
-
-@functools.partial(jax.jit, static_argnames=("cs", "yuv_data", "interpret"))
-def fused_ingest_stats_scale2(
-    planes: jax.Array,
-    cs: int,
-    yuv_data: bool = False,
-    interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Full-resolution (4, H4, W4) u8 planar -> the scale-2 statistics.
-
-    Returns (vs_i32 (256,256), wv_i32 (3,256,W), ds_planes (4,H,W)) where
-    H=H4//2, W=W4//2: one Mosaic ingest pass (downscale+YUV+mask+stripe)
-    feeding the all-MXU stats kernel.  yuv_data selects the waveform's
-    component source (RGB with alpha skip, or Y/U/V unmasked).  Bit-exact
-    vs the XLA chain (reference semantics: src/common.c:141-250 scaled
-    render + conversion, then the accumulators).
-    """
+def _fused_ingest_stats(planes, cs: int, scale: int, yuv_data: bool,
+                        interpret: bool):
+    """Shared implementation: band-ingest kernel -> all-MXU stats kernel."""
     from ..colorspace import Colorspace, FIXED_COEFFS
 
     h4, w4 = planes.shape[-2], planes.shape[-1]
-    h, w = h4 // 2, w4 // 2
+    h, w = h4 // scale, w4 // scale
     s = _cdiv(w, _COLS)
     rf = _cdiv(h, _ROWS)
-    x = planes[:, : 2 * h, : 2 * w]
+    x = planes[:, : scale * h, : scale * w]
     x = jnp.pad(
-        x, ((0, 0), (0, rf * 2 * _ROWS - 2 * h), (0, s * 2 * _COLS - 2 * w))
+        x,
+        (
+            (0, 0),
+            (0, rf * scale * _ROWS - scale * h),
+            (0, s * scale * _COLS - scale * w),
+        ),
     )
     k = np.asarray(FIXED_COEFFS[Colorspace(cs)], np.float32)
     kcoef = tuple(tuple(float(v) for v in row) for row in k)
+    # pair matrices for the MXU downscale (unused static branch at scale 1)
     p2 = (
         jax.lax.broadcasted_iota(jnp.int32, (2 * _COLS, _COLS), 0) // 2
         == jax.lax.broadcasted_iota(jnp.int32, (2 * _COLS, _COLS), 1)
@@ -445,24 +353,24 @@ def fused_ingest_stats_scale2(
         == jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 2 * _ROWS), 0)
     ).astype(jnp.float32)
     sb = lambda: pl.BlockSpec(
-        (1, 1, _ROWS, _COLS), lambda si, ri: (si, ri, 0, 0), memory_space=pltpu.VMEM
+        (s, 1, _ROWS, _COLS), lambda ri: (0, ri, 0, 0), memory_space=pltpu.VMEM
     )
     u_s, v_s, d0, d1, d2, dsp = pl.pallas_call(
-        functools.partial(_ingest_kernel, kcoef, h, w, yuv_data),
-        grid=(s, rf),
+        functools.partial(_ingest_kernel, kcoef, h, w, s, scale, yuv_data),
+        grid=(rf,),
         in_specs=[
             pl.BlockSpec(
-                (4, 2 * _ROWS, 2 * _COLS),
-                lambda si, ri: (0, ri, si),
+                (4, scale * _ROWS, s * scale * _COLS),
+                lambda ri: (0, ri, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((2 * _COLS, _COLS), lambda si, ri: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, 2 * _ROWS), lambda si, ri: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * _COLS, _COLS), lambda ri: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, 2 * _ROWS), lambda ri: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             sb(), sb(), sb(), sb(), sb(),
             pl.BlockSpec(
-                (4, _ROWS, _COLS), lambda si, ri: (0, ri, si), memory_space=pltpu.VMEM
+                (4, _ROWS, s * _COLS), lambda ri: (0, ri, 0), memory_space=pltpu.VMEM
             ),
         ),
         out_shape=(
@@ -513,6 +421,42 @@ def fused_ingest_stats_scale2(
         corr = jnp.sum(dsp[3] == 0, axis=0, dtype=jnp.int32)[:w]
     wv = wv.at[:, 0, :].add(-corr[None, :])
     return vs, wv, dsp[:, :h, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("cs", "yuv_data", "interpret"))
+def fused_ingest_stats_scale1(
+    planes: jax.Array,
+    cs: int,
+    yuv_data: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """(4, H, W) u8 planar -> the scale-1 statistics (no downscale).
+
+    Returns (vs_i32 (256,256), wv_i32 (3,256,W)): one Mosaic pass fuses
+    RGB->YUV + alpha pre-zeroing + the stripe layout, feeding the all-MXU
+    stats kernel (the scale-2 twin is fused_ingest_stats_scale2).
+    """
+    vs, wv, _ = _fused_ingest_stats(planes, cs, 1, yuv_data, interpret)
+    return vs, wv
+
+
+@functools.partial(jax.jit, static_argnames=("cs", "yuv_data", "interpret"))
+def fused_ingest_stats_scale2(
+    planes: jax.Array,
+    cs: int,
+    yuv_data: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Full-resolution (4, H4, W4) u8 planar -> the scale-2 statistics.
+
+    Returns (vs_i32 (256,256), wv_i32 (3,256,W), ds_planes (4,H,W)) where
+    H=H4//2, W=W4//2: one Mosaic ingest pass (downscale+YUV+mask+stripe)
+    feeding the all-MXU stats kernel.  yuv_data selects the waveform\'s
+    component source (RGB with alpha skip, or Y/U/V unmasked).  Bit-exact
+    vs the XLA chain (reference semantics: src/common.c:141-250 scaled
+    render + conversion, then the accumulators).
+    """
+    return _fused_ingest_stats(planes, cs, 2, yuv_data, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
