@@ -6,7 +6,9 @@ same frame (src/zebra.c:599-628, src/focuspeaking.c:273-309); the XLA path
 computes all three in ONE pass over the planar frame — the frame is read
 once, the luma is shared (per-scope colorspaces supported: two lumas cost
 two extra multiplies), and the focus-peaking stencil gets its row halo from
-neighbor-block views (the column halo is an in-block roll).
+single-row neighbor blocks (the column halo is an in-block roll).  The
+halo blocks are 1 row tall — reading whole neighbor blocks would triple
+the input DMA traffic.
 
 Bit-exact vs ops.overlays (same integer/f32 fixed-point math).  Everything
 inside the kernel is int32/float32: bool masks over mixed u8/f32 tile
@@ -43,14 +45,19 @@ def _luma(kl, r, g, b):
     return kl[0] * r + kl[1] * g + kl[2] * b
 
 
-def _ov_kernel(params, cur_ref, prev_ref, nxt_ref, tm_ref, zb_ref, fc_ref, fp_ref):
-    (h, w, zb_lo, zb_hi, kl_zb, kl_fc, peak_th, peak_rgba) = params
-    r_blk = pl.program_id(0)
-    tm = tm_ref[0, 0]
+def _overlay_band_math(params, cur, prev_row, next_row, tm, ri, ci):
+    """Shared zebra/falsecolor/focuspeaking math on one row band.
 
-    cur = [cur_ref[c].astype(jnp.int32) for c in range(4)]  # (RB, W) i32
-    ri = r_blk * _RB + jax.lax.broadcasted_iota(jnp.int32, (_RB, w), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (_RB, w), 1)
+    cur: 4 (R, W) i32 planes; prev_row/next_row: 3 (1, W) i32 halo rows;
+    ri/ci: global row/column index arrays (R, W); params as in the kernels
+    (h/w are the REAL frame dims — pad rows/cols beyond them produce
+    garbage the caller slices off).  Returns (zb, fc, fp) u8 stacks.
+    Used by the standalone fused-overlay kernel and the frame-pipeline
+    mega kernel (ops/pallas_pipeline.py).
+    """
+    (h, w, zb_lo, zb_hi, kl_zb, kl_fc, peak_th, peak_rgba) = params
+    shape = ri.shape
+    arr_w = shape[-1]  # may exceed the real w (padded columns, sliced off)
     r, g, b = (cur[c].astype(jnp.float32) for c in range(3))
 
     # ---- zebra (reference data/zebra.effect:26-48) ----
@@ -64,14 +71,14 @@ def _ov_kernel(params, cur_ref, prev_ref, nxt_ref, tm_ref, zb_ref, fc_ref, fp_re
     stripe = (luma_zb >= zb_lo) & (luma_zb <= zb_hi) & (phase < 3)
     zb = [jnp.where(stripe, 0, cur[c]) for c in range(3)]
     zb.append(jnp.where(stripe, 255, cur[3]))
-    zb_ref[:] = jnp.stack([x.astype(jnp.uint8) for x in zb], axis=0)
+    zb = jnp.stack([x.astype(jnp.uint8) for x in zb], axis=0)
 
     # ---- false color: 12-band ladder, transition-deduped
     #      (reference data/falsecolor.effect:38-61) ----
     luma_fc = luma_zb if kl_fc == kl_zb else _luma(kl_fc, r, g, b)
     fc = []
     for c in range(4):
-        out = jnp.full((_RB, w), int(_BAND_COLORS[-1][c]), jnp.int32)
+        out = jnp.full(shape, int(_BAND_COLORS[-1][c]), jnp.int32)
         prev_val = int(_BAND_COLORS[-1][c])
         for i in range(len(_BAND_THRESH) - 1, -1, -1):
             v = int(_BAND_COLORS[i][c])
@@ -80,7 +87,7 @@ def _ov_kernel(params, cur_ref, prev_ref, nxt_ref, tm_ref, zb_ref, fc_ref, fp_re
             out = jnp.where(luma_fc < np.float32(_BAND_THRESH[i]), v, out)
             prev_val = v
         fc.append(out)
-    fc_ref[:] = jnp.stack([x.astype(jnp.uint8) for x in fc], axis=0)
+    fc = jnp.stack([x.astype(jnp.uint8) for x in fc], axis=0)
 
     # ---- focus peaking: 4-neighbor cross, edge diffs zero
     #      (reference data/focuspeaking.effect:26-48) ----
@@ -89,26 +96,41 @@ def _ov_kernel(params, cur_ref, prev_ref, nxt_ref, tm_ref, zb_ref, fc_ref, fp_re
         for a, bb in zip(a3, b3):
             d = jnp.abs(a - bb)
             acc = d if acc is None else acc + d
-        return acc  # (RB, W) i32
+        return acc  # (R, W) i32
 
     rgb32 = cur[:3]
-    right = [pltpu.roll(x, w - 1, 1) for x in rgb32]  # x[col+1] (circular)
+    right = [pltpu.roll(x, arr_w - 1, 1) for x in rgb32]  # x[col+1] (circular)
     dxf = absdiff3(right, rgb32)
-    dxf = jnp.where(ci == w - 1, 0, dxf)  # forward diff; zero at the last col
+    # forward diff: zero at the last real column AND the padding beyond it
+    # (the circular roll wraps column 0 into the last padded column)
+    dxf = jnp.where(ci >= w - 1, 0, dxf)
     sx = dxf + pltpu.roll(dxf, 1, 1)  # + dx[col-1]; rolled-in col 0 is 0
     up = [
-        jnp.concatenate([p[-1:].astype(jnp.int32), x[:-1]], axis=0)
-        for x, p in zip(rgb32, (prev_ref[c] for c in range(3)))
+        jnp.concatenate([p, x[:-1]], axis=0) for x, p in zip(rgb32, prev_row)
     ]
     down = [
-        jnp.concatenate([x[1:], nx[:1].astype(jnp.int32)], axis=0)
-        for x, nx in zip(rgb32, (nxt_ref[c] for c in range(3)))
+        jnp.concatenate([x[1:], nx], axis=0) for x, nx in zip(rgb32, next_row)
     ]
     du = jnp.where(ri == 0, 0, absdiff3(rgb32, up))
     dd = jnp.where(ri == h - 1, 0, absdiff3(down, rgb32))
     peak = (sx + du + dd) >= peak_th
     fp = [jnp.where(peak, int(peak_rgba[c]), cur[c]) for c in range(4)]
-    fp_ref[:] = jnp.stack([x.astype(jnp.uint8) for x in fp], axis=0)
+    fp = jnp.stack([x.astype(jnp.uint8) for x in fp], axis=0)
+    return zb, fc, fp
+
+
+def _ov_kernel(params, cur_ref, prev_ref, nxt_ref, tm_ref, zb_ref, fc_ref, fp_ref):
+    w = params[1]
+    r_blk = pl.program_id(0)
+    tm = tm_ref[0, 0]
+    cur = [cur_ref[c].astype(jnp.int32) for c in range(4)]  # (RB, W) i32
+    ri = r_blk * _RB + jax.lax.broadcasted_iota(jnp.int32, (_RB, w), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (_RB, w), 1)
+    prev_row = [prev_ref[c][7:8].astype(jnp.int32) for c in range(3)]
+    next_row = [nxt_ref[c][0:1].astype(jnp.int32) for c in range(3)]
+    zb_ref[:], fc_ref[:], fp_ref[:] = _overlay_band_math(
+        params, cur, prev_row, next_row, tm, ri, ci
+    )
 
 
 @functools.partial(
@@ -152,13 +174,18 @@ def fused_overlays_planes(
         tuple(int(v) for v in peak_rgba),
     )
     blk = lambda f: pl.BlockSpec((4, _RB, w), f, memory_space=pltpu.VMEM)
+    row8 = lambda f: pl.BlockSpec((4, 8, w), f, memory_space=pltpu.VMEM)
+    # 8-row halo blocks (Mosaic requires 2nd-minor block dims % 8 == 0):
+    # the prev halo row r*_RB-1 is always row 7 of 8-row block r*_RB//8-1,
+    # the next halo row (r+1)*_RB is row 0 of block (r+1)*_RB//8; the edge
+    # clamps feed rows the kernel masks out anyway (ri==0 / ri==h-1).
     zb, fc, fp = pl.pallas_call(
         functools.partial(_ov_kernel, params),
         grid=(nb,),
         in_specs=[
             blk(lambda r: (0, r, 0)),
-            blk(lambda r: (0, jnp.maximum(r - 1, 0), 0)),
-            blk(lambda r: (0, jnp.minimum(r + 1, nb - 1), 0)),
+            row8(lambda r: (0, jnp.maximum(r * (_RB // 8) - 1, 0), 0)),
+            row8(lambda r: (0, jnp.minimum((r + 1) * (_RB // 8), hp // 8 - 1), 0)),
             pl.BlockSpec((1, 1), lambda r: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(blk(lambda r: (0, r, 0)),) * 3,

@@ -14,11 +14,17 @@ one-hots in their cheapest layout:
     matmul (contract the 8192-pixel lane axis of both int8 operands) into a
     VMEM-resident 256x256 int32 accumulator.  K=8192 per step keeps the MXU
     at ~80% of its int8 peak.
-  * **Waveform** = ``one_hot(vals) @ SEL`` where SEL is the fixed 0/1
-    selection matrix SEL[p, c] = [p % 128 == c]: the per-column reduction is
-    itself an int8 MXU matmul, so the whole statistics pass is MXU-bound
-    (the VPU reshape-reduce alternative measured 3x slower — lane-axis
-    reshapes relayout).
+  * **Waveform** = SWAR bin-packing on the VPU over natural (64, 128)
+    tiles (rows on sublanes, columns on lanes — the per-column reduction
+    is a sublane sum, no lane reshape).  Bin b = 4g+j packs into 8-bit
+    field j of an int32 at group row g: per pixel ``field = 1 << 8*(v&3)``,
+    selected by ``v>>2 == g`` — 64 group-compares per pixel instead of the
+    256 of a direct one-hot, and no matmul at all.  Row sums stay < 256
+    (a tile has 64 rows) so fields cannot carry; unpack once per tile.
+    This replaced the round-2 SEL-matmul reduction, which was 204 G MACs
+    per 1080p frame of MXU work (MORE than the vectorscope matmul); the
+    SWAR VPU work overlaps the VS matmul almost completely (fused kernel:
+    1.79 -> 0.75 ms per 1080p frame, benchmarks/sweep_r3a.py).
   * **Masking without masks**: alpha-skipped pixels are pre-zeroed in XLA
     and their per-column population subtracted from bin 0 afterwards;
     stripe padding is likewise subtracted (bin (0,0) for the vectorscope,
@@ -67,12 +73,14 @@ def _stripe4(plane: jax.Array) -> jax.Array:
     return p.reshape(rf * _ROWS, s, _COLS).swapaxes(0, 1).reshape(s, rf, 1, _LANES)
 
 
-def _sel_matrix() -> jax.Array:
-    """SEL[p, c] = [p % 128 == c] as int8 (the waveform's column-reduction
-    matmul operand); built on device, folded by XLA."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _COLS), 0) % _COLS
-    c = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _COLS), 1)
-    return (r == c).astype(jnp.int8)
+def _stripe_tiles(plane: jax.Array) -> jax.Array:
+    """(H, W) u8 -> (S, Rf, 64, 128) natural tiles (rows on sublanes),
+    zero-padded — same memory walk as _stripe4 without the flat reshape."""
+    h, w = plane.shape
+    s = _cdiv(w, _COLS)
+    rf = _cdiv(h, _ROWS)
+    p = jnp.pad(plane, ((0, rf * _ROWS - h), (0, s * _COLS - w)))
+    return p.reshape(rf * _ROWS, s, _COLS).swapaxes(0, 1).reshape(s, rf, _ROWS, _COLS)
 
 
 def _in4(c: int | None = None) -> pl.BlockSpec:
@@ -83,6 +91,42 @@ def _in4(c: int | None = None) -> pl.BlockSpec:
     return pl.BlockSpec(
         (c, 1, 1, 1, _LANES), lambda s, r: (0, s, r, 0, 0), memory_space=pltpu.VMEM
     )
+
+
+def _tile_spec(c: int | None = None) -> pl.BlockSpec:
+    """Block spec for (S, Rf, 64, 128) tile arrays (optionally C-stacked)."""
+    if c is None:
+        return pl.BlockSpec(
+            (1, 1, _ROWS, _COLS), lambda s, r: (s, r, 0, 0), memory_space=pltpu.VMEM
+        )
+    return pl.BlockSpec(
+        (c, 1, 1, _ROWS, _COLS),
+        lambda s, r: (0, s, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _swar_tile_counts(vals_u8: jax.Array, acc: jax.Array) -> jax.Array:
+    """Add one (64, 128) u8 tile's per-column bin counts to acc (256, 128).
+
+    SWAR packing: for each bin group g = v >> 2, an int32 accumulates the
+    four bins 4g..4g+3 as 8-bit fields (field = 1 << 8*(v & 3)); the
+    per-(group, column) sum over the tile's 64 rows is < 256, so fields
+    cannot carry and the unpack is exact.
+    """
+    vals = vals_u8.astype(jnp.int32)
+    grp = vals >> 2
+    fld = jnp.int32(1) << ((vals & 3) * 8)
+    n_grp = N_BINS // 4
+    rows = []
+    for g in range(n_grp):
+        rows.append(jnp.sum(jnp.where(grp == g, fld, 0), axis=0, keepdims=True))
+    packed = jnp.concatenate(rows, axis=0)  # (64, 128)
+    shift = (jax.lax.broadcasted_iota(jnp.int32, (N_BINS, _COLS), 0) % 4) * 8
+    un = jnp.broadcast_to(packed[:, None, :], (n_grp, 4, _COLS)).reshape(
+        N_BINS, _COLS
+    )
+    return acc + ((un >> shift) & 255)
 
 
 def _one_hot_bins_first(row: jax.Array) -> jax.Array:
@@ -146,7 +190,7 @@ def vectorscope_pallas_i32(yuv_planes: jax.Array, interpret: bool = False) -> ja
 # Waveform (+ histogram via column sum)
 # ---------------------------------------------------------------------------
 
-def _wv_kernel(c: int, data_ref, sel_ref, out_ref):
+def _wv_kernel(c: int, data_ref, out_ref):
     r = pl.program_id(1)
 
     @pl.when(r == 0)
@@ -154,12 +198,7 @@ def _wv_kernel(c: int, data_ref, sel_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     for ci in range(c):
-        oh = _one_hot_bins_first(data_ref[ci, 0, 0])
-        out_ref[ci] += jax.lax.dot_general(
-            oh, sel_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        out_ref[ci] = _swar_tile_counts(data_ref[ci, 0, 0], out_ref[ci])
 
 
 def _wv_corrections(mask: jax.Array, h: int, w: int, rf: int) -> jax.Array:
@@ -179,21 +218,18 @@ def waveform_pallas_i32(
     """
     c, h, w = planes_in.shape
     vals = jnp.where(mask[None], planes_in, 0)
-    striped = jax.vmap(_stripe4)(vals)  # (C, S, Rf, 1, LANES)
-    s, rf = striped.shape[1], striped.shape[2]
+    tiles = jax.vmap(_stripe_tiles)(vals)  # (C, S, Rf, 64, 128)
+    s, rf = tiles.shape[1], tiles.shape[2]
     wv = pl.pallas_call(
         functools.partial(_wv_kernel, c),
         grid=(s, rf),
-        in_specs=[
-            _in4(c),
-            pl.BlockSpec((_LANES, _COLS), lambda s, r: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[_tile_spec(c)],
         out_specs=pl.BlockSpec(
             (c, N_BINS, _COLS), lambda s, r: (0, 0, s), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((c, N_BINS, s * _COLS), jnp.int32),
         interpret=interpret,
-    )(striped, _sel_matrix())
+    )(tiles)
     wv = wv[:, :, :w]
     return wv.at[:, 0, :].add(-_wv_corrections(mask, h, w, rf)[None, :])
 
@@ -205,10 +241,12 @@ def histogram_from_waveform(wv_i32: jax.Array) -> jax.Array:
 
 # ---------------------------------------------------------------------------
 # Fused vectorscope + waveform (the dock's hot combination): one kernel,
-# shared grid, everything on the MXU.
+# one shared grid — the VS matmul rides the MXU while the SWAR waveform
+# rides the VPU, and Mosaic overlaps them (the fused kernel costs barely
+# more than the VS matmul alone).
 # ---------------------------------------------------------------------------
 
-def _fused_kernel(c: int, u_ref, v_ref, data_ref, sel_ref, vs_ref, wv_ref):
+def _fused_kernel(c: int, u_ref, v_ref, data_ref, vs_ref, wv_ref):
     s = pl.program_id(0)
     r = pl.program_id(1)
 
@@ -224,12 +262,7 @@ def _fused_kernel(c: int, u_ref, v_ref, data_ref, sel_ref, vs_ref, wv_ref):
     ohv = _one_hot_bins_first(v_ref[0, 0])
     vs_ref[:] += _nt_matmul(ohv, ohu)
     for ci in range(c):
-        oh = _one_hot_bins_first(data_ref[ci, 0, 0])
-        wv_ref[ci] += jax.lax.dot_general(
-            oh, sel_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        wv_ref[ci] = _swar_tile_counts(data_ref[ci, 0, 0], wv_ref[ci])
 
 
 # ---------------------------------------------------------------------------
@@ -383,18 +416,14 @@ def _fused_ingest_stats(planes, cs: int, scale: int, yuv_data: bool,
         interpret=interpret,
     )(x, p2, q2)
 
-    # (s, rf, 64, 128) rows are contiguous == the stats kernel's flat rows
+    # (s, rf, 64, 128) rows are contiguous == the VS kernel's flat rows;
+    # the waveform tiles are consumed in their natural layout directly
     resh = lambda a: a.reshape(s, rf, 1, _LANES)
-    striped = jnp.stack([resh(d0), resh(d1), resh(d2)], axis=0)
+    tiles = jnp.stack([d0, d1, d2], axis=0)  # (3, s, rf, 64, 128)
     vs, wv = pl.pallas_call(
         functools.partial(_fused_kernel, 3),
         grid=(s, rf),
-        in_specs=[
-            _in4(),
-            _in4(),
-            _in4(3),
-            pl.BlockSpec((_LANES, _COLS), lambda si, ri: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[_in4(), _in4(), _tile_spec(3)],
         out_specs=(
             pl.BlockSpec(
                 (N_BINS, N_BINS), lambda si, ri: (0, 0), memory_space=pltpu.VMEM
@@ -408,7 +437,7 @@ def _fused_ingest_stats(planes, cs: int, scale: int, yuv_data: bool,
             jax.ShapeDtypeStruct((3, N_BINS, s * _COLS), jnp.int32),
         ),
         interpret=interpret,
-    )(resh(u_s), resh(v_s), striped, _sel_matrix())
+    )(resh(u_s), resh(v_s), tiles)
 
     n_pad = s * _COLS * rf * _ROWS - h * w
     vs = vs.at[0, 0].add(jnp.int32(-n_pad))
@@ -473,19 +502,14 @@ def fused_vs_wv_pallas_i32(
     """
     c, h, w = planes_in.shape
     vals = jnp.where(mask[None], planes_in, 0)
-    striped = jax.vmap(_stripe4)(vals)
+    tiles = jax.vmap(_stripe_tiles)(vals)
     u_s = _stripe4(yuv_planes[1])
     v_s = _stripe4(yuv_planes[2])
     s, rf = u_s.shape[0], u_s.shape[1]
     vs, wv = pl.pallas_call(
         functools.partial(_fused_kernel, c),
         grid=(s, rf),
-        in_specs=[
-            _in4(),
-            _in4(),
-            _in4(c),
-            pl.BlockSpec((_LANES, _COLS), lambda s, r: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[_in4(), _in4(), _tile_spec(c)],
         out_specs=(
             pl.BlockSpec(
                 (N_BINS, N_BINS), lambda s, r: (0, 0), memory_space=pltpu.VMEM
@@ -499,7 +523,7 @@ def fused_vs_wv_pallas_i32(
             jax.ShapeDtypeStruct((c, N_BINS, s * _COLS), jnp.int32),
         ),
         interpret=interpret,
-    )(u_s, v_s, striped, _sel_matrix())
+    )(u_s, v_s, tiles)
     n_pad = s * _COLS * rf * _ROWS - h * w
     vs = vs.at[0, 0].add(jnp.int32(-n_pad))
     wv = wv[:, :, :w]
