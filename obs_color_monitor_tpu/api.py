@@ -94,6 +94,20 @@ def make_full_step(
     if input_format not in ("rgba", "planar", "nv12"):
         raise ValueError(f"unknown input_format {input_format!r}")
 
+    from .ops.fused import AnalysisResult
+
+    # the whole-frame pipeline kernel covers the flagship configuration:
+    # one Mosaic pass over the full-res frame computes the three overlays
+    # AND the scaled statistics inputs (ops/pallas_pipeline.py)
+    from .ops.pallas_pipeline import pipeline_fits
+
+    use_lut_static = fc_cfg.use_lut and fc_cfg.lut is not None
+    use_pipeline = (
+        not use_lut_static
+        and wv_yuv_mode == hi_yuv_mode
+        and pipeline_fits(height, width, scale, with_overlays=True)
+    )
+
     @jax.jit
     def step(frame, tm: jax.Array) -> ScopeOutputs:
         # planarize ONCE; stats and overlays all consume planes
@@ -106,18 +120,49 @@ def make_full_step(
             planes = frame
         else:
             planes = planarize(frame)
-        res = analyze(
-            planes,
-            cs=cs,
-            scale=scale,
-            need_vs=True,
-            need_wv_rgb=not wv_yuv_mode,
-            need_wv_yuv=wv_yuv_mode,
-            need_hi_rgb=not hi_yuv_mode,
-            need_hi_yuv=hi_yuv_mode,
-            keep_rgba=False,
-            is_planar=True,
-        )
+        zb_img = fc_img = fp_img = None
+        if use_pipeline and default_backend() == "pallas":
+            from .ops.pallas_pipeline import frame_pipeline
+            from .ops.pallas_stats import histogram_from_waveform
+
+            vs_i32, wv_i32, _ds, zb_img, fc_img, fp_img = frame_pipeline(
+                planes,
+                tm,
+                cs=cs,
+                scale=scale,
+                yuv_data=wv_yuv_mode,
+                th_low=zb_cfg.th_low,
+                th_high=zb_cfg.th_high,
+                zb_cs=zb_cs,
+                fc_cs=fc_cs,
+                peak_th=int(peak_th),
+                peak_rgba=peak_tuple,
+            )
+            vs_u8 = jnp.minimum(vs_i32, 255).astype(jnp.uint8)
+            wv_u8 = jnp.minimum(wv_i32, 255).astype(jnp.uint8)
+            hi_u32 = histogram_from_waveform(wv_i32)
+            res = AnalysisResult(
+                yuv_planes=None,
+                vs_counts=vs_u8,
+                wv_rgb=None if wv_yuv_mode else wv_u8,
+                wv_yuv=wv_u8 if wv_yuv_mode else None,
+                hi_rgb=None if hi_yuv_mode else hi_u32,
+                hi_yuv=hi_u32 if hi_yuv_mode else None,
+                planes=None,
+            )
+        else:
+            res = analyze(
+                planes,
+                cs=cs,
+                scale=scale,
+                need_vs=True,
+                need_wv_rgb=not wv_yuv_mode,
+                need_wv_yuv=wv_yuv_mode,
+                need_hi_rgb=not hi_yuv_mode,
+                need_hi_yuv=hi_yuv_mode,
+                keep_rgba=False,
+                is_planar=True,
+            )
         vs_img = render_ops.render_vectorscope(
             res.vs_counts,
             intensity=vs_cfg.intensity,
@@ -151,8 +196,10 @@ def make_full_step(
             n_components=hi_cfg.components.n_components,
             yuv_mode=hi_yuv_mode,
         )
-        use_lut = fc_cfg.use_lut and fc_cfg.lut is not None
-        if default_backend() == "pallas" and not use_lut:
+        use_lut = use_lut_static
+        if zb_img is not None:
+            pass  # overlays already produced by the pipeline kernel
+        elif default_backend() == "pallas" and not use_lut:
             # one pass over the frame for all three overlays (shared read +
             # shared luma; Mosaic kernel, bit-exact twin of the XLA ops)
             from .ops.pallas_overlays import fused_overlays_planes

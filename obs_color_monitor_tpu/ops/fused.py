@@ -101,28 +101,27 @@ def analyze(
     planes = frame if is_planar else planarize(frame)
 
     # Fast path: the default dock/serving shape — scale 2, full frame, VS +
-    # one waveform/histogram family — runs the fused Mosaic ingest
-    # (downscale+YUV+mask+stripe in one pass) + the all-MXU stats kernel.
+    # one waveform/histogram family — runs the frame-pipeline band kernel
+    # (downscale+YUV+mask+SWAR waveform in one pass) + the tile-matmul
+    # vectorscope kernel (ops/pallas_pipeline.py, overlays disabled).
     rgb_fam = need_wv_rgb or need_hi_rgb
     yuv_fam = need_wv_yuv or need_hi_yuv
+    from .pallas_pipeline import pipeline_fits
+
     if (
         pall
-        and scale in (1, 2)
         and rect is None
         and need_vs
         and (rgb_fam != yuv_fam)
-        and planes.shape[-2] >= scale
-        and planes.shape[-1] >= scale
+        and pipeline_fits(
+            planes.shape[-2], planes.shape[-1], scale, with_overlays=False
+        )
     ):
-        if scale == 2:
-            vs_i32, wv_i32, dsp = pallas_stats.fused_ingest_stats_scale2(
-                planes, cs=cs, yuv_data=yuv_fam
-            )
-        else:
-            vs_i32, wv_i32 = pallas_stats.fused_ingest_stats_scale1(
-                planes, cs=cs, yuv_data=yuv_fam
-            )
-            dsp = planes
+        from .pallas_pipeline import frame_pipeline
+
+        vs_i32, wv_i32, dsp, _, _, _ = frame_pipeline(
+            planes, cs=cs, scale=scale, yuv_data=yuv_fam, with_overlays=False
+        )
         vs = jnp.minimum(vs_i32, 255).astype(jnp.uint8)
         wv_u8 = jnp.minimum(wv_i32, 255).astype(jnp.uint8)
         hi = pallas_stats.histogram_from_waveform(wv_i32)

@@ -1,0 +1,328 @@
+"""The whole-frame Mosaic pipeline: ONE pass over the full-resolution frame.
+
+Round-3 design, profiled with xprof (benchmarks/sweep_r3c.py — the xprof
+device times are the only trustworthy sub-chain numbers on the tunneled
+dev setup).  Findings that shaped this file:
+
+  * Mosaic does NOT overlap MXU matmuls with VPU work inside a kernel:
+    a fused VS+waveform kernel costs exactly VS + waveform — and an
+    attempt to hide the SWAR waveform inside the band kernel cost MORE
+    than the standalone SWAR (int16 read-modify-write on the resident
+    accumulator + int32->int16 packing per stripe: +0.61 ms vs 0.34,
+    xprof).  So the band kernel only produces tiles, and kernel B fuses
+    the vectorscope matmuls with the SWAR waveform (serial inside, but
+    one launch and no flat-row reshape glue).
+  * Per-row K=128 NT matmuls straight from (rows,128) tiles are FASTER
+    end-to-end than K=8192 flat-row matmuls: same MXU op count, smaller
+    one-hot builds, and no lane-merging reshape/copy glue in XLA
+    (0.78 vs 1.02 ms per 4K frame, sweep_r3c/r3d).
+  * The downscale's row-pair matmul operand (pair sums <= 510) is not
+    bf16-exact; splitting it into two <=255 halves (each bf16-exact) and
+    running two default-precision matmuls beats Precision.HIGHEST.
+
+Kernel A (_pipeline_kernel), grid step = one 64-input-row band:
+  - zebra / false color / focus peaking on the full-res rows (optional;
+    shared read + shared luma — the reference renders these as three
+    separate GPU passes, src/zebra.c:599-628, src/focuspeaking.c:273-309);
+    the focus-peaking row halo comes from 8-row neighbor blocks;
+  - the scale-1/2 downscale (reference src/common.c:141-168,249-250),
+    RGB->YUV (data/common.effect:23-43), alpha pre-zeroing;
+  - the SWAR waveform accumulation into a VMEM-resident int16
+    (3,256,W) accumulator (row sums per band <= 64 can't carry the 8-bit
+    SWAR fields; int16 totals are exact for any frame under 32k rows);
+  - U/V written as (S, NB, OH, 128) tiles for kernel B.
+
+Kernel B (pallas_stats._vs_swar_tiles_kernel): vectorscope one-hot NT
+matmuls + SWAR waveform over band-pair tiles.
+
+Everything is bit-exact vs the separate ops (tests/test_pipeline_kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_stats as ps
+from .pallas_overlays import _overlay_band_math
+
+_COLS = 128
+_BAND = 64  # input rows per grid step
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def pipeline_fits(height: int, width: int, scale: int, with_overlays: bool) -> bool:
+    """Conservative static check that the band kernel's double-buffered
+    working set fits the ~16 MB VMEM (4K scale-1 WITH overlays does not —
+    the compiler measured 18.1 MB; callers fall back to the separate
+    ingest + overlay kernels)."""
+    if scale not in (1, 2):
+        return False
+    w = width // scale
+    if w < 1 or height // scale < 1:
+        return False
+    s = _cdiv(w, _COLS)
+    w4p = max(s * _COLS * scale, _cdiv(width, _COLS) * _COLS)
+    oh = _BAND // scale
+    band = 4 * _BAND * w4p
+    step = (
+        band
+        + 2 * 4 * 8 * w4p
+        + (3 * band if with_overlays else 0)
+        + 5 * s * oh * _COLS
+        + 4 * oh * s * _COLS
+    )
+    return 2 * step + 4_500_000 < 16_000_000
+
+
+def _downscale2_block(x, p2, q2):
+    """(64, 256) f32 -> (32, 128) bilinear x2, exact (two bf16 matmuls for
+    the row pairs: the <=510 pair sums split into <=255 halves, each
+    bf16-exact — cheaper than one Precision.HIGHEST matmul)."""
+    t = jax.lax.dot_general(
+        x, p2,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    t1 = jnp.minimum(t, 255.0)
+    t2 = t - t1
+    mm = lambda a: jax.lax.dot_general(
+        q2, a,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.floor((mm(t1) + mm(t2) + 2.0) * 0.25)
+
+
+def _pipeline_kernel(params, cur_ref, prv_ref, nxt_ref, p2_ref, q2_ref, tm_ref,
+                     *out_refs):
+    (h, w, w4p, s_total, scale, yuv_data, kcoef, ov_params, with_ov) = params
+    b = pl.program_id(0)
+    oh = _BAND // scale
+    tm = tm_ref[0, 0]
+    cur = [cur_ref[c].astype(jnp.int32) for c in range(4)]  # (64, w4p)
+
+    refs = list(out_refs)
+    if with_ov:
+        zb_ref, fc_ref, fp_ref = refs[:3]
+        refs = refs[3:]
+    u_ref, v_ref, d0_ref, d1_ref, d2_ref, ds_ref = refs
+
+    if with_ov:
+        ri4 = b * _BAND + jax.lax.broadcasted_iota(jnp.int32, (_BAND, w4p), 0)
+        ci4 = jax.lax.broadcasted_iota(jnp.int32, (_BAND, w4p), 1)
+        prev_row = [prv_ref[c][7:8].astype(jnp.int32) for c in range(3)]
+        next_row = [nxt_ref[c][0:1].astype(jnp.int32) for c in range(3)]
+        zb_ref[:], fc_ref[:], fp_ref[:] = _overlay_band_math(
+            ov_params, cur, prev_row, next_row, tm, ri4, ci4
+        )
+
+    half = np.float32(1 << 11)
+    inv = np.float32(1.0 / (1 << 12))
+    for s in range(s_total):
+        if scale == 2:
+            ds = [
+                _downscale2_block(
+                    cur[c][:, s * 2 * _COLS : (s + 1) * 2 * _COLS].astype(
+                        jnp.float32
+                    ),
+                    p2_ref[:],
+                    q2_ref[:],
+                )
+                for c in range(4)
+            ]
+        else:
+            ds = [
+                cur[c][:, s * _COLS : (s + 1) * _COLS].astype(jnp.float32)
+                for c in range(4)
+            ]
+        rowi = b * oh + jax.lax.broadcasted_iota(jnp.int32, (oh, _COLS), 0)
+        coli = s * _COLS + jax.lax.broadcasted_iota(jnp.int32, (oh, _COLS), 1)
+        valid = (rowi < h) & (coli < w)
+        ds = [jnp.where(valid, x, 0.0) for x in ds]
+        r8, g8, b8, a8 = ds
+
+        def to_u8(x):
+            return x.astype(jnp.int32).astype(jnp.uint8)
+
+        ds_ref[:, :, s * _COLS : (s + 1) * _COLS] = jnp.stack(
+            [to_u8(x) for x in ds], axis=0
+        )
+        yuv = []
+        for i in range(3):
+            acc = (
+                kcoef[i][0] * r8 + kcoef[i][1] * g8 + kcoef[i][2] * b8
+                + np.float32(kcoef[i][3] + half)
+            )
+            q = jnp.clip(jnp.floor(acc * inv), 0.0, 255.0)
+            yuv.append(jnp.where(valid, to_u8(q), jnp.uint8(0)))
+        u_ref[s, 0] = yuv[1]
+        v_ref[s, 0] = yuv[2]
+        if yuv_data:
+            # YUV component mode: waveform data = Y,U,V; no alpha skip
+            # (the reference conversion writes a=1, data/common.effect:30,41)
+            data = yuv
+        else:
+            mask = a8 != 0.0
+            zero = jnp.uint8(0)
+            data = [
+                jnp.where(mask, to_u8(x), zero) for x in (r8, g8, b8)
+            ]
+        d0_ref[s, 0] = data[0]
+        d1_ref[s, 0] = data[1]
+        d2_ref[s, 0] = data[2]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cs", "scale", "yuv_data", "with_overlays",
+        "th_low", "th_high", "zb_cs", "fc_cs", "peak_th", "peak_rgba",
+        "interpret",
+    ),
+)
+def frame_pipeline(
+    planes: jax.Array,
+    tm: jax.Array | float = 0.0,
+    *,
+    cs: int,
+    scale: int,
+    yuv_data: bool = False,
+    with_overlays: bool = True,
+    th_low: float = 0.75,
+    th_high: float = 1.0,
+    zb_cs: int = 2,
+    fc_cs: int = 2,
+    peak_th: int = 3062,
+    peak_rgba: tuple[int, int, int, int] = (255, 0, 0, 255),
+    interpret: bool = False,
+):
+    """(4, H4, W4) u8 planar frame -> everything, in two Mosaic kernels.
+
+    Returns (vs_i32 (256,256), wv_i32 (3,256,W), ds_planes (4,H,W),
+    zebra, falsecolor, focuspeaking (4,H4,W4) u8) where H=H4//scale —
+    statistics at the capture scale, overlays at full resolution (the
+    reference's standalone-source defaults).  With with_overlays=False the
+    overlay outputs are None (the dock feeds its overlay scopes from the
+    shared capture instead).  Bit-exact twins of the separate ops.
+    """
+    from ..colorspace import Colorspace, FIXED_COEFFS, FIXED_SHIFT, LUMA_COEF
+    from ..golden.reference import luma_threshold_fixed
+
+    if scale not in (1, 2):
+        raise ValueError("frame_pipeline supports scale 1 and 2")
+    h4, w4 = planes.shape[-2], planes.shape[-1]
+    h, w = h4 // scale, w4 // scale
+    s = _cdiv(w, _COLS)
+    oh = _BAND // scale
+    nb = 2 * _cdiv(h4, 2 * _BAND)  # even band count: kernel B reads pairs
+    hp = nb * _BAND
+    # wide enough for the s statistics stripes AND the full-res overlay
+    # columns (w4 can exceed s*scale*128 when scale divides w4 unevenly)
+    w4p = max(s * _COLS * scale, _cdiv(w4, _COLS) * _COLS)
+    x = jnp.pad(planes, ((0, 0), (0, hp - h4), (0, w4p - w4)))
+
+    k = np.asarray(FIXED_COEFFS[Colorspace(cs)], np.float32)
+    kcoef = tuple(tuple(float(v) for v in row) for row in k)
+    kl = lambda c: tuple(
+        float(int(round(v * (1 << FIXED_SHIFT)))) for v in LUMA_COEF[Colorspace(c)]
+    )
+    ov_params = (
+        h4,
+        w4,
+        float(luma_threshold_fixed(th_low)),
+        float(luma_threshold_fixed(th_high)),
+        kl(zb_cs),
+        kl(fc_cs),
+        int(peak_th),
+        tuple(int(v) for v in peak_rgba),
+    )
+
+    params = (h, w, w4p, s, scale, yuv_data, kcoef, ov_params, with_overlays)
+
+    # MXU pair matrices for the scale-2 downscale (dummies at scale 1)
+    if scale == 2:
+        p2 = (
+            jax.lax.broadcasted_iota(jnp.int32, (2 * _COLS, _COLS), 0) // 2
+            == jax.lax.broadcasted_iota(jnp.int32, (2 * _COLS, _COLS), 1)
+        ).astype(jnp.float32)
+        q2 = (
+            jax.lax.broadcasted_iota(jnp.int32, (oh, 2 * oh), 1) // 2
+            == jax.lax.broadcasted_iota(jnp.int32, (oh, 2 * oh), 0)
+        ).astype(jnp.float32)
+    else:
+        p2 = jnp.zeros((8, _COLS), jnp.float32)
+        q2 = jnp.zeros((8, _COLS), jnp.float32)
+
+    fullspec = lambda: pl.BlockSpec(
+        (4, _BAND, w4p), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+    )
+    row8 = lambda f: pl.BlockSpec((4, 8, w4p), f, memory_space=pltpu.VMEM)
+    tile = lambda: pl.BlockSpec(
+        (s, 1, oh, _COLS), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM
+    )
+    tile_shape = jax.ShapeDtypeStruct((s, nb, oh, _COLS), jnp.uint8)
+    full_shape = lambda: jax.ShapeDtypeStruct((4, hp, w4p), jnp.uint8)
+    ds_spec = pl.BlockSpec(
+        (4, oh, s * _COLS), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+    )
+    ds_shape = jax.ShapeDtypeStruct((4, nb * oh, s * _COLS), jnp.uint8)
+
+    out_specs: list = []
+    out_shape: list = []
+    if with_overlays:
+        out_specs += [fullspec(), fullspec(), fullspec()]
+        out_shape += [full_shape(), full_shape(), full_shape()]
+    out_specs += [tile(), tile(), tile(), tile(), tile(), ds_spec]
+    out_shape += [tile_shape] * 5 + [ds_shape]
+
+    outs = pl.pallas_call(
+        functools.partial(_pipeline_kernel, params),
+        grid=(nb,),
+        in_specs=[
+            fullspec(),
+            # 8-row halo blocks: the prev halo row b*64-1 is row 7 of 8-row
+            # block b*8-1; the next halo row (b+1)*64 is row 0 of block
+            # (b+1)*8; edge clamps feed rows the math masks out (ri==0/h4-1)
+            row8(lambda b: (0, jnp.maximum(b * (_BAND // 8) - 1, 0), 0)),
+            row8(
+                lambda b: (0, jnp.minimum((b + 1) * (_BAND // 8), hp // 8 - 1), 0)
+            ),
+            pl.BlockSpec(p2.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(q2.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(x, x, x, p2, q2, jnp.reshape(jnp.asarray(tm, jnp.float32), (1, 1)))
+
+    outs = list(outs)
+    if with_overlays:
+        zb, fc, fp = outs[:3]
+        outs = outs[3:]
+    else:
+        zb = fc = fp = None
+    u_t, v_t, d0, d1, d2, dsp = outs
+    vs, wv = ps.vs_swar_from_tiles(
+        u_t, v_t, jnp.stack([d0, d1, d2], axis=0), oh=oh, interpret=interpret
+    )
+
+    n_pad = s * _COLS * nb * oh - h * w
+    vs = vs.at[0, 0].add(jnp.int32(-n_pad))
+    wv = wv[:, :, :w]
+    if yuv_data:
+        corr = jnp.full((w,), nb * oh - h, jnp.int32)
+    else:
+        corr = jnp.sum(dsp[3] == 0, axis=0, dtype=jnp.int32)[:w]
+    wv = wv.at[:, 0, :].add(-corr[None, :])
+    crop = lambda a: None if a is None else a[:, :h4, :w4]
+    return vs, wv, dsp[:, :h, :w], crop(zb), crop(fc), crop(fp)

@@ -129,9 +129,9 @@ def _swar_tile_counts(vals_u8: jax.Array, acc: jax.Array) -> jax.Array:
     return acc + ((un >> shift) & 255)
 
 
-def _one_hot_bins_first(row: jax.Array) -> jax.Array:
-    """(1, 8192) u8 -> (256, 8192) int8 one-hot (sublane broadcast-compare)."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (N_BINS, _LANES), 0)
+def _one_hot_bins_first(row: jax.Array, lanes: int = _LANES) -> jax.Array:
+    """(.., lanes) u8 -> (256, lanes) int8 one-hot (sublane broadcast-compare)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N_BINS, lanes), 0)
     return (iota == row.astype(jnp.int32)).astype(jnp.int8)
 
 
@@ -263,6 +263,97 @@ def _fused_kernel(c: int, u_ref, v_ref, data_ref, vs_ref, wv_ref):
     vs_ref[:] += _nt_matmul(ohv, ohu)
     for ci in range(c):
         wv_ref[ci] = _swar_tile_counts(data_ref[ci, 0, 0], wv_ref[ci])
+
+
+def _one_hot_row(row: jax.Array) -> jax.Array:
+    """(128,) u8 -> (256, 128) int8 one-hot."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N_BINS, _COLS), 0)
+    return (iota == row.astype(jnp.int32)).astype(jnp.int8)
+
+
+def _vs_rows_matmul(u_tile: jax.Array, v_tile: jax.Array, rows: int) -> jax.Array:
+    """(rows, 128) U/V tiles -> (256, 256) counts via per-row K=128 NT
+    matmuls.  Same MXU op count as one K=rows*128 flat-row matmul, but the
+    one-hot builds are smaller and NO lane-merging reshape is needed in
+    XLA — measured FASTER end-to-end than the flat-row formulation
+    (0.78 vs 1.02 ms per 4K frame incl. the copies it avoids,
+    benchmarks/sweep_r3c.py)."""
+    acc = None
+    for r in range(rows):
+        m = _nt_matmul(_one_hot_row(v_tile[r]), _one_hot_row(u_tile[r]))
+        acc = m if acc is None else acc + m
+    return acc
+
+
+def _pair_tile_spec(c: int | None, rows: int) -> pl.BlockSpec:
+    if c is None:
+        return pl.BlockSpec(
+            (1, 2, rows, _COLS), lambda s, r: (s, r, 0, 0), memory_space=pltpu.VMEM
+        )
+    return pl.BlockSpec(
+        (c, 1, 2, rows, _COLS),
+        lambda s, r: (0, s, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _vs_swar_tiles_kernel(rows: int, u_ref, v_ref, data_ref, vs_ref, wv_ref):
+    """Fused VS + SWAR waveform over band-pair tiles (frame-pipeline
+    fallback kernel B when the int16 accumulator doesn't fit kernel A)."""
+    s = pl.program_id(0)
+    r = pl.program_id(1)
+
+    @pl.when((s == 0) & (r == 0))
+    def _():
+        vs_ref[:] = jnp.zeros_like(vs_ref)
+
+    @pl.when(r == 0)
+    def _():
+        wv_ref[:] = jnp.zeros_like(wv_ref)
+
+    acc = None
+    for j in range(2):
+        m = _vs_rows_matmul(u_ref[0, j], v_ref[0, j], rows)
+        acc = m if acc is None else acc + m
+    vs_ref[:] += acc
+    for ci in range(3):
+        tile = jnp.concatenate([data_ref[ci, 0, 0], data_ref[ci, 0, 1]], axis=0)
+        wv_ref[ci] = _swar_tile_counts(tile, wv_ref[ci])
+
+
+def vs_swar_from_tiles(
+    u_t: jax.Array,
+    v_t: jax.Array,
+    data_t: jax.Array,
+    *,
+    oh: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Tiles (S,NB,OH,128) + data (3,S,NB,OH,128) -> (vs i32, wv i32)."""
+    s, nb = u_t.shape[0], u_t.shape[1]
+    return pl.pallas_call(
+        functools.partial(_vs_swar_tiles_kernel, oh),
+        grid=(s, nb // 2),
+        in_specs=[
+            _pair_tile_spec(None, oh),
+            _pair_tile_spec(None, oh),
+            _pair_tile_spec(3, oh),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (N_BINS, N_BINS), lambda si, ri: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, N_BINS, _COLS), lambda si, ri: (0, 0, si),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N_BINS, N_BINS), jnp.int32),
+            jax.ShapeDtypeStruct((3, N_BINS, s * _COLS), jnp.int32),
+        ),
+        interpret=interpret,
+    )(u_t, v_t, data_t)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,98 @@
+"""Bit-exactness of the whole-frame pipeline kernel (interpret mode).
+
+frame_pipeline fuses ingest + the three overlay scopes into one Mosaic
+pass (ops/pallas_pipeline.py); every output must match the separate ops
+exactly — statistics vs the fused-ingest kernels, overlays vs the XLA
+ops (themselves golden-verified in test_overlays).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from obs_color_monitor_tpu.ops import overlays as ov
+from obs_color_monitor_tpu.ops import pallas_stats as ps
+from obs_color_monitor_tpu.ops.pallas_pipeline import frame_pipeline
+
+ARGS = dict(
+    th_low=0.75, th_high=1.0, zb_cs=2, fc_cs=1,
+    peak_th=3062, peak_rgba=(255, 84, 0, 255),
+)
+
+
+@pytest.mark.parametrize(
+    "h4,w4,scale,yuv_data",
+    [
+        (270, 480, 2, False),
+        (135, 240, 1, False),
+        (129, 131, 2, True),   # odd dims: stripe/band padding + remainders
+        (64, 128, 1, True),
+        (13, 17, 2, False),    # smaller than one band/stripe
+    ],
+)
+def test_pipeline_matches_separate_ops(h4, w4, scale, yuv_data):
+    rng = np.random.default_rng(h4 * w4 + scale)
+    p = jnp.asarray(rng.integers(0, 256, (4, h4, w4), np.uint8))
+    tm = jnp.float32(2.5)
+    vs, wv, ds, zb, fc, fp = frame_pipeline(
+        p, tm, cs=2, scale=scale, yuv_data=yuv_data, interpret=True, **ARGS
+    )
+    if scale == 2:
+        rvs, rwv, rds = ps.fused_ingest_stats_scale2(
+            p, cs=2, yuv_data=yuv_data, interpret=True
+        )
+    else:
+        rvs, rwv = ps.fused_ingest_stats_scale1(
+            p, cs=2, yuv_data=yuv_data, interpret=True
+        )
+        rds = p
+    pc = jnp.asarray(np.array(ARGS["peak_rgba"], np.uint8))
+    for name, a, b in [
+        ("vs", vs, rvs),
+        ("wv", wv, rwv),
+        ("ds", ds, rds),
+        ("zb", zb, ov.zebra_planes(p, th_low=0.75, th_high=1.0, tm=tm, cs=2)),
+        ("fc", fc, ov.falsecolor_planes(p, cs=1)),
+        ("fp", fp, ov.focus_peaking_planes(p, ARGS["peak_th"], pc)),
+    ]:
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_pipeline_no_overlays_mode():
+    """with_overlays=False (the dock/serving stats path) must produce the
+    same statistics; the pad width w4=257 > s*scale*128 also exercises the
+    overlay-vs-stats padding split."""
+    rng = np.random.default_rng(11)
+    p = jnp.asarray(rng.integers(0, 256, (4, 133, 257), np.uint8))
+    tm = jnp.float32(1.0)
+    ref = frame_pipeline(p, tm, cs=1, scale=2, interpret=True, **ARGS)
+    got = frame_pipeline(
+        p, tm, cs=1, scale=2, interpret=True, with_overlays=False, **ARGS
+    )
+    for i, name in enumerate(["vs", "wv", "ds", "zb", "fc", "fp"]):
+        if got[i] is None:
+            assert name in ("zb", "fc", "fp")
+            continue
+        assert np.array_equal(np.asarray(got[i]), np.asarray(ref[i])), name
+
+
+def test_pipeline_alpha_skip():
+    """Transparent pixels: skipped by the waveform, counted by the VS."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (4, 96, 160), np.uint8)
+    arr[3] = 255
+    arr[3, :48] = 0  # top half transparent, bottom fully opaque
+    p = jnp.asarray(arr)
+    vs, wv, *_ = frame_pipeline(
+        p, jnp.float32(0.0), cs=1, scale=1, yuv_data=False, interpret=True, **ARGS
+    )
+    assert int(np.asarray(wv).sum()) == 3 * 48 * 160  # opaque rows only
+    assert int(np.asarray(vs).sum()) == 96 * 160  # every pixel
+
+
+def test_pipeline_rejects_other_scales():
+    p = jnp.zeros((4, 32, 32), jnp.uint8)
+    with pytest.raises(ValueError):
+        frame_pipeline(
+            p, jnp.float32(0.0), cs=2, scale=4, interpret=True, **ARGS
+        )

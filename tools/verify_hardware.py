@@ -96,6 +96,31 @@ def main() -> int:
         golden.falsecolor(frame, Colorspace.BT709),
     )
     print("3. fused overlay kernel: bit-exact vs golden (mixed colorspaces)")
+
+    # 4. whole-frame pipeline kernel vs golden (stats + all three overlays)
+    from obs_color_monitor_tpu.ops.pallas_pipeline import frame_pipeline
+
+    fpl = np.moveaxis(f, -1, 0)
+    vs, wv, ds, zb, fc, fp = frame_pipeline(
+        fpl, 2.5, cs=2, scale=2, th_low=0.75, th_high=1.0, zb_cs=2, fc_cs=1,
+        peak_th=3062, peak_rgba=(255, 84, 0, 255),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vs).clip(0, 255).astype(np.uint8), golden.vectorscope_counts(yuv)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(wv).clip(0, 255).astype(np.uint8),
+        golden.waveform_counts(scaled, None, Components.RGB),
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(zb), 0, -1),
+        golden.zebra(f, 0.75, 1.0, 2.5, Colorspace.BT709),
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(fc), 0, -1),
+        golden.falsecolor(f, Colorspace.BT601),
+    )
+    print("4. frame-pipeline kernel: bit-exact vs golden")
     print("hardware verification OK")
     return 0
 
