@@ -1,0 +1,122 @@
+"""Wall-slope measurement of the reference-parity dock panel
+(make_dock_step) and secondary make_full_step shapes.  Slope
+(t(2n)-t(n))/n cancels the tunnel round trip (see doc/performance.md).
+
+Usage: python benchmarks/panel_slope.py [which ...]
+  which in {dock, 1080p2, 4k4, 4k1, 1080p1, batch2}; default: dock
+"""
+import sys, time
+from pathlib import Path
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import jax, jax.numpy as jnp
+
+N = 32
+
+
+def csum_tree(out):
+    import jax as _j
+
+    total = jnp.int32(0)
+    for leaf in _j.tree_util.tree_leaves(out):
+        if leaf.ndim >= 2 and leaf.shape[-1] >= 1024 and leaf.shape[-2] >= 256:
+            leaf = leaf[..., :64, :]  # opaque-kernel big image: sample rows
+        total += jnp.sum(leaf.astype(jnp.int32))
+    return total
+
+
+def slope(name, step, frame, tm_scale=0.0667, n=N):
+    def build(k):
+        @jax.jit
+        def run(f0):
+            def body(i, acc):
+                f = jnp.bitwise_xor(f0, (i % 2).astype(jnp.uint8))
+                out = step(f, i.astype(jnp.float32) * tm_scale)
+                return acc + csum_tree(out)
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return run
+
+    def timed(k):
+        r = build(k)
+        _ = np.asarray(r(frame))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(r(frame))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = timed(n), timed(2 * n)
+    ms = (t2 - t1) / n * 1e3
+    print(f"{name:44s} {ms:7.3f} ms/frame = {1e3/ms:6.1f} fps", flush=True)
+
+
+def main():
+    which = sys.argv[1:] or ["dock"]
+    from obs_color_monitor_tpu.api import make_full_step, make_batched_step
+    from obs_color_monitor_tpu.dock_step import make_dock_step
+    from obs_color_monitor_tpu.colorspace import Colorspace
+
+    rng = np.random.default_rng(0)
+
+    if "dock" in which:
+        f = jax.device_put(rng.integers(0, 256, (2160, 3840, 4), np.uint8))
+        dstep = make_dock_step(2160, 3840, scale=2)
+        slope("make_dock_step 4K (full parity panel)", dstep, f)
+    if "1080p2" in which:
+        f = jax.device_put(rng.integers(0, 256, (1080, 1920, 4), np.uint8))
+        step = make_full_step(1080, 1920, cs=Colorspace.BT709, scale=2)
+        slope("full step 1080p scale2", step, f)
+    if "4k4" in which:
+        f = jax.device_put(rng.integers(0, 256, (2160, 3840, 4), np.uint8))
+        step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=4)
+        slope("full step 4K scale4", step, f)
+    if "4k1" in which:
+        f = jax.device_put(rng.integers(0, 256, (2160, 3840, 4), np.uint8))
+        step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=1)
+        slope("full step 4K scale1", step, f, n=16)
+    if "1080p1" in which:
+        f = jax.device_put(rng.integers(0, 256, (1080, 1920, 4), np.uint8))
+        step = make_full_step(1080, 1920, cs=Colorspace.BT709, scale=1)
+        slope("full step 1080p scale1", step, f)
+    if "batch2" in which:
+        f = jax.device_put(rng.integers(0, 256, (2, 2160, 3840, 4), np.uint8))
+        bstep = make_batched_step(2160, 3840, cs=Colorspace.BT709, scale=2)
+        t = jnp.zeros((2,), jnp.float32)
+
+        def step(fr, tm):
+            return bstep(fr, jnp.stack([tm, tm]))
+
+        def build(k):
+            @jax.jit
+            def run(f0):
+                def body(i, acc):
+                    ff = jnp.bitwise_xor(f0, (i % 2).astype(jnp.uint8))
+                    out = step(ff, i.astype(jnp.float32))
+                    return acc + csum_tree(out)
+
+                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+            return run
+
+        def timed(k):
+            r = build(k)
+            _ = np.asarray(r(f))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _ = np.asarray(r(f))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1, t2 = timed(16), timed(32)
+        ms = (t2 - t1) / 16 / 2 * 1e3
+        print(f"{'batched serving B=2 (per frame)':44s} {ms:7.3f} ms/frame "
+              f"= {1e3/ms:6.1f} fps/chip", flush=True)
+
+
+if __name__ == "__main__":
+    main()

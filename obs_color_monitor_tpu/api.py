@@ -110,7 +110,11 @@ def make_full_step(
 
     @jax.jit
     def step(frame, tm: jax.Array) -> ScopeOutputs:
-        # planarize ONCE; stats and overlays all consume planes
+        # planarize ONCE; stats and overlays all consume planes.  On the
+        # pipeline fast path an rgba frame skips even that: the band kernel
+        # reads the packed u32 view and extracts the bytes itself.
+        on_pipeline = use_pipeline and default_backend() == "pallas"
+        planes = packed = None
         if input_format == "nv12":
             from .ops.convert import nv12_to_planes
 
@@ -118,19 +122,22 @@ def make_full_step(
             planes = nv12_to_planes(y, uv, cs=cs)
         elif input_format == "planar":
             planes = frame
+        elif on_pipeline:
+            packed = jax.lax.bitcast_convert_type(frame, jnp.uint32)
         else:
             planes = planarize(frame)
         zb_img = fc_img = fp_img = None
-        if use_pipeline and default_backend() == "pallas":
+        if on_pipeline:
             from .ops.pallas_pipeline import frame_pipeline
             from .ops.pallas_stats import histogram_from_waveform
 
             vs_i32, wv_i32, _ds, zb_img, fc_img, fp_img = frame_pipeline(
-                planes,
+                packed if packed is not None else planes,
                 tm,
                 cs=cs,
                 scale=scale,
                 yuv_data=wv_yuv_mode,
+                packed=packed is not None,
                 th_low=zb_cfg.th_low,
                 th_high=zb_cfg.th_high,
                 zb_cs=zb_cs,

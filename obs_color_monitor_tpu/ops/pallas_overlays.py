@@ -45,7 +45,8 @@ def _luma(kl, r, g, b):
     return kl[0] * r + kl[1] * g + kl[2] * b
 
 
-def _overlay_band_math(params, cur, prev_row, next_row, tm, ri, ci):
+def _overlay_band_math(params, cur, prev_row, next_row, tm, ri, ci,
+                       left_col=None, right_col=None):
     """Shared zebra/falsecolor/focuspeaking math on one row band.
 
     cur: 4 (R, W) i32 planes; prev_row/next_row: 3 (1, W) i32 halo rows;
@@ -54,6 +55,12 @@ def _overlay_band_math(params, cur, prev_row, next_row, tm, ri, ci):
     garbage the caller slices off).  Returns (zb, fc, fp) u8 stacks.
     Used by the standalone fused-overlay kernel and the frame-pipeline
     mega kernel (ops/pallas_pipeline.py).
+
+    left_col/right_col: for STRIPED callers whose block is not the full
+    image width — 3 (R, 1) i32 columns adjacent to the block (global
+    columns ci[0]-1 and ci[-1]+1), fixing up the focus-peaking stencil's
+    circular rolls at the block edges.  None = full-width behavior (the
+    wrapped-in columns coincide with the image edge and are masked).
     """
     (h, w, zb_lo, zb_hi, kl_zb, kl_fc, peak_th, peak_rgba) = params
     shape = ri.shape
@@ -100,11 +107,23 @@ def _overlay_band_math(params, cur, prev_row, next_row, tm, ri, ci):
 
     rgb32 = cur[:3]
     right = [pltpu.roll(x, arr_w - 1, 1) for x in rgb32]  # x[col+1] (circular)
+    if right_col is not None:
+        lci = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        right = [
+            jnp.where(lci == arr_w - 1, rc, r)
+            for r, rc in zip(right, right_col)
+        ]
     dxf = absdiff3(right, rgb32)
     # forward diff: zero at the last real column AND the padding beyond it
     # (the circular roll wraps column 0 into the last padded column)
     dxf = jnp.where(ci >= w - 1, 0, dxf)
-    sx = dxf + pltpu.roll(dxf, 1, 1)  # + dx[col-1]; rolled-in col 0 is 0
+    sxr = pltpu.roll(dxf, 1, 1)  # dx[col-1]; rolled-in col 0 is 0 (masked)
+    if left_col is not None:
+        # block-local col 0 is an interior column: dx[col-1] comes from the
+        # halo column (zero only at the true image edge ci == 0)
+        dxf_m1 = absdiff3([x[:, 0:1] for x in rgb32], left_col)
+        sxr = jnp.where(lci == 0, jnp.where(ci == 0, 0, dxf_m1), sxr)
+    sx = dxf + sxr
     up = [
         jnp.concatenate([p, x[:-1]], axis=0) for x, p in zip(rgb32, prev_row)
     ]

@@ -104,11 +104,12 @@ def _downscale2_block(x, p2, q2):
 
 def _pipeline_kernel(params, cur_ref, prv_ref, nxt_ref, p2_ref, q2_ref, tm_ref,
                      *out_refs):
-    (h, w, w4p, s_total, scale, yuv_data, kcoef, ov_params, with_ov) = params
+    (h, w, w4p, s_total, scale, packed, yuv_data, kcoef, ov_params,
+     with_ov) = params
     b = pl.program_id(0)
     oh = _BAND // scale
     tm = tm_ref[0, 0]
-    cur = [cur_ref[c].astype(jnp.int32) for c in range(4)]  # (64, w4p)
+    cur = _extract_channels(cur_ref, packed)  # 4x (64, w4p) i32
 
     refs = list(out_refs)
     if with_ov:
@@ -119,8 +120,10 @@ def _pipeline_kernel(params, cur_ref, prv_ref, nxt_ref, p2_ref, q2_ref, tm_ref,
     if with_ov:
         ri4 = b * _BAND + jax.lax.broadcasted_iota(jnp.int32, (_BAND, w4p), 0)
         ci4 = jax.lax.broadcasted_iota(jnp.int32, (_BAND, w4p), 1)
-        prev_row = [prv_ref[c][7:8].astype(jnp.int32) for c in range(3)]
-        next_row = [nxt_ref[c][0:1].astype(jnp.int32) for c in range(3)]
+        prv = _extract_channels(prv_ref, packed, 3)
+        nxt = _extract_channels(nxt_ref, packed, 3)
+        prev_row = [p[7:8] for p in prv]
+        next_row = [nx[0:1] for nx in nxt]
         zb_ref[:], fc_ref[:], fp_ref[:] = _overlay_band_math(
             ov_params, cur, prev_row, next_row, tm, ri4, ci4
         )
@@ -181,10 +184,24 @@ def _pipeline_kernel(params, cur_ref, prv_ref, nxt_ref, p2_ref, q2_ref, tm_ref,
         d2_ref[s, 0] = data[2]
 
 
+# ---------------------------------------------------------------------------
+# Packed-input channel extraction (shared by the band kernel; also used by
+# the measured-rejected mega-kernel experiment in benchmarks/mega_kernel.py)
+# ---------------------------------------------------------------------------
+
+
+def _extract_channels(x, packed: bool, n: int = 4):
+    """Packed (R, W) u32 -> n (R, W) i32 byte planes; planar passthrough."""
+    if packed:
+        xi = jax.lax.bitcast_convert_type(x[:], jnp.int32)
+        return [(xi >> (8 * c)) & 255 for c in range(n)]
+    return [x[c].astype(jnp.int32) for c in range(n)]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cs", "scale", "yuv_data", "with_overlays",
+        "cs", "scale", "yuv_data", "with_overlays", "packed",
         "th_low", "th_high", "zb_cs", "fc_cs", "peak_th", "peak_rgba",
         "interpret",
     ),
@@ -197,6 +214,7 @@ def frame_pipeline(
     scale: int,
     yuv_data: bool = False,
     with_overlays: bool = True,
+    packed: bool = False,
     th_low: float = 0.75,
     th_high: float = 1.0,
     zb_cs: int = 2,
@@ -206,6 +224,10 @@ def frame_pipeline(
     interpret: bool = False,
 ):
     """(4, H4, W4) u8 planar frame -> everything, in two Mosaic kernels.
+
+    With packed=True the input is instead the (H4, W4) u32 bitcast view of
+    the interleaved RGBA frame — the kernel extracts the bytes itself, so
+    the planarize pass and its pad copy disappear from the program.
 
     Returns (vs_i32 (256,256), wv_i32 (3,256,W), ds_planes (4,H,W),
     zebra, falsecolor, focuspeaking (4,H4,W4) u8) where H=H4//scale —
@@ -223,12 +245,21 @@ def frame_pipeline(
     h, w = h4 // scale, w4 // scale
     s = _cdiv(w, _COLS)
     oh = _BAND // scale
-    nb = 2 * _cdiv(h4, 2 * _BAND)  # even band count: kernel B reads pairs
+    # exact band count: a band whose OUTPUT block index would be entirely
+    # out of range clamps onto the last block and clobbers it, so no output
+    # array may be more than one partial block short of the grid
+    nb = _cdiv(h4, _BAND)
     hp = nb * _BAND
     # wide enough for the s statistics stripes AND the full-res overlay
     # columns (w4 can exceed s*scale*128 when scale divides w4 unevenly)
     w4p = max(s * _COLS * scale, _cdiv(w4, _COLS) * _COLS)
-    x = jnp.pad(planes, ((0, 0), (0, hp - h4), (0, w4p - w4)))
+    if packed:
+        # (H4, W4) u32 view of the interleaved frame: no planarize, no pad
+        # materialization — Pallas masks the out-of-range block regions and
+        # the kernel's valid-masks/crops make their contents irrelevant
+        x = planes
+    else:
+        x = jnp.pad(planes, ((0, 0), (0, hp - h4), (0, w4p - w4)))
 
     k = np.asarray(FIXED_COEFFS[Colorspace(cs)], np.float32)
     kcoef = tuple(tuple(float(v) for v in row) for row in k)
@@ -246,7 +277,8 @@ def frame_pipeline(
         tuple(int(v) for v in peak_rgba),
     )
 
-    params = (h, w, w4p, s, scale, yuv_data, kcoef, ov_params, with_overlays)
+    params = (h, w, w4p, s, scale, packed, yuv_data, kcoef, ov_params,
+              with_overlays)
 
     # MXU pair matrices for the scale-2 downscale (dummies at scale 1)
     if scale == 2:
@@ -262,19 +294,41 @@ def frame_pipeline(
         p2 = jnp.zeros((8, _COLS), jnp.float32)
         q2 = jnp.zeros((8, _COLS), jnp.float32)
 
+    if packed:
+        inspec = lambda: pl.BlockSpec(
+            (_BAND, w4p), lambda b: (b, 0), memory_space=pltpu.VMEM
+        )
+        row8 = lambda f: pl.BlockSpec(
+            (8, w4p), (lambda b: f(b)[1:]), memory_space=pltpu.VMEM
+        )
+        nrb = _cdiv(h4, 8)
+    else:
+        inspec = lambda: pl.BlockSpec(
+            (4, _BAND, w4p), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+        )
+        row8 = lambda f: pl.BlockSpec((4, 8, w4p), f, memory_space=pltpu.VMEM)
+        nrb = hp // 8
     fullspec = lambda: pl.BlockSpec(
         (4, _BAND, w4p), lambda b: (0, b, 0), memory_space=pltpu.VMEM
     )
-    row8 = lambda f: pl.BlockSpec((4, 8, w4p), f, memory_space=pltpu.VMEM)
     tile = lambda: pl.BlockSpec(
         (s, 1, oh, _COLS), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM
     )
     tile_shape = jax.ShapeDtypeStruct((s, nb, oh, _COLS), jnp.uint8)
-    full_shape = lambda: jax.ShapeDtypeStruct((4, hp, w4p), jnp.uint8)
+    # output arrays are EXACT-shaped: Pallas drops the out-of-range part of
+    # edge blocks, so the padded-geometry crops (which materialized ~140 MB
+    # of copies per 4K frame whenever a consumer needed the dense result)
+    # disappear from the program entirely
+    full_shape = lambda: jax.ShapeDtypeStruct((4, h4, w4), jnp.uint8)
     ds_spec = pl.BlockSpec(
         (4, oh, s * _COLS), lambda b: (0, b, 0), memory_space=pltpu.VMEM
     )
-    ds_shape = jax.ShapeDtypeStruct((4, nb * oh, s * _COLS), jnp.uint8)
+    # exact ds needs every band's block to start inside the array; at
+    # scale 2 with h4 % 64 == 1 the last band's scaled rows all fall past
+    # h (floor division) — pad the rows there and crop after (rare shape)
+    ds_exact = (nb - 1) * oh < h
+    ds_shape = jax.ShapeDtypeStruct((4, h if ds_exact else nb * oh, w),
+                                    jnp.uint8)
 
     out_specs: list = []
     out_shape: list = []
@@ -288,13 +342,13 @@ def frame_pipeline(
         functools.partial(_pipeline_kernel, params),
         grid=(nb,),
         in_specs=[
-            fullspec(),
+            inspec(),
             # 8-row halo blocks: the prev halo row b*64-1 is row 7 of 8-row
             # block b*8-1; the next halo row (b+1)*64 is row 0 of block
             # (b+1)*8; edge clamps feed rows the math masks out (ri==0/h4-1)
             row8(lambda b: (0, jnp.maximum(b * (_BAND // 8) - 1, 0), 0)),
             row8(
-                lambda b: (0, jnp.minimum((b + 1) * (_BAND // 8), hp // 8 - 1), 0)
+                lambda b: (0, jnp.minimum((b + 1) * (_BAND // 8), nrb - 1), 0)
             ),
             pl.BlockSpec(p2.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(q2.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -312,17 +366,26 @@ def frame_pipeline(
     else:
         zb = fc = fp = None
     u_t, v_t, d0, d1, d2, dsp = outs
+    if not ds_exact:
+        dsp = dsp[:, :h]
     vs, wv = ps.vs_swar_from_tiles(
-        u_t, v_t, jnp.stack([d0, d1, d2], axis=0), oh=oh, interpret=interpret
+        u_t, v_t, jnp.stack([d0, d1, d2], axis=0), oh=oh, w=w,
+        interpret=interpret
     )
 
-    n_pad = s * _COLS * nb * oh - h * w
+    # corrections use the PAIR-padded band count: with odd nb, kernel B
+    # zeroes a phantom band whose oh*128 slots per stripe count at
+    # (0,0)/bin-0 exactly like geometry padding
+    nb_eff = nb + (nb % 2)
+    n_pad = s * _COLS * nb_eff * oh - h * w
     vs = vs.at[0, 0].add(jnp.int32(-n_pad))
-    wv = wv[:, :, :w]
+    # bin-0 corrections: alpha-skipped pixels (RGB mode) plus the pad rows,
+    # which are not present in the exact-shaped ds
     if yuv_data:
-        corr = jnp.full((w,), nb * oh - h, jnp.int32)
+        corr = jnp.full((w,), nb_eff * oh - h, jnp.int32)
     else:
-        corr = jnp.sum(dsp[3] == 0, axis=0, dtype=jnp.int32)[:w]
+        corr = jnp.sum(dsp[3] == 0, axis=0, dtype=jnp.int32) + jnp.int32(
+            nb_eff * oh - h
+        )
     wv = wv.at[:, 0, :].add(-corr[None, :])
-    crop = lambda a: None if a is None else a[:, :h4, :w4]
-    return vs, wv, dsp[:, :h, :w], crop(zb), crop(fc), crop(fp)
+    return vs, wv, dsp, zb, fc, fp

@@ -107,13 +107,14 @@ def _tile_spec(c: int | None = None) -> pl.BlockSpec:
 
 
 def _swar_tile_counts(vals_u8: jax.Array, acc: jax.Array) -> jax.Array:
-    """Add one (64, 128) u8 tile's per-column bin counts to acc (256, 128).
+    """Add one (rows<=255, L) u8 tile's per-column bin counts to acc (256, L).
 
     SWAR packing: for each bin group g = v >> 2, an int32 accumulates the
     four bins 4g..4g+3 as 8-bit fields (field = 1 << 8*(v & 3)); the
-    per-(group, column) sum over the tile's 64 rows is < 256, so fields
-    cannot carry and the unpack is exact.
+    per-(group, column) sum over the tile's <=255 rows cannot carry across
+    fields, so the unpack is exact.
     """
+    lanes = vals_u8.shape[-1]
     vals = vals_u8.astype(jnp.int32)
     grp = vals >> 2
     fld = jnp.int32(1) << ((vals & 3) * 8)
@@ -121,10 +122,10 @@ def _swar_tile_counts(vals_u8: jax.Array, acc: jax.Array) -> jax.Array:
     rows = []
     for g in range(n_grp):
         rows.append(jnp.sum(jnp.where(grp == g, fld, 0), axis=0, keepdims=True))
-    packed = jnp.concatenate(rows, axis=0)  # (64, 128)
-    shift = (jax.lax.broadcasted_iota(jnp.int32, (N_BINS, _COLS), 0) % 4) * 8
-    un = jnp.broadcast_to(packed[:, None, :], (n_grp, 4, _COLS)).reshape(
-        N_BINS, _COLS
+    packed = jnp.concatenate(rows, axis=0)  # (64, L)
+    shift = (jax.lax.broadcasted_iota(jnp.int32, (N_BINS, lanes), 0) % 4) * 8
+    un = jnp.broadcast_to(packed[:, None, :], (n_grp, 4, lanes)).reshape(
+        N_BINS, lanes
     )
     return acc + ((un >> shift) & 255)
 
@@ -277,12 +278,22 @@ def _vs_rows_matmul(u_tile: jax.Array, v_tile: jax.Array, rows: int) -> jax.Arra
     one-hot builds are smaller and NO lane-merging reshape is needed in
     XLA — measured FASTER end-to-end than the flat-row formulation
     (0.78 vs 1.02 ms per 4K frame incl. the copies it avoids,
-    benchmarks/sweep_r3c.py)."""
-    acc = None
-    for r in range(rows):
-        m = _nt_matmul(_one_hot_row(v_tile[r]), _one_hot_row(u_tile[r]))
-        acc = m if acc is None else acc + m
-    return acc
+    benchmarks/sweep_r3c.py).  Returns the LIST of per-row products; the
+    caller tree-reduces them (a serial acc += chain of (256,256) adds
+    measured ~0.05 ms/frame slower — the dependent adds serialize behind
+    the matmuls, benchmarks/sweep_r3h.py)."""
+    return [
+        _nt_matmul(_one_hot_row(v_tile[r]), _one_hot_row(u_tile[r]))
+        for r in range(rows)
+    ]
+
+
+def _tree_sum(ms: list) -> jax.Array:
+    while len(ms) > 1:
+        ms = [a + b for a, b in zip(ms[::2], ms[1::2])] + (
+            [ms[-1]] if len(ms) % 2 else []
+        )
+    return ms[0]
 
 
 def _pair_tile_spec(c: int | None, rows: int) -> pl.BlockSpec:
@@ -297,9 +308,17 @@ def _pair_tile_spec(c: int | None, rows: int) -> pl.BlockSpec:
     )
 
 
-def _vs_swar_tiles_kernel(rows: int, u_ref, v_ref, data_ref, vs_ref, wv_ref):
-    """Fused VS + SWAR waveform over band-pair tiles (frame-pipeline
-    fallback kernel B when the int16 accumulator doesn't fit kernel A)."""
+def _vs_swar_tiles_kernel(rows: int, nb_real: int, u_ref, v_ref, data_ref,
+                          vs_ref, wv_ref):
+    """Fused VS + SWAR waveform over band-PAIR tiles (kernel B of the frame
+    pipeline; a per-band variant measured 0.17 ms/4K-frame slower — the
+    pair halves the SWAR unpacks and the wv read-modify-writes).
+
+    When the real band count is odd, the tile arrays are padded with one
+    NEVER-WRITTEN band whose contents are undefined; the last pair's
+    second tile is zeroed here, so its pixels count as (0,0)/bin-0 exactly
+    like geometry padding and the caller's corrections (which use the
+    padded band count) stay exact."""
     s = pl.program_id(0)
     r = pl.program_id(1)
 
@@ -311,13 +330,22 @@ def _vs_swar_tiles_kernel(rows: int, u_ref, v_ref, data_ref, vs_ref, wv_ref):
     def _():
         wv_ref[:] = jnp.zeros_like(wv_ref)
 
-    acc = None
+    ms = []
+    tiles = []
     for j in range(2):
-        m = _vs_rows_matmul(u_ref[0, j], v_ref[0, j], rows)
-        acc = m if acc is None else acc + m
-    vs_ref[:] += acc
+        u_t, v_t = u_ref[0, j], v_ref[0, j]
+        d_t = [data_ref[ci, 0, j] for ci in range(3)]
+        if j == 1 and nb_real % 2:
+            pad = 2 * r + 1 >= nb_real  # scalar: last pair's pad tile
+            zero = jnp.uint8(0)
+            u_t = jnp.where(pad, zero, u_t)
+            v_t = jnp.where(pad, zero, v_t)
+            d_t = [jnp.where(pad, zero, d) for d in d_t]
+        ms += _vs_rows_matmul(u_t, v_t, rows)
+        tiles.append(d_t)
+    vs_ref[:] += _tree_sum(ms)
     for ci in range(3):
-        tile = jnp.concatenate([data_ref[ci, 0, 0], data_ref[ci, 0, 1]], axis=0)
+        tile = jnp.concatenate([tiles[0][ci], tiles[1][ci]], axis=0)
         wv_ref[ci] = _swar_tile_counts(tile, wv_ref[ci])
 
 
@@ -327,13 +355,25 @@ def vs_swar_from_tiles(
     data_t: jax.Array,
     *,
     oh: int,
+    w: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Tiles (S,NB,OH,128) + data (3,S,NB,OH,128) -> (vs i32, wv i32)."""
+    """Tiles (S,NB,OH,128) + data (3,S,NB,OH,128) -> (vs i32, wv i32).
+
+    w: real image width — the waveform output array is exact-shaped
+    (3, 256, w); Pallas drops the out-of-range lanes of the last stripe's
+    block, so no crop/copy is needed downstream.
+
+    The tile arrays' band dim may include ONE trailing pad band (making it
+    even for the pair grid); nb_real tells the kernel to zero it.
+    """
     s, nb = u_t.shape[0], u_t.shape[1]
+    nb_pad = nb + (nb % 2)
+    if w is None:
+        w = s * _COLS
     return pl.pallas_call(
-        functools.partial(_vs_swar_tiles_kernel, oh),
-        grid=(s, nb // 2),
+        functools.partial(_vs_swar_tiles_kernel, oh, nb),
+        grid=(s, nb_pad // 2),
         in_specs=[
             _pair_tile_spec(None, oh),
             _pair_tile_spec(None, oh),
@@ -350,7 +390,7 @@ def vs_swar_from_tiles(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N_BINS, N_BINS), jnp.int32),
-            jax.ShapeDtypeStruct((3, N_BINS, s * _COLS), jnp.int32),
+            jax.ShapeDtypeStruct((3, N_BINS, w), jnp.int32),
         ),
         interpret=interpret,
     )(u_t, v_t, data_t)

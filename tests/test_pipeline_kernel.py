@@ -27,6 +27,7 @@ ARGS = dict(
         (135, 240, 1, False),
         (129, 131, 2, True),   # odd dims: stripe/band padding + remainders
         (64, 128, 1, True),
+        (65, 144, 2, False),   # h4%64==1: last band has no scaled rows
         (13, 17, 2, False),    # smaller than one band/stripe
     ],
 )
@@ -88,6 +89,25 @@ def test_pipeline_alpha_skip():
     )
     assert int(np.asarray(wv).sum()) == 3 * 48 * 160  # opaque rows only
     assert int(np.asarray(vs).sum()) == 96 * 160  # every pixel
+
+
+@pytest.mark.parametrize("h4,w4,scale", [(270, 480, 2), (65, 144, 2),
+                                          (64, 130, 1)])
+def test_pipeline_packed_input(h4, w4, scale):
+    """packed=True consumes the u32 bitcast view of the interleaved frame
+    (no planarize pass) and must match the planar path bit-for-bit."""
+    import jax
+
+    rng = np.random.default_rng(h4 + w4)
+    p = jnp.asarray(rng.integers(0, 256, (4, h4, w4), np.uint8))
+    tm = jnp.float32(1.5)
+    ref = frame_pipeline(p, tm, cs=2, scale=scale, interpret=True, **ARGS)
+    rgba = np.ascontiguousarray(np.moveaxis(np.asarray(p), 0, -1))
+    x32 = jax.lax.bitcast_convert_type(jnp.asarray(rgba), jnp.uint32)
+    got = frame_pipeline(x32, tm, cs=2, scale=scale, packed=True,
+                         interpret=True, **ARGS)
+    for name, a, b in zip(["vs", "wv", "ds", "zb", "fc", "fp"], ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
 
 
 def test_pipeline_rejects_other_scales():
