@@ -66,19 +66,29 @@ def _composite(cy: int, cx: int, spec: tuple, images: tuple):
     return canvas
 
 
-@functools.partial(jax.jit, static_argnames=("rect",))
-def _shaded_preview(planes, rect: tuple[int, int, int, int]):
+@jax.jit
+def _shaded_preview(planes, rect):
     """ROI selection shading on device: 50% black outside the rect + green
-    border (reference draw_roi_range / draw_roi_rect, src/roi.c:207-265)."""
+    border (reference draw_roi_range / draw_roi_rect, src/roi.c:207-265).
+
+    rect is a DYNAMIC (4,) i32 array (x0, y0, x1, y1): dragging the
+    selection never recompiles — one program serves every rect (the
+    border/outside tests are iota comparisons, not slices)."""
     import jax.numpy as jnp
 
     from ..ops.convert import planes_to_rgba
 
-    x0, y0, x1, y1 = rect
+    rect = jnp.asarray(rect, jnp.int32)
+    x0, y0, x1, y1 = rect[0], rect[1], rect[2], rect[3]
     h, w = planes.shape[-2], planes.shape[-1]
     ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     outside = (ri < y0) | (ri >= y1) | (ci < x0) | (ci >= x1)
+    in_cols = (ci >= x0) & (ci < x1)
+    in_rows = (ri >= y0) & (ri < y1)
+    border = (((ri == y0) | (ri == y1 - 1)) & in_cols) | (
+        ((ci == x0) | (ci == x1 - 1)) & in_rows
+    )
 
     def shade(p):
         return jnp.where(
@@ -87,13 +97,9 @@ def _shaded_preview(planes, rect: tuple[int, int, int, int]):
 
     chans = [shade(planes[0]), shade(planes[1]), shade(planes[2]), planes[3]]
     green = (0, 255, 0, 255)
-    for c in range(4):
-        p = chans[c]
-        p = p.at[y0 : max(y0 + 1, 1), x0:x1].set(green[c])
-        p = p.at[max(y1 - 1, 0) : y1, x0:x1].set(green[c])
-        p = p.at[y0:y1, x0 : max(x0 + 1, 1)].set(green[c])
-        p = p.at[y0:y1, max(x1 - 1, 0) : x1].set(green[c])
-        chans[c] = p
+    chans = [
+        jnp.where(border, jnp.uint8(green[c]), chans[c]) for c in range(4)
+    ]
     return planes_to_rgba(jnp.stack(chans))
 
 

@@ -165,6 +165,30 @@ def test_roi_preview_selection_shading(dock_frame):
     assert (img[60, 50][:3].astype(int) <= dock_frame[60, 50][:3].astype(int)).all()
 
 
+def test_roi_preview_drag_no_recompile(dock_frame):
+    """The shading program takes the rect as a DYNAMIC (4,) input: dragging
+    the selection reuses one compiled program for every rect."""
+    import numpy as np
+    from obs_color_monitor_tpu.models.dock import _shaded_preview
+
+    cfg = DockConfig(show_roi=True)
+    dock = Dock(cfg, roi=ROIConfig(interleave=0, target_scale=1))
+    dock.push_frame(dock_frame)
+    n0 = _shaded_preview._cache_size()
+    for rect in [(20, 10, 100, 50), (21, 10, 100, 50), (0, 0, 40, 40)]:
+        dock.hub.set_roi(*rect)
+        img = dock.roi_preview.render()
+        x0, y0, x1, y1 = rect
+        assert tuple(img[y0, (x0 + x1) // 2][:3]) == (0, 255, 0)
+        assert tuple(img[y1 - 1, (x0 + x1) // 2][:3]) == (0, 255, 0)
+        assert tuple(img[(y0 + y1) // 2, x0][:3]) == (0, 255, 0)
+        np.testing.assert_array_equal(
+            img[(y0 + y1) // 2, (x0 + x1) // 2],
+            dock_frame[(y0 + y1) // 2, (x0 + x1) // 2],
+        )
+    assert _shaded_preview._cache_size() - n0 <= 1
+
+
 def test_focuspeaking_actual_size(dock_frame):
     """1:1 centered mapping when actual_size is on (focuspeaking.c:203-220)."""
     import numpy as np
