@@ -1,0 +1,66 @@
+"""xprof op breakdown of make_dock_step (the reference-parity panel)."""
+import sys, glob, json, shutil
+from pathlib import Path
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import jax, jax.numpy as jnp
+
+
+def main():
+    n = 16
+    from obs_color_monitor_tpu.dock_step import make_dock_step
+
+    H, W = 2160, 3840
+    step = make_dock_step(H, W, scale=2)
+
+    def csum(out):
+        total = jnp.int32(0)
+        for leaf in out:
+            if leaf.ndim >= 2 and leaf.shape[-2] >= 256 and leaf.shape[-1] >= 512:
+                leaf = leaf[:64]
+            total += jnp.sum(leaf.astype(jnp.int32))
+        return total
+
+    @jax.jit
+    def run(frame):
+        def body(i, acc):
+            f = jnp.bitwise_xor(frame, (i % 2).astype(jnp.uint8))
+            return acc + csum(step(f, i.astype(jnp.float32) * 0.0667))
+
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    rng = np.random.default_rng(0)
+    frame = jax.device_put(rng.integers(0, 256, (H, W, 4), np.uint8))
+    frame.block_until_ready()
+    _ = np.asarray(run(frame))
+
+    d = "/tmp/tr_dock"
+    shutil.rmtree(d, ignore_errors=True)
+    with jax.profiler.trace(d):
+        _ = np.asarray(run(frame))
+
+    from xprof.convert import raw_to_tool_data as rtd
+
+    data, _m = rtd.xspace_to_tool_data(
+        glob.glob(d + "/plugins/profile/*/*.xplane.pb"), "op_profile", {})
+    rows = []
+
+    def walk(node):
+        m = node.get("metrics", {})
+        if m.get("occurrences") and not node.get("children"):
+            rows.append((m.get("rawTime", 0) / (n * 1e9), node.get("name", "?")))
+        for c in node.get("children", []):
+            walk(c)
+
+    walk(json.loads(data).get("byProgram", {}))
+    rows.sort(reverse=True)
+    tot = sum(t for t, _ in rows)
+    print(f"op-sum total = {tot:.4f} ms/frame")
+    for t, name in rows:
+        if t > 0.004:
+            print(f"  {t:8.4f} ms  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,48 @@ def _planes_to_rgba(planes: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(x32, jnp.uint8)
 
 
+_BLACK32 = 0xFF000000  # opaque black background pixel (little-endian RGBA)
+
+
+def compose_vstack(patches: list, out_w: int, out_h: int) -> jax.Array:
+    """Composite [(x0, y0, patch (h, w, 4) u8)] onto an opaque-black
+    (out_h, out_w, 4) canvas.
+
+    The dock layout stacks slots vertically (reference draw,
+    src/scope-widget.cpp:117-170), so each patch is padded to a full-width
+    row band on its u32 pixel view and the bands are concatenated — ONE
+    output materialization instead of a whole-canvas dynamic-update-slice
+    copy per scope (~35 us each, xprof).  Degenerate layouts (a panel too
+    short for its scope count makes slots overlap) fall back to the
+    update-slice loop, preserving the reference's last-drawn-wins order.
+    """
+    stackable = all(
+        b[1] >= a[1] + a[2].shape[0] for a, b in zip(patches, patches[1:])
+    )
+    if not stackable:
+        canvas = jnp.zeros((out_h, out_w, 4), jnp.uint8).at[..., 3].set(255)
+        for x0, y0, patch in patches:
+            h, w = patch.shape[0], patch.shape[1]
+            canvas = canvas.at[y0 : y0 + h, x0 : x0 + w, :].set(patch)
+        return canvas
+    bands = []
+    y = 0
+    for x0, y0, patch in patches:
+        h, w = patch.shape[0], patch.shape[1]
+        if y0 > y:
+            bands.append(jnp.full((y0 - y, out_w), _BLACK32, jnp.uint32))
+        p32 = jax.lax.bitcast_convert_type(patch, jnp.uint32)
+        bands.append(
+            jnp.pad(p32, ((0, 0), (x0, out_w - x0 - w)),
+                    constant_values=np.uint32(_BLACK32))
+        )
+        y = y0 + h
+    if y < out_h:
+        bands.append(jnp.full((out_h - y, out_w), _BLACK32, jnp.uint32))
+    return jax.lax.bitcast_convert_type(jnp.concatenate(bands, axis=0),
+                                        jnp.uint8)
+
+
 def _layout(shown_dims: list[tuple[str, int, int]], cx: int, cy: int, fp_actual: bool):
     """Static layout (reference draw, src/scope-widget.cpp:117-170)."""
     rects = {}
@@ -222,9 +264,17 @@ def make_dock_step(
 
     @jax.jit
     def step(frame: jax.Array, tm: jax.Array) -> DockStepOutput:
-        planes = planarize(frame)
+        # with overlays on the capture, the full-res frame is consumed ONLY
+        # by analyze — hand it the packed u32 view so the pipeline kernel
+        # extracts bytes itself (no planarize pass); otherwise the overlay
+        # scopes need full-res planes
+        if overlays_on_capture:
+            src = jax.lax.bitcast_convert_type(frame, jnp.uint32)
+            planes = None
+        else:
+            src = planes = planarize(frame)
         res = analyze(
-            planes,
+            src,
             cs=csi,
             scale=scale,
             rect=roi_rect,
@@ -234,7 +284,8 @@ def make_dock_step(
             need_hi_rgb=need_hi and not hi_yuv,
             need_hi_yuv=need_hi and hi_yuv,
             keep_rgba=True,
-            is_planar=True,
+            is_planar=not overlays_on_capture,
+            is_packed=overlays_on_capture,
         )
         images = {}
         if "roi" in rects:
@@ -345,8 +396,7 @@ def make_dock_step(
                 fp = overlay_ops.focus_peaking_planes(ov_src, peak_th, peak_color)
             images["focuspeaking"] = _planes_to_rgba(fp)
 
-        canvas = jnp.zeros((out_height, out_width, 4), jnp.uint8)
-        canvas = canvas.at[..., 3].set(255)
+        patches = []
         for name, w_src, h_src in shown:
             x0, y0, w, h = rects[name]
             if name == "focuspeaking" and fp_cfg.actual_size:
@@ -360,7 +410,8 @@ def make_dock_step(
                 x0 = (out_width - w) // 2
             else:
                 patch = _resize_nearest_rgba(images[name], h, w)
-            canvas = canvas.at[y0 : y0 + h, x0 : x0 + w, :].set(patch)
+            patches.append((x0, y0, patch))
+        canvas = compose_vstack(patches, out_width, out_height)
         return DockStepOutput(
             panel=canvas,
             vs_counts=vs_counts,

@@ -48,22 +48,19 @@ SCOPE_ORDER = (
 
 def _composite(cy: int, cx: int, spec: tuple, images: tuple):
     """Device panel composite for a static layout: nearest resizes (or the
-    focus-peaking centered crop) + static canvas slices.  Pixel-identical to
-    the reference draw order (src/scope-widget.cpp:99-175)."""
-    import jax.numpy as jnp
+    focus-peaking centered crop) + row-band concatenation.  Pixel-identical
+    to the reference draw order (src/scope-widget.cpp:99-175)."""
+    from ..dock_step import _resize_nearest_rgba, compose_vstack
 
-    from ..dock_step import _resize_nearest_rgba
-
-    canvas = jnp.zeros((cy, cx, 4), jnp.uint8)
-    canvas = canvas.at[..., 3].set(255)
+    patches = []
     for ((h_src, w_src), x0, y0, w, h, crop), img in zip(spec, images):
         if crop is not None:
             cy0, cx0 = crop
             patch = img[cy0 : cy0 + h, cx0 : cx0 + w]
         else:
             patch = _resize_nearest_rgba(img, h, w)
-        canvas = canvas.at[y0 : y0 + h, x0 : x0 + w, :].set(patch)
-    return canvas
+        patches.append((x0, y0, patch))
+    return compose_vstack(patches, cx, cy)
 
 
 @jax.jit

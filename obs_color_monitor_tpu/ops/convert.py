@@ -43,6 +43,16 @@ def planarize(rgba: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def planarize_packed(x32: jax.Array) -> jax.Array:
+    """(..., H, W) u32 packed-RGBA view -> (..., 4, H, W) u8 (planarize for
+    callers that already bitcast the interleaved frame)."""
+    planes = [
+        ((x32 >> k) & jnp.uint32(0xFF)).astype(jnp.uint8) for k in (0, 8, 16, 24)
+    ]
+    return jnp.stack(planes, axis=-3)
+
+
+@jax.jit
 def interleave(planes: jax.Array) -> jax.Array:
     """(..., C, H, W) -> (..., H, W, C); display/spec boundary only."""
     return jnp.moveaxis(planes, -3, -1)

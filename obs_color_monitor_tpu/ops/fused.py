@@ -71,6 +71,7 @@ class AnalysisResult(NamedTuple):
         "keep_rgba",
         "backend",
         "is_planar",
+        "is_packed",
     ),
 )
 def analyze(
@@ -86,19 +87,26 @@ def analyze(
     keep_rgba: bool = True,
     backend: str | None = None,
     is_planar: bool = False,
+    is_packed: bool = False,
 ) -> AnalysisResult:
     """One pass: planarize -> downscale -> crop -> convert -> statistics.
 
-    frame: uint8 (H, W, 4) RGBA, or (4, H, W) planar with is_planar=True.
-    ``rect`` is the ROI (x0, y0, x1, y1) in *scaled* coordinates
-    (reference src/common.c:273-282).  backend: 'pallas' (Mosaic kernels,
-    TPU) or 'xla'; None = auto.
+    frame: uint8 (H, W, 4) RGBA, or (4, H, W) planar with is_planar=True,
+    or the (H, W) u32 bitcast view of the interleaved frame with
+    is_packed=True (the pipeline kernel then extracts bytes itself and no
+    planarize pass exists in the program).  ``rect`` is the ROI
+    (x0, y0, x1, y1) in *scaled* coordinates (reference
+    src/common.c:273-282).  backend: 'pallas' (Mosaic kernels, TPU) or
+    'xla'; None = auto.
     """
     if backend is None:
         backend = default_backend()
     pall = backend == "pallas"
 
-    planes = frame if is_planar else planarize(frame)
+    if is_packed:
+        planes = None  # resolved lazily: the fast path never needs it
+    else:
+        planes = frame if is_planar else planarize(frame)
 
     # Fast path: the default dock/serving shape — scale 2, full frame, VS +
     # one waveform/histogram family — runs the frame-pipeline band kernel
@@ -108,19 +116,23 @@ def analyze(
     yuv_fam = need_wv_yuv or need_hi_yuv
     from .pallas_pipeline import pipeline_fits
 
+    if is_planar or is_packed:
+        h_in, w_in = frame.shape[-2], frame.shape[-1]
+    else:
+        h_in, w_in = frame.shape[-3], frame.shape[-2]
     if (
         pall
         and rect is None
         and need_vs
         and (rgb_fam != yuv_fam)
-        and pipeline_fits(
-            planes.shape[-2], planes.shape[-1], scale, with_overlays=False
-        )
+        and pipeline_fits(h_in, w_in, scale, with_overlays=False)
     ):
         from .pallas_pipeline import frame_pipeline
 
         vs_i32, wv_i32, dsp, _, _, _ = frame_pipeline(
-            planes, cs=cs, scale=scale, yuv_data=yuv_fam, with_overlays=False
+            frame if is_packed else planes,
+            cs=cs, scale=scale, yuv_data=yuv_fam, with_overlays=False,
+            packed=is_packed,
         )
         vs = jnp.minimum(vs_i32, 255).astype(jnp.uint8)
         wv_u8 = jnp.minimum(wv_i32, 255).astype(jnp.uint8)
@@ -135,6 +147,10 @@ def analyze(
             planes=dsp if keep_rgba else None,
         )
 
+    if planes is None:
+        from .convert import planarize_packed
+
+        planes = planarize_packed(frame)  # slow path of is_packed
     planes = downscale_planes(planes, scale=scale)
     if rect is not None:
         planes = roi_crop_planes(planes, *rect)
