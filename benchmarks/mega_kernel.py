@@ -162,8 +162,10 @@ def frame_pipeline_mega(
     p_stripes: scaled 128-column stripes per grid step (wider steps
     amortize the focus-peaking column-halo reads and deepen the MXU K).
     """
-    from ..colorspace import Colorspace, FIXED_COEFFS, FIXED_SHIFT, LUMA_COEF
-    from ..golden.reference import luma_threshold_fixed
+    from obs_color_monitor_tpu.colorspace import (
+        Colorspace, FIXED_COEFFS, FIXED_SHIFT, LUMA_COEF,
+    )
+    from obs_color_monitor_tpu.golden.reference import luma_threshold_fixed
 
     if scale not in (1, 2):
         raise ValueError("frame_pipeline supports scale 1 and 2")

@@ -5,7 +5,7 @@
 Usage: python benchmarks/panel_slope.py [which ...]
   which in {dock, 1080p2, 4k4, 4k1, 1080p1, batch2}; default: dock
 """
-import sys, time
+import sys
 from pathlib import Path
 import numpy as np
 
@@ -27,6 +27,8 @@ def csum_tree(out):
 
 
 def slope(name, step, frame, tm_scale=0.0667, n=N):
+    from _util import slope_ms
+
     def build(k):
         @jax.jit
         def run(f0):
@@ -39,18 +41,7 @@ def slope(name, step, frame, tm_scale=0.0667, n=N):
 
         return run
 
-    def timed(k):
-        r = build(k)
-        _ = np.asarray(r(frame))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(r(frame))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, t2 = timed(n), timed(2 * n)
-    ms = (t2 - t1) / n * 1e3
+    ms = slope_ms(build, (frame,), n)
     print(f"{name:44s} {ms:7.3f} ms/frame = {1e3/ms:6.1f} fps", flush=True)
 
 
@@ -102,18 +93,9 @@ def main():
 
             return run
 
-        def timed(k):
-            r = build(k)
-            _ = np.asarray(r(f))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                _ = np.asarray(r(f))
-                best = min(best, time.perf_counter() - t0)
-            return best
+        from _util import slope_ms
 
-        t1, t2 = timed(16), timed(32)
-        ms = (t2 - t1) / 16 / 2 * 1e3
+        ms = slope_ms(build, (f,), 16) / 2
         print(f"{'batched serving B=2 (per frame)':44s} {ms:7.3f} ms/frame "
               f"= {1e3/ms:6.1f} fps/chip", flush=True)
 

@@ -1,10 +1,11 @@
 """xprof op breakdown of make_dock_step (the reference-parity panel)."""
-import sys, glob, json, shutil
+import sys
 from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax, jax.numpy as jnp
+from _util import op_profile_rows
 
 
 def main():
@@ -25,6 +26,7 @@ def main():
     @jax.jit
     def run(frame):
         def body(i, acc):
+            # XOR anti-hoist: the dock's stats kernel takes no tm
             f = jnp.bitwise_xor(frame, (i % 2).astype(jnp.uint8))
             return acc + csum(step(f, i.astype(jnp.float32) * 0.0667))
 
@@ -33,28 +35,8 @@ def main():
     rng = np.random.default_rng(0)
     frame = jax.device_put(rng.integers(0, 256, (H, W, 4), np.uint8))
     frame.block_until_ready()
-    _ = np.asarray(run(frame))
 
-    d = "/tmp/tr_dock"
-    shutil.rmtree(d, ignore_errors=True)
-    with jax.profiler.trace(d):
-        _ = np.asarray(run(frame))
-
-    from xprof.convert import raw_to_tool_data as rtd
-
-    data, _m = rtd.xspace_to_tool_data(
-        glob.glob(d + "/plugins/profile/*/*.xplane.pb"), "op_profile", {})
-    rows = []
-
-    def walk(node):
-        m = node.get("metrics", {})
-        if m.get("occurrences") and not node.get("children"):
-            rows.append((m.get("rawTime", 0) / (n * 1e9), node.get("name", "?")))
-        for c in node.get("children", []):
-            walk(c)
-
-    walk(json.loads(data).get("byProgram", {}))
-    rows.sort(reverse=True)
+    rows = op_profile_rows(run, (frame,), n, "/tmp/tr_dock")
     tot = sum(t for t, _ in rows)
     print(f"op-sum total = {tot:.4f} ms/frame")
     for t, name in rows:

@@ -3,12 +3,13 @@ microsecond of make_full_step go (kernels, copies, fusions, gaps)?
 
 Usage: python benchmarks/prof_step.py [n_iters]
 """
-import sys, functools, glob, json, shutil
+import sys
 from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax, jax.numpy as jnp
+from _util import op_profile_rows
 
 
 def main():
@@ -31,38 +32,19 @@ def main():
     @jax.jit
     def run(frame):
         def body(i, acc):
-            f = jnp.bitwise_xor(frame, (i % 2).astype(jnp.uint8))
-            out = step(f, i.astype(jnp.float32) * 0.0667)
+            out = step(frame, i.astype(jnp.float32) * 0.0667)
             return acc + checksum(out)
 
         return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
+    assert getattr(step, "pipeline_static_ok", False), (
+        "step off the pipeline path: add an input XOR before profiling"
+    )
     rng = np.random.default_rng(0)
     frame = jax.device_put(rng.integers(0, 256, (H, W, 4), np.uint8))
     frame.block_until_ready()
-    _ = np.asarray(run(frame))
 
-    d = "/tmp/tr_step"
-    shutil.rmtree(d, ignore_errors=True)
-    with jax.profiler.trace(d):
-        _ = np.asarray(run(frame))
-
-    from xprof.convert import raw_to_tool_data as rtd
-
-    data, _m = rtd.xspace_to_tool_data(
-        glob.glob(d + "/plugins/profile/*/*.xplane.pb"), "op_profile", {}
-    )
-    rows = []
-
-    def walk(node):
-        m = node.get("metrics", {})
-        if m.get("occurrences") and not node.get("children"):
-            rows.append((m.get("rawTime", 0) / (n * 1e9), node.get("name", "?")))
-        for c in node.get("children", []):
-            walk(c)
-
-    walk(json.loads(data).get("byProgram", {}))
-    rows.sort(reverse=True)
+    rows = op_profile_rows(run, (frame,), n, "/tmp/tr_step")
     tot = sum(t for t, _ in rows)
     print(f"op-sum total = {tot:.4f} ms/frame over {n} iters")
     for t, name in rows:

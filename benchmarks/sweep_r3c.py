@@ -5,7 +5,7 @@ SWAR-only halves of the fused kernel, VS with per-plane vs per-pair
 matmuls, and a HIGHEST-free downscale (split the <=510 pair-sum operand
 into two <=255 halves, each bf16-exact, two default-precision matmuls).
 """
-import sys, functools, glob, json, shutil
+import sys, functools
 from pathlib import Path
 import numpy as np
 
@@ -19,8 +19,7 @@ N = 256
 
 
 def prof(name, fn, *args):
-    d = f"/tmp/tr_{name}"
-    shutil.rmtree(d, ignore_errors=True)
+    from _util import op_profile_rows
 
     @jax.jit
     def run(*a):
@@ -30,21 +29,7 @@ def prof(name, fn, *args):
             return acc + sum(jnp.sum(l.astype(jnp.int32)) for l in jax.tree_util.tree_leaves(out))
         return jax.lax.fori_loop(0, 16, body, jnp.int32(0))
 
-    _ = np.asarray(run(*args))
-    with jax.profiler.trace(d):
-        _ = np.asarray(run(*args))
-    from xprof.convert import raw_to_tool_data as rtd
-    data, _m = rtd.xspace_to_tool_data(
-        glob.glob(d + "/plugins/profile/*/*.xplane.pb"), "op_profile", {})
-    rows = []
-    def walk(node):
-        m = node.get("metrics", {})
-        if m.get("occurrences") and not node.get("children"):
-            rows.append((m.get("rawTime", 0) / 16e9, node.get("name", "?")))
-        for c in node.get("children", []):
-            walk(c)
-    walk(json.loads(data).get("byProgram", {}))
-    rows.sort(reverse=True)
+    rows = op_profile_rows(run, args, 16, f"/tmp/tr_{name}")
     tot = sum(t for t, _ in rows)
     top = "; ".join(f"{n.split('.')[0]}={t:.3f}" for t, n in rows[:3] if t > 0.01)
     print(f"{name:28s} total={tot:7.4f} ms   {top}", flush=True)
@@ -256,4 +241,5 @@ def main_f():
 
 
 if __name__ == "__main__":
+    main()
     main_f()

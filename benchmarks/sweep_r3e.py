@@ -6,7 +6,7 @@ cancels the tunnel round trip; differences between variants attribute
 the wall time that xprof op_profile doesn't count (op sequencing /
 launch overhead).
 """
-import sys, time
+import sys
 from pathlib import Path
 import numpy as np
 
@@ -18,17 +18,10 @@ N = 48
 
 
 def slope(name, build):
-    def timed(n):
-        fn = build(n)
-        _ = np.asarray(fn(*args))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(fn(*args))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    from _util import best_of
 
-    t1, t2 = timed(N), timed(2 * N)
+    t1 = best_of(build(N), args)
+    t2 = best_of(build(2 * N), args)
     print(f"{name:42s} {(t2 - t1) / N * 1e3:7.3f} ms/frame "
           f"({t1*1e3:.1f} -> {t2*1e3:.1f})", flush=True)
 

@@ -2,7 +2,7 @@
 two-kernel frame pipeline, 4K scale 2 with overlays.  Wall slope
 (t(2n)-t(n))/n cancels the tunnel round trip.
 """
-import sys, time
+import sys
 from pathlib import Path
 import numpy as np
 
@@ -28,6 +28,8 @@ def csum(out):
 
 
 def slope(name, fn, arg, is_u32=False):
+    from _util import slope_ms
+
     def build(n):
         @jax.jit
         def run(x):
@@ -40,19 +42,9 @@ def slope(name, fn, arg, is_u32=False):
 
         return run
 
-    def timed(n):
-        r = build(n)
-        _ = np.asarray(r(arg))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(r(arg))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
     try:
-        t1, t2 = timed(N), timed(2 * N)
-        print(f"{name:40s} {(t2 - t1) / N * 1e3:7.3f} ms/frame", flush=True)
+        print(f"{name:40s} {slope_ms(build, (arg,), N):7.3f} ms/frame",
+              flush=True)
     except Exception as e:
         print(f"{name:40s} FAIL {str(e)[:160]}", flush=True)
 

@@ -4,7 +4,7 @@
 2. slope of a fori_loop over a TRIVIAL pallas kernel -> per-launch cost
 3. slope of the two-kernel pipeline for reference
 """
-import sys, time, functools, glob, json, shutil
+import sys, time, functools
 from pathlib import Path
 import numpy as np
 
@@ -31,6 +31,8 @@ def csum(out):
 
 
 def op_profile(name, fn, arg, n=16):
+    from _util import op_profile_rows
+
     @jax.jit
     def run(x):
         def body(i, acc):
@@ -39,26 +41,7 @@ def op_profile(name, fn, arg, n=16):
 
         return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
-    _ = np.asarray(run(arg))
-    d = f"/tmp/tr_{name}"
-    shutil.rmtree(d, ignore_errors=True)
-    with jax.profiler.trace(d):
-        _ = np.asarray(run(arg))
-    from xprof.convert import raw_to_tool_data as rtd
-
-    data, _m = rtd.xspace_to_tool_data(
-        glob.glob(d + "/plugins/profile/*/*.xplane.pb"), "op_profile", {})
-    rows = []
-
-    def walk(node):
-        m = node.get("metrics", {})
-        if m.get("occurrences") and not node.get("children"):
-            rows.append((m.get("rawTime", 0) / (n * 1e9), node.get("name", "?")))
-        for c in node.get("children", []):
-            walk(c)
-
-    walk(json.loads(data).get("byProgram", {}))
-    rows.sort(reverse=True)
+    rows = op_profile_rows(run, (arg,), n, f"/tmp/tr_{name}")
     tot = sum(t for t, _ in rows)
     top = "; ".join(f"{nm.split('.')[0]}={t:.3f}" for t, nm in rows[:4] if t > 0.005)
     print(f"{name:30s} op-sum={tot:7.4f} ms   {top}", flush=True)

@@ -5,7 +5,7 @@ accumulate; SWAR on 64-row band pairs) = 1.10 ms/4K-frame.
 Variants: K=256 lane-concat row pairs; tree-reduced matmul accumulation;
 4-band SWAR unpack; combinations.
 """
-import sys, time, functools
+import sys
 from pathlib import Path
 import numpy as np
 
@@ -20,6 +20,8 @@ N = 32
 
 
 def slope(name, fn, args):
+    from _util import slope_ms
+
     def build(n):
         @jax.jit
         def run(*a):
@@ -35,19 +37,9 @@ def slope(name, fn, args):
 
         return run
 
-    def timed(n):
-        r = build(n)
-        _ = np.asarray(r(*args))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(r(*args))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
     try:
-        t1, t2 = timed(N), timed(2 * N)
-        print(f"{name:46s} {(t2-t1)/N*1e3:7.3f} ms/frame", flush=True)
+        print(f"{name:46s} {slope_ms(build, args, N):7.3f} ms/frame",
+              flush=True)
     except Exception as e:
         print(f"{name:46s} FAIL {str(e)[:140]}", flush=True)
 

@@ -3,7 +3,7 @@ carries fixed overhead, fewer+bigger steps win: process sp stripes x pair
 bands per step (baseline geometry: sp=1, pair=2 -> 255 steps/frame).
 K=128 row matmuls, tree accumulation (r3h winners).
 """
-import sys, time
+import sys
 from pathlib import Path
 import numpy as np
 
@@ -18,6 +18,8 @@ N = 32
 
 
 def slope(name, fn, args):
+    from _util import slope_ms
+
     def build(n):
         @jax.jit
         def run(*a):
@@ -33,19 +35,9 @@ def slope(name, fn, args):
 
         return run
 
-    def timed(n):
-        r = build(n)
-        _ = np.asarray(r(*args))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(r(*args))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
     try:
-        t1, t2 = timed(N), timed(2 * N)
-        print(f"{name:46s} {(t2-t1)/N*1e3:7.3f} ms/frame", flush=True)
+        print(f"{name:46s} {slope_ms(build, args, N):7.3f} ms/frame",
+              flush=True)
     except Exception as e:
         print(f"{name:46s} FAIL {str(e)[:140]}", flush=True)
 

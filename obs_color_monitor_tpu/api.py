@@ -247,6 +247,11 @@ def make_full_step(
             hi_counts=hi_counts.astype(jnp.uint32),
         )
 
+    # True when (on a Pallas backend) the whole step flows through the
+    # frame-pipeline kernel, whose tm input makes every output loop-variant
+    # — bench.py relies on this for its copy-free anti-hoist and must fall
+    # back to an input XOR otherwise
+    step.pipeline_static_ok = use_pipeline
     return step
 
 

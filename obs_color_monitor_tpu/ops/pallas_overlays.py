@@ -106,9 +106,10 @@ def _overlay_band_math(params, cur, prev_row, next_row, tm, ri, ci,
         return acc  # (R, W) i32
 
     rgb32 = cur[:3]
+    if left_col is not None or right_col is not None:
+        lci = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     right = [pltpu.roll(x, arr_w - 1, 1) for x in rgb32]  # x[col+1] (circular)
     if right_col is not None:
-        lci = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         right = [
             jnp.where(lci == arr_w - 1, rc, r)
             for r, rc in zip(right, right_col)

@@ -20,20 +20,24 @@ dev setup).  Findings that shaped this file:
     bf16-exact; splitting it into two <=255 halves (each bf16-exact) and
     running two default-precision matmuls beats Precision.HIGHEST.
 
-Kernel A (_pipeline_kernel), grid step = one 64-input-row band:
+Kernel A (_pipeline_kernel), grid step = one 64-input-row band over the
+planar frame OR its packed (H, W) u32 bitcast view (packed=True — byte
+extraction in-kernel, no planarize pass in the program):
   - zebra / false color / focus peaking on the full-res rows (optional;
     shared read + shared luma — the reference renders these as three
     separate GPU passes, src/zebra.c:599-628, src/focuspeaking.c:273-309);
     the focus-peaking row halo comes from 8-row neighbor blocks;
   - the scale-1/2 downscale (reference src/common.c:141-168,249-250),
     RGB->YUV (data/common.effect:23-43), alpha pre-zeroing;
-  - the SWAR waveform accumulation into a VMEM-resident int16
-    (3,256,W) accumulator (row sums per band <= 64 can't carry the 8-bit
-    SWAR fields; int16 totals are exact for any frame under 32k rows);
-  - U/V written as (S, NB, OH, 128) tiles for kernel B.
+  - U/V and the (alpha-masked or YUV) waveform-data channels written as
+    (S, NB, OH, 128) tiles for kernel B; the scaled RGBA planes written
+    exact-shaped for the dock/ROI consumers.
 
 Kernel B (pallas_stats._vs_swar_tiles_kernel): vectorscope one-hot NT
-matmuls + SWAR waveform over band-pair tiles.
+matmuls (tree-reduced) + SWAR waveform over band-PAIR tiles; a trailing
+odd band is handled by zeroing the phantom tile (counts land at
+(0,0)/bin-0 like geometry padding and the corrections use the padded
+band count).
 
 Everything is bit-exact vs the separate ops (tests/test_pipeline_kernel).
 """

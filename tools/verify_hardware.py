@@ -101,9 +101,15 @@ def main() -> int:
     from obs_color_monitor_tpu.ops.pallas_pipeline import frame_pipeline
 
     fpl = np.moveaxis(f, -1, 0)
+    pk_th_f = 0.06
+    pk_color_f = (1.0, 84 / 255.0, 0.0, 1.0)
+    pk_color_u8 = golden.reference.quantize_unorm8(
+        np.asarray(pk_color_f, np.float32)
+    )
     vs, wv, ds, zb, fc, fp = frame_pipeline(
         fpl, 2.5, cs=2, scale=2, th_low=0.75, th_high=1.0, zb_cs=2, fc_cs=1,
-        peak_th=3062, peak_rgba=(255, 84, 0, 255),
+        peak_th=golden.reference.peaking_threshold_fixed(pk_th_f),
+        peak_rgba=tuple(int(v) for v in pk_color_u8),
     )
     np.testing.assert_array_equal(
         np.asarray(vs).clip(0, 255).astype(np.uint8), golden.vectorscope_counts(yuv)
@@ -119,6 +125,13 @@ def main() -> int:
     np.testing.assert_array_equal(
         np.moveaxis(np.asarray(fc), 0, -1),
         golden.falsecolor(f, Colorspace.BT601),
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(fp), 0, -1),
+        golden.focus_peaking(f, pk_th_f, pk_color_f),
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(ds), 0, -1), scaled
     )
     print("4. frame-pipeline kernel: bit-exact vs golden")
     print("hardware verification OK")
