@@ -59,7 +59,9 @@ def main() -> None:
     # base batch: big enough that the measured slope span (B x ~2 ms)
     # dwarfs timer jitter; the tunnel round trip cancels in the slope
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    N_REPS = 3
+    # best-of-7: single spans occasionally read ~5% high (tunnel/host
+    # scheduling jitter on the long program); the minimum converges
+    N_REPS = 7
 
     step = make_full_step(H, W, cs=Colorspace.BT709, scale=2)
     # the copy-free anti-hoist below relies on the pipeline fast path
