@@ -1,0 +1,89 @@
+"""Probe the Mosaic limitations that gate the next speedups (CLAUDE.md
+list).  Run after every jax/libtpu bump: each PASS unlocks a measured
+design — int4 matmul operands halve the vectorscope matmul (−0.35 ms),
+int16 bins-first compares halve the one-hot build width.
+
+Prints PASS/FAIL per probe; failures are expected on jax 0.9.
+"""
+import sys
+from pathlib import Path
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def probe(name, fn):
+    try:
+        fn()
+        print(f"PASS  {name}", flush=True)
+    except Exception as e:
+        msg = str(e).replace("\n", " ")[:110]
+        print(f"FAIL  {name}: {msg}", flush=True)
+
+
+def int4_matmul():
+    def k(a_ref, b_ref, o_ref):
+        a = a_ref[:].astype(jnp.int4)
+        b = b_ref[:].astype(jnp.int4)
+        o_ref[:] = jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    a = jnp.ones((256, 128), jnp.int8)
+    out = pl.pallas_call(
+        k, out_shape=jax.ShapeDtypeStruct((256, 256), jnp.int32)
+    )(a, a)
+    np.asarray(out)
+
+
+def int16_bins_first_compare():
+    def k(x_ref, o_ref):
+        iota = jax.lax.broadcasted_iota(jnp.int16, (256, 128), 0)
+        o_ref[:] = (iota == x_ref[:].astype(jnp.int16)).astype(jnp.int8)
+
+    x = jnp.ones((1, 128), jnp.uint8)
+    out = pl.pallas_call(
+        k, out_shape=jax.ShapeDtypeStruct((256, 128), jnp.int8)
+    )(x)
+    np.asarray(out)
+
+
+def int8_vector_add():
+    def k(x_ref, o_ref):
+        o_ref[:] = x_ref[:] + x_ref[:]
+
+    x = jnp.ones((8, 128), jnp.int8)
+    out = pl.pallas_call(
+        k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int8)
+    )(x)
+    np.asarray(out)
+
+
+def lane_merge_reshape():
+    def k(x_ref, o_ref):
+        o_ref[:] = x_ref[:].reshape(8, 1024).reshape(8, 8, 128)
+
+    x = jnp.ones((8, 8, 128), jnp.int32)
+    out = pl.pallas_call(
+        k, out_shape=jax.ShapeDtypeStruct((8, 8, 128), jnp.int32)
+    )(x)
+    np.asarray(out)
+
+
+def mxu_vpu_overlap_hint():
+    """Not a compile probe: reminds where to re-measure overlap."""
+    print("      (MXU/VPU overlap: re-measure via benchmarks/sweep_r3c.py"
+          " main_f fused variants)", flush=True)
+
+
+if __name__ == "__main__":
+    print(f"jax {jax.__version__}, device {jax.devices()[0]}")
+    probe("int4 matmul operands", int4_matmul)
+    probe("int16 bins-first compare", int16_bins_first_compare)
+    probe("int8 vector elementwise add", int8_vector_add)
+    probe("in-kernel lane merge+split reshape", lane_merge_reshape)
+    mxu_vpu_overlap_hint()
