@@ -11,7 +11,7 @@ SURVEY.md §5 'distributed communication backend': the reference has none —
 multi-machine means independent processes; here the mesh makes the fleet
 one logical device array while keeping frame traffic host-local).
 
-Launch on every host of a pod slice (or simulate with --simulate_hosts):
+Launch on every host of a pod slice (or simulate with --simulate):
 
     python examples/multihost_distributed.py \
         --coordinator 10.0.0.2:8476 --num_hosts 4 --host_id $ID
