@@ -380,3 +380,45 @@ def test_dock_step_hidden_scopes_skip_stats(rng):
     assert np.asarray(out.hi_counts).sum() == 0
     assert np.asarray(out.wv_counts).sum() > 0  # waveform still shown
     assert out.panel.shape == (800, 128, 4)
+
+
+def test_analyze_packed_equals_planar():
+    """analyze(is_packed=True) on the XLA path (planarize_packed) must match
+    the planar path exactly — the dock hands analyze the u32 frame view."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from obs_color_monitor_tpu.ops.fused import analyze
+
+    rng = np.random.default_rng(5)
+    frame = rng.integers(0, 256, (70, 150, 4), np.uint8)
+    planes = jnp.asarray(np.moveaxis(frame, -1, 0).copy())
+    x32 = jax.lax.bitcast_convert_type(jnp.asarray(frame), jnp.uint32)
+    kw = dict(cs=2, scale=2, need_vs=True, need_wv_rgb=True,
+              need_hi_rgb=True, keep_rgba=True)
+    a = analyze(planes, is_planar=True, **kw)
+    b = analyze(x32, is_packed=True, **kw)
+    for name in ("vs_counts", "wv_rgb", "hi_rgb", "planes"):
+        va, vb = getattr(a, name), getattr(b, name)
+        assert np.array_equal(np.asarray(va), np.asarray(vb)), name
+
+
+def test_compose_vstack_overlap_fallback():
+    """A panel too short for its scope count makes slots overlap; the
+    composite must fall back to last-drawn-wins update-slices."""
+    import numpy as np
+    import jax.numpy as jnp
+    from obs_color_monitor_tpu.dock_step import compose_vstack
+
+    p1 = jnp.full((4, 6, 4), 10, jnp.uint8)
+    p2 = jnp.full((3, 6, 4), 20, jnp.uint8)
+    out = np.asarray(compose_vstack([(0, 0, p1), (1, 2, p2)], 8, 8))
+    assert out.shape == (8, 8, 4)
+    assert (out[0, 0] == 10).all()
+    assert (out[2, 1] == 20).all()       # overlap: last drawn wins
+    assert tuple(out[7, 7]) == (0, 0, 0, 255)  # background opaque black
+    # stacked (disjoint) path: patches, gaps, and trailing background
+    out2 = np.asarray(compose_vstack([(0, 0, p1), (1, 6, p2)], 8, 16))
+    assert (out2[:4, 0:6] == 10).all() and (out2[6:9, 1:7] == 20).all()
+    assert tuple(out2[5, 0]) == (0, 0, 0, 255)   # gap row
+    assert tuple(out2[15, 0]) == (0, 0, 0, 255)  # trailing rows
