@@ -180,3 +180,65 @@ def test_full_step_nv12_input(rng):
     np.testing.assert_array_equal(
         np.asarray(out_nv.zebra), np.asarray(out_rgba.zebra)
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_frame_pipeline_vs_golden_direct(rng, seed):
+    """The two-kernel pipeline (interpret) vs the golden model DIRECTLY —
+    random shape/scale/colorspace/alpha, stats AND all three overlays
+    (elsewhere the pipeline is verified transitively via the ingest
+    kernels; this pins it to the spec itself)."""
+    import jax.numpy as jnp
+
+    from obs_color_monitor_tpu.colorspace import Colorspace
+    from obs_color_monitor_tpu.golden import reference as gref
+    from obs_color_monitor_tpu.ops.pallas_pipeline import frame_pipeline
+
+    r = np.random.default_rng(1000 + seed)
+    h4 = int(r.integers(10, 200))
+    w4 = int(r.integers(10, 300))
+    scale = int(r.choice([1, 2]))
+    if h4 // scale < 1 or w4 // scale < 1:
+        scale = 1
+    cs = int(r.choice([1, 2]))
+    zb_cs = int(r.choice([1, 2]))
+    fc_cs = int(r.choice([1, 2]))
+    tm = float(r.uniform(0, 12))
+    th_lo, th_hi = sorted(float(x) for x in r.uniform(0, 1, 2))
+    pk_th_f = float(r.uniform(0.01, 0.3))
+    pk_col_f = (1.0, float(r.uniform(0, 1)), 0.0, 1.0)
+    pk_u8 = gref.quantize_unorm8(np.asarray(pk_col_f, np.float32))
+    f = r.integers(0, 256, (h4, w4, 4), np.uint8)
+    f[..., 3] = np.where(r.random((h4, w4)) < 0.3, 0, 255)  # sparse alpha-0
+
+    planes = jnp.asarray(np.moveaxis(f, -1, 0).copy())
+    vs, wv, ds, zb, fc, fp = frame_pipeline(
+        planes, jnp.float32(tm), cs=cs, scale=scale,
+        th_low=th_lo, th_high=th_hi, zb_cs=zb_cs, fc_cs=fc_cs,
+        peak_th=gref.peaking_threshold_fixed(pk_th_f),
+        peak_rgba=tuple(int(x) for x in pk_u8),
+        interpret=True,
+    )
+    scaled = golden.downscale(f, scale)
+    yuv = golden.rgb_to_yuv_u8(scaled, Colorspace(cs))
+    np.testing.assert_array_equal(
+        np.asarray(vs).clip(0, 255).astype(np.uint8),
+        golden.vectorscope_counts(yuv),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(wv).clip(0, 255).astype(np.uint8),
+        golden.waveform_counts(scaled, None, Components.RGB),
+    )
+    np.testing.assert_array_equal(np.moveaxis(np.asarray(ds), 0, -1), scaled)
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(zb), 0, -1),
+        golden.zebra(f, th_lo, th_hi, tm, Colorspace(zb_cs)),
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(fc), 0, -1),
+        golden.falsecolor(f, Colorspace(fc_cs)),
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(fp), 0, -1),
+        golden.focus_peaking(f, pk_th_f, pk_col_f),
+    )
