@@ -400,7 +400,13 @@ def vs_swar_from_tiles(
 # Fused scale-2 ingest: downscale x2 + RGB->YUV + alpha pre-zeroing + stripe
 # layout, all in ONE Mosaic pass over the full-resolution frame.  Replaces
 # the XLA downscale/convert/transpose chain on the hot path (~0.4 ms saved
-# per 4K frame, measured).  Column pairs ride the MXU (f32 matmul against a
+# per 4K frame, measured).
+#
+# STATUS: superseded on the hot path by ops/pallas_pipeline.frame_pipeline
+# (round-2 final); RETAINED as the independently-derived comparison twin
+# the pipeline kernels are tested against (tests/test_pipeline_kernel.py)
+# — an implementation with a different grid/layout that must produce the
+# same integers is a stronger oracle than a refactored copy.  Column pairs ride the MXU (f32 matmul against a
 # fixed pair matrix — exact for u8 sums); row pairs are a second tiny
 # matmul at Precision.HIGHEST (pair sums <= 510 are NOT bf16-exact, so the
 # default MXU operand precision would be off by one).
