@@ -66,11 +66,9 @@ def _resize_nearest_rgba(img: jax.Array, oh: int, ow: int) -> jax.Array:
     return jax.lax.bitcast_convert_type(out32, jnp.uint8)  # (oh, ow, 4)
 
 
-def _planes_to_rgba(planes: jax.Array) -> jax.Array:
-    """(4, H, W) u8 -> (H, W, 4) via u32 compose (cheap, lane-friendly)."""
-    p = planes.astype(jnp.uint32)
-    x32 = p[0] | (p[1] << 8) | (p[2] << 16) | (p[3] << 24)
-    return jax.lax.bitcast_convert_type(x32, jnp.uint8)
+# (4, H, W) u8 -> (H, W, 4) via u32 compose — the shared lane-friendly
+# implementation lives in ops.convert
+from .ops.convert import planes_to_rgba as _planes_to_rgba  # noqa: E402
 
 
 _BLACK32 = 0xFF000000  # opaque black background pixel (little-endian RGBA)

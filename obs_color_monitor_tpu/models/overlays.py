@@ -11,6 +11,7 @@ Each exists in two flavors like the reference:
 
 from __future__ import annotations
 
+import zlib
 from typing import Optional
 
 import jax
@@ -122,7 +123,7 @@ class FalseColor(_OverlayScope):
         cfg = self.config
         if cfg.use_lut and cfg.lut is not None:
             out = overlay_ops.falsecolor_lut(
-                frame, jax.numpy.asarray(cfg.lut), cs=int(cs), lut_n=cfg.lut.shape[0]
+                frame, self._device_lut(), cs=int(cs), lut_n=cfg.lut.shape[0]
             )
         else:
             out = overlay_ops.falsecolor(frame, cs=int(cs))
@@ -141,7 +142,7 @@ class FalseColor(_OverlayScope):
         cfg = self.config
         if cfg.use_lut and cfg.lut is not None:
             out = overlay_ops.falsecolor_lut_planes(
-                planes, jax.numpy.asarray(cfg.lut), cs=int(cs), lut_n=cfg.lut.shape[0]
+                planes, self._device_lut(), cs=int(cs), lut_n=cfg.lut.shape[0]
             )
         else:
             out = overlay_ops.falsecolor_planes(planes, cs=int(cs))
@@ -155,16 +156,33 @@ class FalseColor(_OverlayScope):
             out = render_ops.blend_overlay_planes(out, key)
         return out
 
-    # key overlays are constant per (placement, size, cs, lut): precomputed
-    # once on the host and cached as device constants so streamed frames
-    # never pay a host round trip (the legend drawing itself is the golden
-    # rasterizer port of reference src/zebra.c:385-597)
+    # key overlays and the LUT are constant per (placement, size, cs, lut
+    # CONTENT): precomputed once on the host and cached as device constants
+    # so streamed frames never pay a host round trip (the legend drawing is
+    # the golden rasterizer port of reference src/zebra.c:385-597).  Cache
+    # keys use a content fingerprint of the LUT, not id() — an in-place
+    # mutation or an id-reused replacement array must invalidate — and the
+    # key cache is bounded (one frame-sized constant per size seen).
     _key_cache: dict | None = None
+    _KEY_CACHE_MAX = 8
+    _lut_cache: tuple | None = None  # (fingerprint, device array)
+
+    @staticmethod
+    def _lut_fingerprint(lut) -> tuple:
+        a = np.asarray(lut)
+        return (a.shape, a.dtype.str, zlib.crc32(a.tobytes()))
+
+    def _device_lut(self):
+        fp = self._lut_fingerprint(self.config.lut)
+        if self._lut_cache is None or self._lut_cache[0] != fp:
+            self._lut_cache = (fp, jax.device_put(np.asarray(self.config.lut)))
+        return self._lut_cache[1]
 
     def _key_const(self, w: int, h: int, cs, planar: bool):
         cfg = self.config
         lut = cfg.lut if cfg.use_lut else None
-        key_id = (int(cfg.show_key), w, h, int(cs), planar, id(lut))
+        lut_fp = None if lut is None else self._lut_fingerprint(lut)
+        key_id = (int(cfg.show_key), w, h, int(cs), planar, lut_fp)
         if self._key_cache is None:
             self._key_cache = {}
         hit = self._key_cache.get(key_id)
@@ -176,6 +194,8 @@ class FalseColor(_OverlayScope):
                 jax.device_put(np.ascontiguousarray(overlay)),
                 key_canvas_size(cfg.show_key, w, h)[::-1],
             )
+            while len(self._key_cache) >= self._KEY_CACHE_MAX:
+                self._key_cache.pop(next(iter(self._key_cache)))
             self._key_cache[key_id] = hit
         return hit
 

@@ -154,7 +154,8 @@ def test_i18n():
     try:
         assert get_locale() == "de-DE"
         assert text("Waveform") == "Wellenform"
-        assert text("Bypass") == "Bypass"  # untranslated falls back to en-US
+        assert text("False Color") == "Falschfarben"
+        assert text("missing.key") == "missing.key"  # falls back to the key
     finally:
         set_locale("en-US")
 
@@ -171,7 +172,7 @@ def test_i18n_reference_locales_complete():
     en_keys = set(json.loads((locale_dir / "en-US.json").read_text()))
     assert len(en_keys) == 91
     assert en_keys == set(i18n._EN_US)  # builtin covers the full key set
-    for tag in ("fr-FR", "ja-JP", "pt-BR", "zh-CN"):
+    for tag in ("fr-FR", "ja-JP", "pt-BR", "zh-CN", "de-DE"):
         table = json.loads((locale_dir / f"{tag}.json").read_text(encoding="utf-8"))
         assert set(table) == en_keys, f"{tag} key set diverges"
         i18n.set_locale(tag)
