@@ -43,9 +43,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    # persistent compile cache: the two loop programs take ~5 min each to
-    # build through the dev tunnel; repeat runs (CI, the round driver)
-    # should pay that once per code change
+    # persistent compile cache (no-op on the axon dev plugin, which never
+    # serializes executables — the observed repeat-run speedups come from
+    # the tunnel's own server-side cache, an LRU that other compiles can
+    # evict; budget ~6 min per cold loop program)
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/ocm_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
