@@ -29,11 +29,22 @@ def csum_tree(out):
 def slope(name, step, frame, tm_scale=0.0667, n=N):
     from _util import slope_ms
 
+    # when every output is downstream of the tm-fed frame-reading kernel
+    # (pipeline_static_ok), the per-iteration tm alone is a sufficient
+    # anti-hoist and the input-XOR copy (a full-frame materialization the
+    # real step never pays) can be dropped
+    tm_anti_hoist = (
+        getattr(step, "pipeline_static_ok", False)
+        and jax.default_backend() != "cpu"
+    )
+
     def build(k):
         @jax.jit
         def run(f0):
             def body(i, acc):
-                f = jnp.bitwise_xor(f0, (i % 2).astype(jnp.uint8))
+                f = f0
+                if not tm_anti_hoist:
+                    f = jnp.bitwise_xor(f0, (i % 2).astype(jnp.uint8))
                 out = step(f, i.astype(jnp.float32) * tm_scale)
                 return acc + csum_tree(out)
 

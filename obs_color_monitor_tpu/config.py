@@ -154,6 +154,11 @@ class WaveformConfig(CaptureConfig):
         self.display = DisplayMode(self.display)
         self.components = Components(self.components)
         self.intensity = _clamp(int(self.intensity), 1, 255)
+        # the reference offers a fixed list {0,1,2,4,5,10} (an OBS combo,
+        # src/waveform.c:160-168); snap other ints to the nearest member
+        allowed = (0, 1, 2, 4, 5, 10)
+        g = int(self.graticule_lines)
+        self.graticule_lines = min(allowed, key=lambda a: (abs(a - g), a))
 
 
 @dataclasses.dataclass
@@ -176,6 +181,9 @@ class HistogramConfig(CaptureConfig):
         self.components = Components(self.components)
         self.level_height = _clamp(int(self.level_height), 50, 2048)
         self.level_mode = LevelMode(self.level_mode)
+        # reference property ranges (src/histogram.c:263-265)
+        self.level_fixed_value = _clamp(int(self.level_fixed_value), 50, 65535)
+        self.level_ratio_value = _clamp(float(self.level_ratio_value), 1.0, 100.0)
 
     @property
     def level_fixed(self) -> int:

@@ -86,14 +86,33 @@ def compose_vstack(patches: list, out_w: int, out_h: int) -> jax.Array:
     short for its scope count makes slots overlap) fall back to the
     update-slice loop, preserving the reference's last-drawn-wins order.
     """
-    stackable = all(
-        b[1] >= a[1] + a[2].shape[0] for a, b in zip(patches, patches[1:])
+    # band path requires every patch fully inside the canvas and in
+    # y-sorted non-overlapping order; anything else (degenerate layouts —
+    # a panel too short for its scope count, _layout's max(h,1) bump) takes
+    # the update-slice loop, which clips like the reference draw
+    stackable = (
+        all(
+            b[1] >= a[1] + a[2].shape[0] for a, b in zip(patches, patches[1:])
+        )
+        and all(
+            0 <= y0
+            and y0 + p.shape[0] <= out_h
+            and 0 <= x0
+            and x0 + p.shape[1] <= out_w
+            for x0, y0, p in patches
+        )
     )
     if not stackable:
         canvas = jnp.zeros((out_h, out_w, 4), jnp.uint8).at[..., 3].set(255)
         for x0, y0, patch in patches:
             h, w = patch.shape[0], patch.shape[1]
-            canvas = canvas.at[y0 : y0 + h, x0 : x0 + w, :].set(patch)
+            y0c, x0c = max(y0, 0), max(x0, 0)
+            y1c, x1c = min(y0 + h, out_h), min(x0 + w, out_w)
+            if y1c <= y0c or x1c <= x0c:
+                continue
+            canvas = canvas.at[y0c:y1c, x0c:x1c, :].set(
+                patch[y0c - y0 : y1c - y0, x0c - x0 : x1c - x0]
+            )
         return canvas
     bands = []
     y = 0
@@ -284,6 +303,7 @@ def make_dock_step(
             keep_rgba=True,
             is_planar=not overlays_on_capture,
             is_packed=overlays_on_capture,
+            tm=tm,
         )
         images = {}
         if "roi" in rects:
@@ -417,4 +437,17 @@ def make_dock_step(
             hi_counts=hi_counts.astype(jnp.uint32),
         )
 
+    # True when (on a Pallas backend) analyze takes its frame-pipeline fast
+    # path, whose tm SMEM input makes the stats kernel — and everything
+    # downstream — loop-variant; benchmark loops can then drop the input-XOR
+    # anti-hoist copy (see api.make_full_step.pipeline_static_ok)
+    from .ops.pallas_pipeline import pipeline_fits
+
+    step.pipeline_static_ok = (
+        roi_rect is None
+        and need_vs
+        and (need_wv and not wv_yuv or need_hi and not hi_yuv)
+        != (need_wv and wv_yuv or need_hi and hi_yuv)
+        and pipeline_fits(height, width, scale, with_overlays=False)
+    )
     return step

@@ -88,6 +88,7 @@ def analyze(
     backend: str | None = None,
     is_planar: bool = False,
     is_packed: bool = False,
+    tm: jax.Array | float | None = None,
 ) -> AnalysisResult:
     """One pass: planarize -> downscale -> crop -> convert -> statistics.
 
@@ -97,7 +98,10 @@ def analyze(
     planarize pass exists in the program).  ``rect`` is the ROI
     (x0, y0, x1, y1) in *scaled* coordinates (reference
     src/common.c:273-282).  backend: 'pallas' (Mosaic kernels, TPU) or
-    'xla'; None = auto.
+    'xla'; None = auto.  ``tm`` (traced scalar) does not change any result;
+    threading the caller's per-frame clock into the frame-reading Mosaic
+    kernel makes every statistic loop-variant, so benchmark/streaming loops
+    need no input-XOR anti-hoist copy (doc/performance.md Methodology).
     """
     if backend is None:
         backend = default_backend()
@@ -131,6 +135,7 @@ def analyze(
 
         vs_i32, wv_i32, dsp, _, _, _ = frame_pipeline(
             frame if is_packed else planes,
+            0.0 if tm is None else tm,
             cs=cs, scale=scale, yuv_data=yuv_fam, with_overlays=False,
             packed=is_packed,
         )

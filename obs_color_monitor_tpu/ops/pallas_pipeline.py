@@ -67,7 +67,24 @@ def pipeline_fits(height: int, width: int, scale: int, with_overlays: bool) -> b
     """Conservative static check that the band kernel's double-buffered
     working set fits the ~16 MB VMEM (4K scale-1 WITH overlays does not —
     the compiler measured 18.1 MB; callers fall back to the separate
-    ingest + overlay kernels)."""
+    ingest + overlay kernels).
+
+    Provenance of the constants: the per-step byte count below is the sum
+    of the kernel's block shapes (input band + two 8-row halo blocks +
+    overlay bands + stats tiles + ds band), doubled for Mosaic's input/
+    output double buffering; the 4.5 MB slack was fit empirically against
+    the jax-0.9 Mosaic "Insufficient VMEM" errors observed while admitting
+    shapes near the 4K scale-1 boundary (18.1 MB reported there).  A
+    toolchain change to VMEM accounting shifts the boundary: a shape this
+    over-admits fails at COMPILE time with that error rather than falling
+    back — set OCM_NO_PIPELINE_FUSION=1 to force the separate-kernel path,
+    and re-fit the slack (benchmarks/probe_toolchain.py exercises the
+    boundary shapes).
+    """
+    import os
+
+    if os.environ.get("OCM_NO_PIPELINE_FUSION"):
+        return False
     if scale not in (1, 2):
         return False
     w = width // scale

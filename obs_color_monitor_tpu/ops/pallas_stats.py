@@ -114,6 +114,10 @@ def _swar_tile_counts(vals_u8: jax.Array, acc: jax.Array) -> jax.Array:
     per-(group, column) sum over the tile's <=255 rows cannot carry across
     fields, so the unpack is exact.
     """
+    assert vals_u8.shape[-2] <= 255, (
+        f"SWAR 8-bit fields carry beyond 255 rows per tile, got "
+        f"{vals_u8.shape[-2]}"
+    )
     lanes = vals_u8.shape[-1]
     vals = vals_u8.astype(jnp.int32)
     grp = vals >> 2

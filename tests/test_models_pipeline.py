@@ -188,6 +188,22 @@ def test_scope_update_settings(frame):
     assert vs.config.intensity == 1
 
 
+def test_property_clamps_reference_ranges():
+    """Property ranges match the reference dialogs: graticule_lines is a
+    fixed list {0,1,2,4,5,10} (src/waveform.c:160-168), level_fixed_value
+    50..65535 and level_ratio_value 1..100 (src/histogram.c:263-265)."""
+    from obs_color_monitor_tpu.config import HistogramConfig, WaveformConfig
+
+    for given, want in ((3, 2), (7, 5), (8, 10), (-1, 0), (100, 10), (5, 5)):
+        assert WaveformConfig(graticule_lines=given).graticule_lines == want
+    hc = HistogramConfig(level_fixed_value=10, level_ratio_value=0.1)
+    assert hc.level_fixed_value == 50
+    assert hc.level_ratio_value == 1.0
+    hc = HistogramConfig(level_fixed_value=100000, level_ratio_value=1000.0)
+    assert hc.level_fixed_value == 65535
+    assert hc.level_ratio_value == 100.0
+
+
 def test_bypass_mode(frame):
     """Bypass renders the scaled captured frame (reference cm_bypass_render,
     src/common.c:413-428)."""
