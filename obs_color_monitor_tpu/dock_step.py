@@ -74,6 +74,56 @@ from .ops.convert import planes_to_rgba as _planes_to_rgba  # noqa: E402
 _BLACK32 = 0xFF000000  # opaque black background pixel (little-endian RGBA)
 
 
+def _fit_dyn(slot_w: int, slot_h: int, src_w: jax.Array, src_h: jax.Array):
+    """Dynamic twin of _layout's keep-aspect fit: the largest (fw, fh)
+    inside the static (slot_w, slot_h) band with the DYNAMIC source aspect
+    (same integer formula as _layout / reference scope-widget.cpp:129-136,
+    so coinciding rects produce pixel-identical panels)."""
+    w = jnp.int32(slot_w)
+    h = jnp.int32(slot_h)
+    fw = jnp.where(w * src_h > h * src_w, (h * src_w) // jnp.maximum(src_h, 1), w)
+    fh = jnp.where(h * src_w > w * src_h, (w * src_h) // jnp.maximum(src_w, 1), h)
+    return jnp.maximum(fw, 1), jnp.maximum(fh, 1)
+
+
+def _dyn_sample_rgba(
+    img: jax.Array,
+    sy: jax.Array,
+    src_j: jax.Array,
+    valid: jax.Array | None,
+) -> jax.Array:
+    """(H, W, 4) u8 -> (len(sy), len(src_j), 4) sampled at DYNAMIC indices.
+
+    Rows are a sublane gather (jnp.take); columns ride the MXU as a one-hot
+    selection matmul — NEVER a lane gather (doc/design-dynamic-roi.md).
+    Channel values <= 255 and the 0/1 matrix are both bf16-exact, and each
+    output column selects exactly one source column, so the f32-accumulated
+    result is exact.  ``valid`` masks pixels outside the dynamic fitted box
+    to opaque black (the slot background); None = all valid.
+    """
+    h, w = img.shape[0], img.shape[1]
+    x32 = jax.lax.bitcast_convert_type(img, jnp.uint32)  # (H, W)
+    rows = jnp.take(x32, jnp.clip(sy, 0, h - 1), axis=0)  # (oh, W)
+    ow = src_j.shape[0]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, ow), 0)
+        == jnp.clip(src_j, 0, w - 1)[None, :]
+    ).astype(jnp.bfloat16)
+    chans = []
+    for c in range(4):
+        ch = ((rows >> (8 * c)) & 255).astype(jnp.bfloat16)
+        v = jax.lax.dot_general(
+            ch, sel,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        chans.append(v.astype(jnp.uint32))
+    out32 = chans[0] | (chans[1] << 8) | (chans[2] << 16) | (chans[3] << 24)
+    if valid is not None:
+        out32 = jnp.where(valid, out32, jnp.uint32(_BLACK32))
+    return jax.lax.bitcast_convert_type(out32, jnp.uint8)
+
+
 def compose_vstack(patches: list, out_w: int, out_h: int) -> jax.Array:
     """Composite [(x0, y0, patch (h, w, 4) u8)] onto an opaque-black
     (out_h, out_w, 4) canvas.
@@ -171,6 +221,7 @@ def make_dock_step(
     focuspeaking: Optional[FocusPeakingConfig] = None,
     overlays_on_capture: bool = True,
     roi_rect: Optional[tuple[int, int, int, int]] = None,
+    dynamic_roi: bool = False,
 ):
     """Build the jitted dock step for a fixed frame shape.
 
@@ -180,6 +231,19 @@ def make_dock_step(
     and is cheaper.  False runs overlays at full input resolution (the
     standalone-source default, where zebra/falsecolor/focuspeaking have
     target_scale=1).
+
+    dynamic_roi=True returns ``step(frame, tm, rect)`` instead, where
+    ``rect`` is a DYNAMIC (4,) i32 ROI (x0, y0, x1, y1) in scaled
+    coordinates: statistics and overlay content are bit-identical to the
+    static ``roi_rect`` build at the same rect, but dragging the rect
+    NEVER recompiles (the reference's interactive drag, src/roi.c:343-521
+    — a cold compile through the dev tunnel is 20-120 s, so this is the
+    difference between usable and unusable interaction).  The rect enters
+    the Mosaic kernels as SMEM scalars; slot layout keeps static bands and
+    fits the rect aspect dynamically inside them; the ROI preview row shows
+    the FULL capture with the reference's drag shading.  See
+    doc/design-dynamic-roi.md.  Not combinable with roi_rect,
+    overlays_on_capture=False, or a false-color key legend.
     """
     dk = dock or DockConfig()
     vs_cfg = vectorscope or VectorscopeConfig()
@@ -236,6 +300,24 @@ def make_dock_step(
         "falsecolor": (fc_w, fc_h),
         "focuspeaking": (ov_w, ov_h),
     }
+    if dynamic_roi:
+        if roi_rect is not None:
+            raise ValueError("dynamic_roi and roi_rect are mutually exclusive")
+        if not overlays_on_capture:
+            raise NotImplementedError(
+                "dynamic_roi requires overlays_on_capture=True (the "
+                "reference dock's configuration)"
+            )
+        if fc_cfg.show_key != ShowKey.NONE and dk.show_falsecolor:
+            raise NotImplementedError(
+                "dynamic_roi with a false-color key legend is not supported "
+                "(the legend is placed in rect-relative coordinates); use "
+                "the static roi_rect build"
+            )
+        # overlay slots become full static bands; the rect aspect is fitted
+        # dynamically inside them per frame (doc/design-dynamic-roi.md)
+        dims = {**dims, "zebra": (0, 0), "falsecolor": (0, 0),
+                "focuspeaking": (0, 0)}
     shown = [
         (n, *dims[n]) for n in SCOPE_ORDER if getattr(dk, f"show_{n}")
     ]
@@ -278,6 +360,219 @@ def make_dock_step(
     need_vs = dk.show_vectorscope
     need_wv = dk.show_waveform
     need_hi = dk.show_histogram
+
+    from .ops.pallas_pipeline import pipeline_fits
+
+    pipeline_ok = (
+        need_vs
+        and (need_wv and not wv_yuv or need_hi and not hi_yuv)
+        != (need_wv and wv_yuv or need_hi and hi_yuv)
+        and pipeline_fits(height, width, scale, with_overlays=False)
+    )
+
+    if dynamic_roi:
+        from .config import DisplayMode as _DM
+        from .models.dock import _shaded_preview
+        from .ops.fused import default_backend
+        from .ops.pallas_overlays import fused_overlays_planes
+
+        @jax.jit
+        def step_dyn(
+            frame: jax.Array, tm: jax.Array, rect: jax.Array
+        ) -> DockStepOutput:
+            r = jnp.asarray(rect, jnp.int32)
+            rx0 = jnp.clip(r[0], 0, sw)
+            ry0 = jnp.clip(r[1], 0, sh)
+            rx1 = jnp.clip(r[2], rx0, sw)
+            ry1 = jnp.clip(r[3], ry0, sh)
+            rect_c = jnp.stack([rx0, ry0, rx1, ry1])
+            rw, rh = rx1 - rx0, ry1 - ry0
+            rw1, rh1 = jnp.maximum(rw, 1), jnp.maximum(rh, 1)
+            src = jax.lax.bitcast_convert_type(frame, jnp.uint32)
+            res = analyze(
+                src,
+                cs=csi,
+                scale=scale,
+                need_vs=need_vs,
+                need_wv_rgb=need_wv and not wv_yuv,
+                need_wv_yuv=need_wv and wv_yuv,
+                need_hi_rgb=need_hi and not hi_yuv,
+                need_hi_yuv=need_hi and hi_yuv,
+                keep_rgba=True,
+                is_packed=True,
+                tm=tm,
+                rect_dyn=rect_c,
+            )
+            images = {}
+            if "roi" in rects:
+                # full capture with the reference's selection shading
+                # (src/roi.c:207-265) — the rect moves without recompiling
+                images["roi"] = _shaded_preview(res.planes, rect_c)
+            if need_vs:
+                vs_img = render_ops.render_vectorscope(
+                    res.vs_counts,
+                    intensity=vs_cfg.intensity,
+                    cs=csi,
+                    white=vs_cfg.color_type == VectorscopeColorType.WHITE,
+                )
+                if vs_grat is not None:
+                    vs_img = render_ops.blend_overlay(vs_img, jnp.asarray(vs_grat))
+                images["vectorscope"] = render_ops.zoom_center(
+                    vs_img, zoom=round(vs_cfg.zoom, 3)
+                )
+                vs_counts = res.vs_counts
+            else:
+                vs_counts = jnp.zeros((256, 256), jnp.uint8)
+            if need_wv:
+                # full-width counts: out-of-rect columns are zero; the slot
+                # sampler below reads only [rx0, rx1)
+                wv_counts = apply_channel_select(
+                    res.wv_yuv if wv_yuv else res.wv_rgb, wv_sel
+                )
+                wv_img = render_ops.render_waveform(
+                    wv_counts,
+                    intensity=wv_cfg.intensity,
+                    display=int(wv_cfg.display),
+                    n_components=wv_n,
+                    yuv_mode=wv_yuv,
+                )
+                if wv_grat is not None:
+                    wv_img = render_ops.blend_overlay(wv_img, jnp.asarray(wv_grat))
+                images["waveform"] = wv_img
+            else:
+                wv_counts = jnp.zeros((3, 256, sw), jnp.uint8)
+            if need_hi:
+                hi_counts = apply_channel_select(
+                    (res.hi_yuv if hi_yuv else res.hi_rgb).astype(jnp.int32), sel
+                )
+                hi = histogram_hi_max(
+                    hi_counts, sel, rw * rh, hi_cfg.level_fixed,
+                    hi_cfg.level_ratio_permille,
+                )
+                levels, hi_eff = histogram_levels(
+                    hi_counts, hi, sel, hi_cfg.logscale
+                )
+                hi_img = render_ops.render_histogram(
+                    levels,
+                    hi_eff,
+                    level_height=hi_cfg.level_height,
+                    display=int(hi_cfg.display),
+                    n_components=hi_n,
+                    yuv_mode=hi_yuv,
+                )
+                if hi_grat is not None:
+                    hi_img = render_ops.blend_overlay(hi_img, jnp.asarray(hi_grat))
+                images["histogram"] = hi_img
+            else:
+                hi_counts = jnp.zeros((3, 256), jnp.int32)
+
+            # overlays on the FULL capture with rect-parity semantics (in-
+            # rect pixels == the cropped capture's overlays; the slot
+            # samplers read only the rect region)
+            ov_src = res.planes
+            fc = fp = None
+            tm_rect = tm - (rx0 + ry0).astype(jnp.float32)
+            if (
+                dk.show_zebra
+                and dk.show_falsecolor
+                and dk.show_focuspeaking
+                and fc_lut is None
+                and default_backend() == "pallas"
+            ):
+                zb_p, fc, fp = fused_overlays_planes(
+                    ov_src,
+                    tm,
+                    th_low=zb_cfg.th_low,
+                    th_high=zb_cfg.th_high,
+                    zb_cs=zb_cs,
+                    fc_cs=fc_cs,
+                    peak_th=int(peak_th),
+                    peak_rgba=peak_tuple,
+                    rect=rect_c,
+                )
+                images["zebra"] = _planes_to_rgba(zb_p)
+            elif dk.show_zebra:
+                images["zebra"] = _planes_to_rgba(
+                    overlay_ops.zebra_planes(
+                        ov_src, th_low=zb_cfg.th_low, th_high=zb_cfg.th_high,
+                        tm=tm_rect, cs=zb_cs,
+                    )
+                )
+            if dk.show_falsecolor:
+                if fc is None:
+                    if fc_lut is not None:
+                        fc = overlay_ops.falsecolor_lut_planes(
+                            ov_src, fc_lut, cs=fc_cs, lut_n=fc_lut.shape[0]
+                        )
+                    else:
+                        fc = overlay_ops.falsecolor_planes(ov_src, cs=fc_cs)
+                images["falsecolor"] = _planes_to_rgba(fc)
+            if dk.show_focuspeaking:
+                if fp is None:
+                    fp = overlay_ops.focus_peaking_planes(
+                        ov_src, peak_th, peak_color, rect=rect_c
+                    )
+                images["focuspeaking"] = _planes_to_rgba(fp)
+
+            patches = []
+            for name, _w_src, _h_src in shown:
+                x0s, y0s, ws, hs = rects[name]
+                img = images[name]
+                if name in ("roi", "vectorscope", "histogram"):
+                    # static-shaped content: plain nearest resize
+                    patches.append((x0s, y0s, _resize_nearest_rgba(img, hs, ws)))
+                    continue
+                jj = jnp.arange(ws, dtype=jnp.int32)
+                ii = jnp.arange(hs, dtype=jnp.int32)
+                if name == "waveform":
+                    # stretch the rect's columns across the slot; in parade
+                    # mode map through the per-component segments first
+                    r_img = img.shape[0]
+                    sy = jnp.asarray(
+                        np.minimum(np.arange(hs) * r_img // hs, r_img - 1),
+                        jnp.int32,
+                    )
+                    if wv_cfg.display == _DM.PARADE and wv_n > 1:
+                        m = (jj * (rw1 * wv_n)) // ws
+                        cseg = m // rw1
+                        src_j = cseg * sw + rx0 + (m - cseg * rw1)
+                    else:
+                        src_j = rx0 + (jj * rw1) // ws
+                    patches.append(
+                        (x0s, y0s, _dyn_sample_rgba(img, sy, src_j, None))
+                    )
+                    continue
+                # content is x-centered but TOP-aligned in its band, exactly
+                # like _layout places the static patch (y0 is the slot top)
+                if name == "focuspeaking" and fp_cfg.actual_size:
+                    # 1:1 pixel mapping, centered on the rect, cropped to
+                    # the slot (reference focuspeaking.c:203-220)
+                    fw = jnp.minimum(jnp.int32(ws), rw1)
+                    fh = jnp.minimum(jnp.int32(hs), rh1)
+                    dxo = (ws - fw) // 2
+                    src_j = rx0 + (rw1 - fw) // 2 + (jj - dxo)
+                    sy = ry0 + (rh1 - fh) // 2 + ii
+                else:
+                    fw, fh = _fit_dyn(ws, hs, rw1, rh1)
+                    dxo = (ws - fw) // 2
+                    src_j = rx0 + ((jj - dxo) * rw1) // fw
+                    sy = ry0 + (ii * rh1) // fh
+                valid = (ii < fh)[:, None] & (
+                    (jj >= dxo) & (jj < dxo + fw)
+                )[None, :]
+                patches.append(
+                    (x0s, y0s, _dyn_sample_rgba(img, sy, src_j, valid))
+                )
+            canvas = compose_vstack(patches, out_width, out_height)
+            return DockStepOutput(
+                panel=canvas,
+                vs_counts=vs_counts,
+                wv_counts=wv_counts,
+                hi_counts=hi_counts.astype(jnp.uint32),
+            )
+
+        step_dyn.pipeline_static_ok = pipeline_ok
+        return step_dyn
 
     @jax.jit
     def step(frame: jax.Array, tm: jax.Array) -> DockStepOutput:
@@ -441,13 +736,5 @@ def make_dock_step(
     # path, whose tm SMEM input makes the stats kernel — and everything
     # downstream — loop-variant; benchmark loops can then drop the input-XOR
     # anti-hoist copy (see api.make_full_step.pipeline_static_ok)
-    from .ops.pallas_pipeline import pipeline_fits
-
-    step.pipeline_static_ok = (
-        roi_rect is None
-        and need_vs
-        and (need_wv and not wv_yuv or need_hi and not hi_yuv)
-        != (need_wv and wv_yuv or need_hi and hi_yuv)
-        and pipeline_fits(height, width, scale, with_overlays=False)
-    )
+    step.pipeline_static_ok = roi_rect is None and pipeline_ok
     return step

@@ -145,11 +145,33 @@ class Scope:
         return hit
 
     # -- output -------------------------------------------------------------
+    def render_leaves(self):
+        """The published DEVICE buffers this scope's render reads, as a
+        tuple, or None before the first frame (or when this scope has no
+        fused-render support).  Together with :meth:`render_traced` this
+        lets the dock fuse every scope's render into ONE jitted program
+        (buffers must be arguments there, not closure captures — captures
+        would constant-fold and retrace every frame)."""
+        return None
+
+    def render_traced(self, *leaves):
+        """Pure traced render: leaves (as from render_leaves) -> RGBA image.
+        Must equal render_image() given the same published state; everything
+        else it reads (config, cached device constants) is static per
+        :meth:`render_trace_key`."""
+        raise NotImplementedError
+
+    def render_trace_key(self):
+        """Hashable of every non-leaf value render_traced reads — the dock's
+        fused-render cache key (a change forces a rebuild)."""
+        return repr(self.config)
+
     def render_image(self):
         """DEVICE-resident RGBA u8 image (jax.Array), or None before the
         first frame.  No host transfer happens here — the dock composites
         scope images on device and fetches the panel once."""
-        raise NotImplementedError
+        lv = self.render_leaves()
+        return None if lv is None else self.render_traced(*lv)
 
     def render(self) -> Optional[np.ndarray]:
         """RGBA u8 image of the scope, or None before the first frame."""

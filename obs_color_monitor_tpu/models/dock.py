@@ -12,6 +12,7 @@ same layout rules.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -118,17 +119,32 @@ class _RoiPreview(Scope):
             self._size = (surface.width, surface.height)
             self._publish(surface.result.planes)
 
-    def render_image(self):
+    def _full_rect(self, planes) -> bool:
+        h, w = planes.shape[-2], planes.shape[-1]
+        return self._hub.config.resolve_rect(w, h) == (0, 0, w, h)
+
+    def render_leaves(self):
         v = self._read()
         if v is None:
             return None
+        if self._full_rect(v):
+            return (v,)
         h, w = v.shape[-2], v.shape[-1]
         rect = self._hub.config.resolve_rect(w, h)
-        if rect == (0, 0, w, h):
+        # the rect is a LEAF: dragging must not retrace the fused program
+        return (v, np.asarray(rect, np.int32))
+
+    def render_trace_key(self):
+        v = self._read()
+        return (repr(self._hub.config.target_scale),
+                None if v is None else self._full_rect(v))
+
+    def render_traced(self, planes, rect=None):
+        if rect is None:
             from ..ops.convert import planes_to_rgba
 
-            return planes_to_rgba(v)
-        return _shaded_preview(v, rect)
+            return planes_to_rgba(planes)
+        return _shaded_preview(planes, rect)
 
     @property
     def width(self) -> int:
@@ -177,6 +193,9 @@ class Dock:
         # (reference src/scope-widget.cpp:146-153,241-428)
         self._rects: dict[str, tuple[int, int, int, int]] = {}
         self._composite_fns: dict = {}
+        # fused render programs: one jitted call renders every scope AND
+        # composites (key -> (fn, rects, included scope names))
+        self._fused_render_fns: dict = {}
         self.roi_interact = None  # created when the ROI preview is shown
 
     def shown(self, name: str) -> bool:
@@ -198,15 +217,61 @@ class Dock:
         The composite runs ON DEVICE (nearest resizes + static slices) and
         the finished panel is fetched in ONE transfer — scope images never
         individually cross the host boundary (the round-1 path did ~8
-        fetches per panel; on a remote TPU that dominated render time)."""
+        fetches per panel; on a remote TPU that dominated render time).
+
+        Steady-state streaming goes further: when every shown scope exposes
+        its published buffers (render_leaves/render_traced), ALL scope
+        renders and the composite fuse into ONE cached jitted program — a
+        single device dispatch per panel instead of ~a dozen (per-dispatch
+        overhead dominated the 320x180 soak, doc/performance.md).  The
+        legacy per-scope route still runs the first frame after any config/
+        shape change (it discovers the layout) and whenever a scope opts
+        out (bypass)."""
         cx = width or self.config.width
         cy = height or self.config.height
 
         shown = [n for n in SCOPE_ORDER if self.shown(n)]
+        # OCM_NO_FUSED_RENDER=1 keeps the legacy per-scope route (e.g. short
+        # batch runs where the fused program's one extra compile never pays)
+        fast = not os.environ.get("OCM_NO_FUSED_RENDER") and not any(
+            getattr(self.scopes[n].config, "bypass", False) for n in shown
+        )
+        entries = None
+        if fast:
+            entries = [(n, self.scopes[n].render_leaves()) for n in shown]
+            # don't fuse (or cache) while any shown scope has no published
+            # buffers yet (e.g. the waveform's tick-gated read buffer on the
+            # very first frame): its key is transient — one more frame and
+            # the program would be rebuilt, wasting the first compile
+            if any(lv is None for _, lv in entries):
+                fast = False
+        if fast:
+            fkey = (
+                cy,
+                cx,
+                tuple(
+                    (
+                        n,
+                        None
+                        if lv is None
+                        else tuple((tuple(l.shape), str(l.dtype)) for l in lv),
+                        self.scopes[n].render_trace_key(),
+                    )
+                    for n, lv in entries
+                ),
+            )
+            cached = self._fused_render_fns.get(fkey)
+            if cached is not None:
+                fn, rects, included = cached
+                self._rects = dict(rects)
+                by_name = dict(entries)
+                leaves = [l for n in included for l in by_name[n]]
+                return np.asarray(fn(*leaves))
         n_src = len(shown)
         self._rects = {}
         spec: list[tuple] = []
         images: list = []
+        included: list[str] = []
         y0 = 0
         for k, name in enumerate(shown):
             img = self.scopes[name].render_image()
@@ -240,6 +305,7 @@ class Dock:
                 x0 = (cx - w) // 2
                 spec.append(((h_src, w_src), x0, y0, w, h, crop))
                 images.append(img)
+                included.append(name)
                 self._rects[name] = (x0, y0, w, h, w_src, h_src)
             y0 += h_slot
 
@@ -250,7 +316,32 @@ class Dock:
                 self._composite_fns.clear()
             fn = jax.jit(functools.partial(_composite, cy, cx, tuple(spec)))
             self._composite_fns[key] = fn
-        return np.asarray(fn(tuple(images)))
+        panel = np.asarray(fn(tuple(images)))
+        if fast:
+            # build the fused program for subsequent frames: scope renders +
+            # composite in one jit, published buffers as ARGUMENTS (captures
+            # would constant-fold and retrace every frame)
+            by_name = dict(entries)
+            lens = {n: len(by_name[n]) for n in included}
+            spec_t = tuple(spec)
+            scopes = self.scopes
+
+            def _fused(*leaves):
+                imgs = []
+                i = 0
+                for n in included:
+                    imgs.append(scopes[n].render_traced(*leaves[i : i + lens[n]]))
+                    i += lens[n]
+                return _composite(cy, cx, spec_t, tuple(imgs))
+
+            if len(self._fused_render_fns) > 8:
+                self._fused_render_fns.clear()
+            self._fused_render_fns[fkey] = (
+                jax.jit(_fused),
+                dict(self._rects),
+                tuple(included),
+            )
+        return panel
 
     def render_device(
         self,
@@ -272,13 +363,28 @@ class Dock:
         cx = width or self.config.width
         cy = height or self.config.height
         h, w = frame.shape[-3], frame.shape[-2]
-        key = (h, w, cx, cy, repr(sorted(dock_save_data(self).items())))
-        if getattr(self, "_device_step_key", None) != key:
-            self._device_step = make_dock_step(
-                h,
-                w,
+        scale = self.hub.config.target_scale
+        rect = self.hub.config.resolve_rect(w // scale, h // scale)
+        full = rect == (0, 0, w // scale, h // scale)
+        save = dock_save_data(self)
+        if not full:
+            # the dynamic-ROI step takes the rect as a runtime input: key
+            # the cached program WITHOUT the rect so dragging never rebuilds
+            # (a cold compile is 20-120 s on the tunneled dev setup)
+            save["roi-prop"] = {
+                k: v
+                for k, v in save["roi-prop"].items()
+                if k not in ("x0", "y0", "x1", "y1")
+            }
+        key = (h, w, cx, cy, full, repr(sorted(save.items())))
+        rebuild = getattr(self, "_device_step_key", None) != key or (
+            getattr(self, "_device_step_rect", None) is not None
+            and self._device_step_rect != rect
+        )
+        if rebuild:
+            kwargs = dict(
                 cs=self.hub.colorspace,
-                scale=self.hub.config.target_scale,
+                scale=scale,
                 out_width=cx,
                 out_height=cy,
                 dock=self.config,
@@ -289,8 +395,31 @@ class Dock:
                 falsecolor=self.falsecolor.config,
                 focuspeaking=self.focuspeaking.config,
             )
+            self._device_step_rect = None
+            if full:
+                self._device_step = make_dock_step(h, w, **kwargs)
+                self._device_step_dynamic = False
+            else:
+                try:
+                    self._device_step = make_dock_step(
+                        h, w, dynamic_roi=True, **kwargs
+                    )
+                    self._device_step_dynamic = True
+                except NotImplementedError:
+                    # configs outside the dynamic step's coverage (e.g. a
+                    # false-color key legend): static rebuild per rect
+                    self._device_step = make_dock_step(
+                        h, w, roi_rect=rect, **kwargs
+                    )
+                    self._device_step_dynamic = False
+                    self._device_step_rect = rect
             self._device_step_key = key
-        out = self._device_step(frame, np.float32(tm))
+        if self._device_step_dynamic:
+            out = self._device_step(
+                frame, np.float32(tm), np.asarray(rect, np.int32)
+            )
+        else:
+            out = self._device_step(frame, np.float32(tm))
         return np.asarray(out.panel)
 
     # -- mouse routing (reference src/scope-widget.cpp:241-428) --------------

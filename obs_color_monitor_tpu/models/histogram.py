@@ -78,13 +78,13 @@ class Histogram(Scope, StandaloneScopeMixin):
         v = self._read()
         return None if v is None else np.asarray(v[0])
 
-    def render_image(self):
+    def render_leaves(self):
         if self.config.bypass:
-            return self.render_bypass()
-        v = self._read()
-        if v is None:
             return None
-        _, levels, hi_eff = v
+        v = self._read()
+        return None if v is None else (v[1], v[2])  # (levels, hi_eff)
+
+    def render_traced(self, levels, hi_eff):
         n = self.config.components.n_components
         img = render_ops.render_histogram(
             levels,
@@ -108,6 +108,11 @@ class Histogram(Scope, StandaloneScopeMixin):
         if overlay is not None:
             img = render_ops.blend_overlay(img, overlay)
         return img
+
+    def render_image(self):
+        if self.config.bypass:
+            return self.render_bypass()
+        return super().render_image()
 
     @property
     def width(self) -> int:

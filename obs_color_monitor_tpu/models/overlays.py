@@ -56,11 +56,11 @@ class _OverlayScope(Scope, StandaloneScopeMixin):
         """Planar fast path: (4,H,W) in, (4,H,W) out."""
         raise NotImplementedError
 
-    def render_image(self):
+    def render_leaves(self):
         v = self._read()
-        if v is None:
-            return None
-        planes, _hub_cs = v
+        return None if v is None else (v[0],)  # published planes
+
+    def render_traced(self, planes):
         # The raw-texture pixels come from the hub, but the overlay's draw
         # technique is selected by the SCOPE's own colorspace property even
         # when ROI-fed (reference zbs_render uses src->cm.colorspace,
@@ -69,6 +69,10 @@ class _OverlayScope(Scope, StandaloneScopeMixin):
         from ..ops.convert import planes_to_rgba
 
         return planes_to_rgba(self.apply_planes(planes, cs=None))
+
+    def render_image(self):
+        lv = self.render_leaves()
+        return None if lv is None else self.render_traced(*lv)
 
     @property
     def width(self) -> int:
@@ -89,6 +93,28 @@ class Zebra(_OverlayScope):
 
     def tick(self, seconds: float = 1.0 / 60.0) -> None:
         self.tm = zebra_tm_advance(self.tm, seconds)
+
+    def render_leaves(self):
+        v = self._read()
+        if v is None:
+            return None
+        # the stripe clock is a LEAF (changes every tick): a closure capture
+        # would retrace the dock's fused render program per frame
+        return (v[0], np.float32(self.tm))
+
+    def render_traced(self, planes, tm):
+        from ..ops.convert import planes_to_rgba
+
+        cs = calc_colorspace(self.config.colorspace)
+        return planes_to_rgba(
+            overlay_ops.zebra_planes(
+                planes,
+                th_low=self.config.th_low,
+                th_high=self.config.th_high,
+                tm=tm,
+                cs=int(cs),
+            )
+        )
 
     def apply(self, frame, cs=None):
         cs = calc_colorspace(self.config.colorspace if cs is None else cs)
@@ -117,6 +143,13 @@ class FalseColor(_OverlayScope):
 
     def __init__(self, config: Optional[FalseColorConfig] = None):
         super().__init__(config or FalseColorConfig())
+
+    def render_trace_key(self):
+        import dataclasses
+
+        lut = self.config.lut
+        fp = None if lut is None else self._lut_fingerprint(lut)
+        return (repr(dataclasses.replace(self.config, lut=None)), fp)
 
     def apply(self, frame, cs=None):
         cs = calc_colorspace(self.config.colorspace if cs is None else cs)

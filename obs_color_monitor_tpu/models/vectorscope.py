@@ -47,12 +47,16 @@ class Vectorscope(Scope, StandaloneScopeMixin):
         """Mouse-wheel zoom (reference src/vectorscope.c:473-482)."""
         self.config.zoom = max(1.0, self.config.zoom * float(np.exp(wheel_delta * 5e-4)))
 
-    def render_image(self):
+    def render_leaves(self):
         if self.config.bypass:
-            return self.render_bypass()
+            return None  # bypass renders the capture, not the counts
         counts = self._read()
-        if counts is None:
-            return None
+        return None if counts is None else (counts,)
+
+    def render_trace_key(self):
+        return (repr(self.config), self._buf_cs[self._w_buf ^ 1])
+
+    def render_traced(self, counts):
         cs = self._buf_cs[self._w_buf ^ 1]
         img = render_ops.render_vectorscope(
             counts,
@@ -68,6 +72,11 @@ class Vectorscope(Scope, StandaloneScopeMixin):
         if overlay is not None:
             img = render_ops.blend_overlay(img, overlay)
         return render_ops.zoom_center(img, zoom=round(self.config.zoom, 3))
+
+    def render_image(self):
+        if self.config.bypass:
+            return self.render_bypass()
+        return super().render_image()
 
     @property
     def width(self) -> int:

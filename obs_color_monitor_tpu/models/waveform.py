@@ -64,12 +64,16 @@ class Waveform(Scope, StandaloneScopeMixin):
         # the read buffer only advances on tick (reference waveform.c:394-400)
         self._r_buf = self._w_buf ^ 1
 
-    def render_image(self):
+    def render_leaves(self):
         if self.config.bypass:
-            return self.render_bypass()
-        counts = self._buf[self._r_buf]
-        if counts is None:
             return None
+        counts = self._buf[self._r_buf]  # tick-gated read buffer
+        return None if counts is None else (counts,)
+
+    def render_trace_key(self):
+        return (repr(self.config), self._buf_width[self._r_buf])
+
+    def render_traced(self, counts):
         n = self.config.components.n_components
         img = render_ops.render_waveform(
             counts,
@@ -88,6 +92,11 @@ class Waveform(Scope, StandaloneScopeMixin):
         if overlay is not None:
             img = render_ops.blend_overlay(img, overlay)
         return img
+
+    def render_image(self):
+        if self.config.bypass:
+            return self.render_bypass()
+        return super().render_image()
 
     @property
     def width(self) -> int:

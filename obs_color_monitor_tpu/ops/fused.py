@@ -29,7 +29,7 @@ from .convert import (
 )
 from .stats import (
     histogram_counts,
-    vectorscope_counts,
+    vectorscope_counts_i32,
     waveform_counts,
     select_planes,
 )
@@ -89,6 +89,7 @@ def analyze(
     is_planar: bool = False,
     is_packed: bool = False,
     tm: jax.Array | float | None = None,
+    rect_dyn: jax.Array | None = None,
 ) -> AnalysisResult:
     """One pass: planarize -> downscale -> crop -> convert -> statistics.
 
@@ -102,6 +103,13 @@ def analyze(
     threading the caller's per-frame clock into the frame-reading Mosaic
     kernel makes every statistic loop-variant, so benchmark/streaming loops
     need no input-XOR anti-hoist copy (doc/performance.md Methodology).
+
+    ``rect_dyn`` is a DYNAMIC (4,) i32 ROI (x0, y0, x1, y1) in scaled
+    coordinates (mutually exclusive with the static ``rect``): statistics
+    count only in-rect pixels, bit-identical to the static crop — the
+    waveform keeps full width with out-of-rect columns zero — but changing
+    the rect never recompiles (reference interactive drag, src/roi.c:343-521).
+    ``planes``/``yuv_planes`` then stay FULL-capture (uncropped).
     """
     if backend is None:
         backend = default_backend()
@@ -136,6 +144,7 @@ def analyze(
         vs_i32, wv_i32, dsp, _, _, _ = frame_pipeline(
             frame if is_packed else planes,
             0.0 if tm is None else tm,
+            rect_dyn,
             cs=cs, scale=scale, yuv_data=yuv_fam, with_overlays=False,
             packed=is_packed,
         )
@@ -160,19 +169,43 @@ def analyze(
     if rect is not None:
         planes = roi_crop_planes(planes, *rect)
 
+    # dynamic ROI on the generic path: never crop — restrict counting with
+    # an iota rect mask (waveform/histogram via the existing mask machinery;
+    # vectorscope by zeroing U/V outside and subtracting the outside count
+    # at (0,0), exactly like geometry padding)
+    in_rect = None
+    if rect_dyn is not None:
+        assert rect is None, "rect and rect_dyn are mutually exclusive"
+        r = jnp.asarray(rect_dyn, jnp.int32)
+        hh, ww = planes.shape[-2], planes.shape[-1]
+        rx0 = jnp.clip(r[0], 0, ww)
+        ry0 = jnp.clip(r[1], 0, hh)
+        rx1 = jnp.clip(r[2], rx0, ww)
+        ry1 = jnp.clip(r[3], ry0, hh)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+        in_rect = (ri >= ry0) & (ri < ry1) & (ci >= rx0) & (ci < rx1)
+        n_out = jnp.int32(hh * ww) - (rx1 - rx0) * (ry1 - ry0)
+
     need_yuv = need_vs or need_wv_yuv or need_hi_yuv
     yuv = rgb_to_yuv_planes(planes, cs=cs) if need_yuv else None
+    # vectorscope counting source: U/V zeroed outside the dynamic rect
+    # (waveform YUV data stays unmasked — its mask argument handles the rect)
+    yuv_vs = yuv
+    if in_rect is not None and yuv is not None:
+        yuv_vs = jnp.where(in_rect[None], yuv, jnp.uint8(0))
 
     use_fused_combo = pall and need_vs and (
         need_wv_rgb or need_hi_rgb or need_wv_yuv or need_hi_yuv
     )
     if need_vs and not use_fused_combo:
         if pall:
-            vs = jnp.minimum(pallas_stats.vectorscope_pallas_i32(yuv), 255).astype(
-                jnp.uint8
-            )
+            vs_i = pallas_stats.vectorscope_pallas_i32(yuv_vs)
         else:
-            vs = vectorscope_counts(yuv)
+            vs_i = vectorscope_counts_i32(yuv_vs)
+        if in_rect is not None:
+            vs_i = vs_i.at[0, 0].add(-n_out)
+        vs = jnp.minimum(vs_i, 255).astype(jnp.uint8)
     else:
         vs = None
 
@@ -195,9 +228,13 @@ def analyze(
     fused_spent = False
     if need_wv_rgb or need_hi_rgb:
         data, mask = select_planes(planes, None, is_yuv=False)
+        if in_rect is not None:
+            mask = mask & in_rect
         if use_fused_combo:
             # the dock's hot combo: one kernel, one DMA pass for VS + counts
-            vs_i32, wv_i32 = pallas_stats.fused_vs_wv_pallas_i32(data, yuv, mask)
+            vs_i32, wv_i32 = pallas_stats.fused_vs_wv_pallas_i32(data, yuv_vs, mask)
+            if in_rect is not None:
+                vs_i32 = vs_i32.at[0, 0].add(-n_out)
             vs = jnp.minimum(vs_i32, 255).astype(jnp.uint8)
             fused_spent = True
             if need_wv_rgb:
@@ -208,8 +245,12 @@ def analyze(
             wv_rgb, hi_rgb = _wv_hi(data, mask, need_wv_rgb, need_hi_rgb)
     if need_wv_yuv or need_hi_yuv:
         data, mask = select_planes(planes, yuv, is_yuv=True)
+        if in_rect is not None:
+            mask = mask & in_rect
         if use_fused_combo and not fused_spent:
-            vs_i32, wv_i32 = pallas_stats.fused_vs_wv_pallas_i32(data, yuv, mask)
+            vs_i32, wv_i32 = pallas_stats.fused_vs_wv_pallas_i32(data, yuv_vs, mask)
+            if in_rect is not None:
+                vs_i32 = vs_i32.at[0, 0].add(-n_out)
             vs = jnp.minimum(vs_i32, 255).astype(jnp.uint8)
             if need_wv_yuv:
                 wv_yuv = jnp.minimum(wv_i32, 255).astype(jnp.uint8)

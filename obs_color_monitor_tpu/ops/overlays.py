@@ -131,7 +131,10 @@ def falsecolor_lut(rgba, lut, cs, lut_n):
 
 @jax.jit
 def focus_peaking_planes(
-    planes: jax.Array, th_fixed: jax.Array | int, peaking_color_u8: jax.Array
+    planes: jax.Array,
+    th_fixed: jax.Array | int,
+    peaking_color_u8: jax.Array,
+    rect: jax.Array | None = None,
 ) -> jax.Array:
     """4-neighbor edge highlight (reference data/focuspeaking.effect:26-48).
 
@@ -141,6 +144,11 @@ def focus_peaking_planes(
     i16 (max 4*765 = 3060).  Edge clamp makes border diffs zero, so each
     axis is one forward-difference array contributed twice, zero-padded at
     the respective edge.
+
+    ``rect``: optional DYNAMIC (4,) i32 (x0, y0, x1, y1) — the edge-clamp
+    zeros move to the rect borders, so in-rect pixels match the CROPPED
+    frame's focus peaking bit-for-bit (outside pixels are unspecified;
+    the dynamic-ROI dock samples only the rect).
 
     NOTE (parity): like the reference, this is a cross-shaped gradient
     magnitude, not a true Sobel (SURVEY.md §2 #16).
@@ -155,10 +163,25 @@ def focus_peaking_planes(
     dx = absdiff_sum(rgb[..., :, 1:], rgb[..., :, :-1])  # (H, W-1)
     dy = absdiff_sum(rgb[..., 1:, :], rgb[..., :-1, :])  # (H-1, W)
     zx = jnp.zeros(dx.shape[:-1] + (1,), jnp.int16)
-    sx = jnp.concatenate([dx, zx], axis=-1) + jnp.concatenate([zx, dx], axis=-1)
     zrow = jnp.zeros(dy.shape[:-2] + (1, w), jnp.int16)
-    sy = jnp.concatenate([dy, zrow], axis=-2) + jnp.concatenate([zrow, dy], axis=-2)
-    acc = (sx + sy).astype(jnp.int32)
+    dxf = jnp.concatenate([dx, zx], axis=-1)  # (H, W): forward diff, last 0
+    dyf = jnp.concatenate([dy, zrow], axis=-2)  # (H, W): downward diff
+    if rect is not None:
+        r = jnp.asarray(rect, jnp.int32)
+        rx0 = jnp.clip(r[0], 0, w)
+        ry0 = jnp.clip(r[1], 0, h)
+        rx1 = jnp.clip(r[2], rx0, w)
+        ry1 = jnp.clip(r[3], ry0, h)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+        dxf = jnp.where(ci >= rx1 - 1, 0, dxf)
+        dyf = jnp.where(ri >= ry1 - 1, 0, dyf)
+    sxr = jnp.concatenate([zx, dxf[..., :-1]], axis=-1)  # dx[col-1]
+    syr = jnp.concatenate([zrow, dyf[..., :-1, :]], axis=-2)  # dy[row-1]
+    if rect is not None:
+        sxr = jnp.where(ci <= rx0, 0, sxr)
+        syr = jnp.where(ri <= ry0, 0, syr)
+    acc = (dxf + sxr + dyf + syr).astype(jnp.int32)
 
     peak = (acc >= jnp.asarray(th_fixed, jnp.int32))[None]
     color = peaking_color_u8.astype(jnp.uint8).reshape(4, 1, 1)

@@ -46,7 +46,7 @@ def _luma(kl, r, g, b):
 
 
 def _overlay_band_math(params, cur, prev_row, next_row, tm, ri, ci,
-                       left_col=None, right_col=None):
+                       left_col=None, right_col=None, rect=None):
     """Shared zebra/falsecolor/focuspeaking math on one row band.
 
     cur: 4 (R, W) i32 planes; prev_row/next_row: 3 (1, W) i32 halo rows;
@@ -61,11 +61,24 @@ def _overlay_band_math(params, cur, prev_row, next_row, tm, ri, ci,
     columns ci[0]-1 and ci[-1]+1), fixing up the focus-peaking stencil's
     circular rolls at the block edges.  None = full-width behavior (the
     wrapped-in columns coincide with the image edge and are masked).
+
+    rect: optional DYNAMIC (x0, y0, x1, y1) i32 scalars — makes pixels
+    inside the rect come out bit-identical to running the overlay on the
+    CROPPED frame (the reference's ROI-fed overlay scopes consume the crop,
+    src/roi.c:329-341): the zebra stripe phase is anchored at the rect
+    origin (phase is additive in integers, so tm absorbs -(x0+y0)) and the
+    focus-peaking edge-clamp zeros move to the rect borders.  Pixels
+    OUTSIDE the rect are unspecified-but-harmless (callers sample only the
+    rect region).  Mutually exclusive with left_col/right_col.
     """
     (h, w, zb_lo, zb_hi, kl_zb, kl_fc, peak_th, peak_rgba) = params
     shape = ri.shape
     arr_w = shape[-1]  # may exceed the real w (padded columns, sliced off)
     r, g, b = (cur[c].astype(jnp.float32) for c in range(3))
+    if rect is not None:
+        assert left_col is None and right_col is None
+        rx0, ry0, rx1, ry1 = rect
+        tm = tm - (rx0 + ry0).astype(jnp.float32)
 
     # ---- zebra (reference data/zebra.effect:26-48) ----
     luma_zb = _luma(kl_zb, r, g, b)
@@ -116,14 +129,20 @@ def _overlay_band_math(params, cur, prev_row, next_row, tm, ri, ci,
         ]
     dxf = absdiff3(right, rgb32)
     # forward diff: zero at the last real column AND the padding beyond it
-    # (the circular roll wraps column 0 into the last padded column)
-    dxf = jnp.where(ci >= w - 1, 0, dxf)
+    # (the circular roll wraps column 0 into the last padded column); with
+    # a rect, the right edge clamp moves to the rect border (rx1-1 <= w-1,
+    # so the padding columns stay covered)
+    dxf = jnp.where(ci >= (w - 1 if rect is None else rx1 - 1), 0, dxf)
     sxr = pltpu.roll(dxf, 1, 1)  # dx[col-1]; rolled-in col 0 is 0 (masked)
     if left_col is not None:
         # block-local col 0 is an interior column: dx[col-1] comes from the
         # halo column (zero only at the true image edge ci == 0)
         dxf_m1 = absdiff3([x[:, 0:1] for x in rgb32], left_col)
         sxr = jnp.where(lci == 0, jnp.where(ci == 0, 0, dxf_m1), sxr)
+    if rect is not None:
+        # dx[col-1] at the rect's left edge comes from outside the rect —
+        # zero it (the crop's left-edge clamp)
+        sxr = jnp.where(ci <= rx0, 0, sxr)
     sx = dxf + sxr
     up = [
         jnp.concatenate([p, x[:-1]], axis=0) for x, p in zip(rgb32, prev_row)
@@ -131,16 +150,27 @@ def _overlay_band_math(params, cur, prev_row, next_row, tm, ri, ci,
     down = [
         jnp.concatenate([x[1:], nx], axis=0) for x, nx in zip(rgb32, next_row)
     ]
-    du = jnp.where(ri == 0, 0, absdiff3(rgb32, up))
-    dd = jnp.where(ri == h - 1, 0, absdiff3(down, rgb32))
+    du = jnp.where(
+        ri <= (0 if rect is None else ry0), 0, absdiff3(rgb32, up)
+    )
+    dd = jnp.where(
+        ri >= (h - 1 if rect is None else ry1 - 1), 0, absdiff3(down, rgb32)
+    )
     peak = (sx + du + dd) >= peak_th
     fp = [jnp.where(peak, int(peak_rgba[c]), cur[c]) for c in range(4)]
     fp = jnp.stack([x.astype(jnp.uint8) for x in fp], axis=0)
     return zb, fc, fp
 
 
-def _ov_kernel(params, cur_ref, prev_ref, nxt_ref, tm_ref, zb_ref, fc_ref, fp_ref):
+def _ov_kernel(dyn, params, cur_ref, prev_ref, nxt_ref, tm_ref, *rest):
     w = params[1]
+    if dyn:
+        rect_ref = rest[0]
+        rest = rest[1:]
+        rect = tuple(rect_ref[0, i] for i in range(4))
+    else:
+        rect = None
+    zb_ref, fc_ref, fp_ref = rest
     r_blk = pl.program_id(0)
     tm = tm_ref[0, 0]
     cur = [cur_ref[c].astype(jnp.int32) for c in range(4)]  # (RB, W) i32
@@ -149,7 +179,7 @@ def _ov_kernel(params, cur_ref, prev_ref, nxt_ref, tm_ref, zb_ref, fc_ref, fp_re
     prev_row = [prev_ref[c][7:8].astype(jnp.int32) for c in range(3)]
     next_row = [nxt_ref[c][0:1].astype(jnp.int32) for c in range(3)]
     zb_ref[:], fc_ref[:], fp_ref[:] = _overlay_band_math(
-        params, cur, prev_row, next_row, tm, ri, ci
+        params, cur, prev_row, next_row, tm, ri, ci, rect=rect
     )
 
 
@@ -168,6 +198,7 @@ def fused_overlays_planes(
     fc_cs: int,
     peak_th: int,
     peak_rgba: tuple[int, int, int, int],
+    rect: jax.Array | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(4, H, W) u8 -> (zebra, falsecolor, focuspeaking) planar u8, one pass.
@@ -175,6 +206,12 @@ def fused_overlays_planes(
     Bit-exact twins of ops.overlays.{zebra,falsecolor,focus_peaking}_planes
     with the scopes' own colorspaces (reference zbs_render technique select,
     src/zebra.c:620).
+
+    ``rect`` is an optional DYNAMIC (4,) i32 (x0, y0, x1, y1): pixels inside
+    it match the overlays of the CROPPED frame bit-for-bit (stripe phase
+    anchored at the rect origin, focus-peaking edges clamped at the rect
+    borders); outside pixels are unspecified (the dynamic-ROI dock samples
+    only the rect region).  Changing the rect never recompiles.
     """
     _, h, w = planes.shape
     nb = -(-h // _RB)
@@ -199,19 +236,32 @@ def fused_overlays_planes(
     # the prev halo row r*_RB-1 is always row 7 of 8-row block r*_RB//8-1,
     # the next halo row (r+1)*_RB is row 0 of block (r+1)*_RB//8; the edge
     # clamps feed rows the kernel masks out anyway (ri==0 / ri==h-1).
+    dyn = rect is not None
+    in_specs = [
+        blk(lambda r: (0, r, 0)),
+        row8(lambda r: (0, jnp.maximum(r * (_RB // 8) - 1, 0), 0)),
+        row8(lambda r: (0, jnp.minimum((r + 1) * (_RB // 8), hp // 8 - 1), 0)),
+        pl.BlockSpec((1, 1), lambda r: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    args = [x, x, x, jnp.reshape(jnp.asarray(tm, jnp.float32), (1, 1))]
+    if dyn:
+        rc = jnp.asarray(rect, jnp.int32)
+        rx0 = jnp.clip(rc[0], 0, w)
+        ry0 = jnp.clip(rc[1], 0, h)
+        rx1 = jnp.clip(rc[2], rx0, w)
+        ry1 = jnp.clip(rc[3], ry0, h)
+        in_specs.append(
+            pl.BlockSpec((1, 4), lambda r: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(jnp.stack([rx0, ry0, rx1, ry1]).reshape(1, 4))
     zb, fc, fp = pl.pallas_call(
-        functools.partial(_ov_kernel, params),
+        functools.partial(_ov_kernel, dyn, params),
         grid=(nb,),
-        in_specs=[
-            blk(lambda r: (0, r, 0)),
-            row8(lambda r: (0, jnp.maximum(r * (_RB // 8) - 1, 0), 0)),
-            row8(lambda r: (0, jnp.minimum((r + 1) * (_RB // 8), hp // 8 - 1), 0)),
-            pl.BlockSpec((1, 1), lambda r: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(blk(lambda r: (0, r, 0)),) * 3,
         out_shape=tuple(
             jax.ShapeDtypeStruct((4, hp, w), jnp.uint8) for _ in range(3)
         ),
         interpret=interpret,
-    )(x, x, x, jnp.reshape(jnp.asarray(tm, jnp.float32), (1, 1)))
+    )(*args)
     return zb[:, :h], fc[:, :h], fp[:, :h]

@@ -124,15 +124,24 @@ def _downscale2_block(x, p2, q2):
 
 
 def _pipeline_kernel(params, cur_ref, prv_ref, nxt_ref, p2_ref, q2_ref, tm_ref,
-                     *out_refs):
+                     *rest):
     (h, w, w4p, s_total, scale, packed, yuv_data, kcoef, ov_params,
-     with_ov) = params
+     with_ov, dyn) = params
     b = pl.program_id(0)
     oh = _BAND // scale
     tm = tm_ref[0, 0]
     cur = _extract_channels(cur_ref, packed)  # 4x (64, w4p) i32
 
-    refs = list(out_refs)
+    refs = list(rest)
+    if dyn:
+        # dynamic ROI rect (x0, y0, x1, y1) in scaled coords, SMEM scalars:
+        # masks ONLY the statistics outputs (u/v/data tiles) — the scaled
+        # planes and overlays stay full-capture (the reference's ROI source
+        # draws the whole target; consumers get the crop, src/roi.c:279-315)
+        rect_ref = refs[0]
+        refs = refs[1:]
+        rx0, ry0 = rect_ref[0, 0], rect_ref[0, 1]
+        rx1, ry1 = rect_ref[0, 2], rect_ref[0, 3]
     if with_ov:
         zb_ref, fc_ref, fp_ref = refs[:3]
         refs = refs[3:]
@@ -180,6 +189,15 @@ def _pipeline_kernel(params, cur_ref, prv_ref, nxt_ref, p2_ref, q2_ref, tm_ref,
         ds_ref[:, :, s * _COLS : (s + 1) * _COLS] = jnp.stack(
             [to_u8(x) for x in ds], axis=0
         )
+        if dyn:
+            # out-of-rect stat slots read as 0 and land at (0,0)/bin-0 like
+            # geometry padding; the caller's dynamic corrections remove them
+            in_rect = (
+                (rowi >= ry0) & (rowi < ry1) & (coli >= rx0) & (coli < rx1)
+            )
+            stat = lambda x: jnp.where(in_rect, x, jnp.uint8(0))
+        else:
+            stat = lambda x: x
         yuv = []
         for i in range(3):
             acc = (
@@ -188,8 +206,8 @@ def _pipeline_kernel(params, cur_ref, prv_ref, nxt_ref, p2_ref, q2_ref, tm_ref,
             )
             q = jnp.clip(jnp.floor(acc * inv), 0.0, 255.0)
             yuv.append(jnp.where(valid, to_u8(q), jnp.uint8(0)))
-        u_ref[s, 0] = yuv[1]
-        v_ref[s, 0] = yuv[2]
+        u_ref[s, 0] = stat(yuv[1])
+        v_ref[s, 0] = stat(yuv[2])
         if yuv_data:
             # YUV component mode: waveform data = Y,U,V; no alpha skip
             # (the reference conversion writes a=1, data/common.effect:30,41)
@@ -200,9 +218,9 @@ def _pipeline_kernel(params, cur_ref, prv_ref, nxt_ref, p2_ref, q2_ref, tm_ref,
             data = [
                 jnp.where(mask, to_u8(x), zero) for x in (r8, g8, b8)
             ]
-        d0_ref[s, 0] = data[0]
-        d1_ref[s, 0] = data[1]
-        d2_ref[s, 0] = data[2]
+        d0_ref[s, 0] = stat(data[0])
+        d1_ref[s, 0] = stat(data[1])
+        d2_ref[s, 0] = stat(data[2])
 
 
 # ---------------------------------------------------------------------------
@@ -230,6 +248,7 @@ def _extract_channels(x, packed: bool, n: int = 4):
 def frame_pipeline(
     planes: jax.Array,
     tm: jax.Array | float = 0.0,
+    rect: jax.Array | None = None,
     *,
     cs: int,
     scale: int,
@@ -249,6 +268,14 @@ def frame_pipeline(
     With packed=True the input is instead the (H4, W4) u32 bitcast view of
     the interleaved RGBA frame — the kernel extracts the bytes itself, so
     the planarize pass and its pad copy disappear from the program.
+
+    ``rect`` is an optional DYNAMIC (4,) i32 ROI (x0, y0, x1, y1) in SCALED
+    coordinates (clamped here): statistics count only in-rect pixels (the
+    waveform keeps its full (3,256,W) shape — out-of-rect columns are
+    all-zero, in-rect columns bit-identical to a static crop), while
+    ds_planes and the overlays stay full-capture.  Dragging the rect never
+    recompiles — it enters the kernel as four SMEM scalars
+    (doc/design-dynamic-roi.md).
 
     Returns (vs_i32 (256,256), wv_i32 (3,256,W), ds_planes (4,H,W),
     zebra, falsecolor, focuspeaking (4,H4,W4) u8) where H=H4//scale —
@@ -298,8 +325,17 @@ def frame_pipeline(
         tuple(int(v) for v in peak_rgba),
     )
 
+    dyn = rect is not None
+    if dyn:
+        r = jnp.asarray(rect, jnp.int32)
+        rx0 = jnp.clip(r[0], 0, w)
+        ry0 = jnp.clip(r[1], 0, h)
+        rx1 = jnp.clip(r[2], rx0, w)
+        ry1 = jnp.clip(r[3], ry0, h)
+        rect_c = jnp.stack([rx0, ry0, rx1, ry1]).reshape(1, 4)
+
     params = (h, w, w4p, s, scale, packed, yuv_data, kcoef, ov_params,
-              with_overlays)
+              with_overlays, dyn)
 
     # MXU pair matrices for the scale-2 downscale (dummies at scale 1)
     if scale == 2:
@@ -359,26 +395,33 @@ def frame_pipeline(
     out_specs += [tile(), tile(), tile(), tile(), tile(), ds_spec]
     out_shape += [tile_shape] * 5 + [ds_shape]
 
+    in_specs = [
+        inspec(),
+        # 8-row halo blocks: the prev halo row b*64-1 is row 7 of 8-row
+        # block b*8-1; the next halo row (b+1)*64 is row 0 of block
+        # (b+1)*8; edge clamps feed rows the math masks out (ri==0/h4-1)
+        row8(lambda b: (0, jnp.maximum(b * (_BAND // 8) - 1, 0), 0)),
+        row8(
+            lambda b: (0, jnp.minimum((b + 1) * (_BAND // 8), nrb - 1), 0)
+        ),
+        pl.BlockSpec(p2.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(q2.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    args = [x, x, x, p2, q2, jnp.reshape(jnp.asarray(tm, jnp.float32), (1, 1))]
+    if dyn:
+        in_specs.append(
+            pl.BlockSpec((1, 4), lambda b: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(rect_c)
     outs = pl.pallas_call(
         functools.partial(_pipeline_kernel, params),
         grid=(nb,),
-        in_specs=[
-            inspec(),
-            # 8-row halo blocks: the prev halo row b*64-1 is row 7 of 8-row
-            # block b*8-1; the next halo row (b+1)*64 is row 0 of block
-            # (b+1)*8; edge clamps feed rows the math masks out (ri==0/h4-1)
-            row8(lambda b: (0, jnp.maximum(b * (_BAND // 8) - 1, 0), 0)),
-            row8(
-                lambda b: (0, jnp.minimum((b + 1) * (_BAND // 8), nrb - 1), 0)
-            ),
-            pl.BlockSpec(p2.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(q2.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
-    )(x, x, x, p2, q2, jnp.reshape(jnp.asarray(tm, jnp.float32), (1, 1)))
+    )(*args)
 
     outs = list(outs)
     if with_overlays:
@@ -398,6 +441,28 @@ def frame_pipeline(
     # zeroes a phantom band whose oh*128 slots per stripe count at
     # (0,0)/bin-0 exactly like geometry padding
     nb_eff = nb + (nb % 2)
+    if dyn:
+        # every slot outside the rect reads u=v=0 / bin-0, exactly like
+        # geometry padding — subtract total slots minus the rect population
+        n_rect = (rx1 - rx0) * (ry1 - ry0)
+        vs = vs.at[0, 0].add(n_rect - jnp.int32(s * _COLS * nb_eff * oh))
+        ci = jnp.arange(w, dtype=jnp.int32)
+        in_x = (ci >= rx0) & (ci < rx1)
+        if yuv_data:
+            corr = jnp.int32(nb_eff * oh) - jnp.where(in_x, ry1 - ry0, 0)
+        else:
+            # alpha-skipped pixels only count where they are inside the rect
+            ri = jnp.arange(h, dtype=jnp.int32)[:, None]
+            a0 = jnp.sum(
+                (dsp[3] == 0) & (ri >= ry0) & (ri < ry1),
+                axis=0,
+                dtype=jnp.int32,
+            )
+            corr = jnp.int32(nb_eff * oh) - jnp.where(
+                in_x, (ry1 - ry0) - a0, 0
+            )
+        wv = wv.at[:, 0, :].add(-corr[None, :])
+        return vs, wv, dsp, zb, fc, fp
     n_pad = s * _COLS * nb_eff * oh - h * w
     vs = vs.at[0, 0].add(jnp.int32(-n_pad))
     # bin-0 corrections: alpha-skipped pixels (RGB mode) plus the pad rows,

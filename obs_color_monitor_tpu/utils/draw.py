@@ -75,7 +75,13 @@ class OverlayCanvas:
         self.rgba[ys[ok], xs[ok]] = np.asarray(color, dtype=np.uint8)
 
     def line(self, x0: float, y0: float, x1: float, y1: float, color) -> None:
-        """1px line rasterized like GPU GS_LINES (DDA over the major axis)."""
+        """1px line rasterized like GPU GS_LINES (DDA over the major axis).
+
+        The epsilon keeps the walk exact where dx*k/n is mathematically an
+        integer: float64 rounding can land a hair below it (31/39*39 =
+        30.999...) and floor() then drops a pixel, leaving width-dependent
+        holes in axis-aligned lines a GPU draws solid.
+        """
         dx, dy = x1 - x0, y1 - y0
         n = int(max(abs(dx), abs(dy)) + 0.5)
         if n == 0:
@@ -84,8 +90,8 @@ class OverlayCanvas:
             )
             return
         t = np.arange(n + 1, dtype=np.float64) / n
-        xs = np.floor(x0 + dx * t).astype(np.int64)
-        ys = np.floor(y0 + dy * t).astype(np.int64)
+        xs = np.floor(x0 + dx * t + 1e-7).astype(np.int64)
+        ys = np.floor(y0 + dy * t + 1e-7).astype(np.int64)
         self._put(ys, xs, color)
 
     def hline(self, y: float, x0: float, x1: float, color) -> None:
