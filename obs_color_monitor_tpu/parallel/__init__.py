@@ -7,6 +7,7 @@ from .mesh import (
     make_mesh,
     shard_batch,
     spatial_analyze,
+    spatial_pipeline,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "make_mesh",
     "shard_batch",
     "spatial_analyze",
+    "spatial_pipeline",
 ]
