@@ -27,7 +27,13 @@ def _parse_size(s: str) -> tuple[int, int]:
 
 
 def _make_source(args):
-    from .pipeline.ingest import NV12Source, PatternSource, RawRGBASource, Y4MSource
+    from .pipeline.ingest import (
+        FFmpegSource,
+        NV12Source,
+        PatternSource,
+        RawRGBASource,
+        Y4MSource,
+    )
 
     w, h = _parse_size(args.size)
     if args.input:
@@ -35,7 +41,11 @@ def _make_source(args):
             return Y4MSource(args.input, cs=args.colorspace or 2)
         if args.input.endswith(".nv12"):
             return NV12Source(args.input, w, h, cs=args.colorspace or 2)
-        return RawRGBASource(args.input, w, h)
+        if args.input.endswith(".rgba"):
+            return RawRGBASource(args.input, w, h)
+        # anything else (mp4/mkv/webm/rtmp...) decodes through the system
+        # ffmpeg, gated on the binary being installed
+        return FFmpegSource(args.input)
     return PatternSource(w, h, args.pattern)
 
 
@@ -55,6 +65,8 @@ def cmd_dock(args) -> int:
     if args.load_settings:
         load_dock(dock, args.load_settings)
     src = _make_source(args)
+    if args.live:
+        return _run_live(args, dock, src)
     t0 = time.perf_counter()
     n = 0
     img = None
@@ -80,6 +92,55 @@ def cmd_dock(args) -> int:
             f"(processed {dock.hub.frames_processed}, "
             f"interleave-skipped {dock.hub.frames_skipped}) -> {args.out}"
         )
+    return 0
+
+
+def _run_live(args, dock, src) -> int:
+    """Stream the dock at source rate to an MJPEG-over-HTTP viewer.
+
+    The reference's dock is live inside OBS's render loop
+    (src/scope-widget.cpp:99-175); this is the standalone equivalent: every
+    decoded frame goes through the shared capture and the fused one-program
+    render, and the composited panel is pushed to connected browsers.
+    """
+    import numpy as np
+
+    from .pipeline.live import MJPEGServer
+
+    fps = args.fps or getattr(src, "fps", None) or 30.0
+    server = MJPEGServer(host=args.host, port=args.port).start()
+    print(f"live dock at {server.url}  (source {fps:g} fps, ctrl-C stops)")
+    period = 1.0 / fps
+    t0 = time.perf_counter()
+    next_t = t0
+    n = 0
+    n_late = 0
+    try:
+        n_frames = None if args.frames <= 0 else args.frames
+        for frame in src.frames(n_frames):
+            dock.push_frame(frame)
+            img = dock.render(width=args.out_width, height=args.out_height)
+            if img is not None:
+                server.publish(np.asarray(img))
+            n += 1
+            next_t += period
+            now = time.perf_counter()
+            if now < next_t:
+                time.sleep(next_t - now)
+            else:
+                n_late += 1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        dt = time.perf_counter() - t0
+        rate = n / dt if dt > 0 else 0.0
+        print(
+            f"live: {n} frames in {dt:.2f}s ({rate:.1f} fps, "
+            f"{n_late} late), processed {dock.hub.frames_processed}, "
+            f"interleave-skipped {dock.hub.frames_skipped}, "
+            f"published {server.n_published}"
+        )
+        server.stop()
     return 0
 
 
@@ -159,6 +220,18 @@ def main(argv=None) -> int:
     )
     d.add_argument("--out-width", type=int, default=512)
     d.add_argument("--out-height", type=int, default=1536)
+    d.add_argument(
+        "--live",
+        action="store_true",
+        help="serve the dock as a live MJPEG stream instead of writing a PNG "
+        "(--frames 0 = until the source ends)",
+    )
+    d.add_argument("--host", default="127.0.0.1", help="--live bind address")
+    d.add_argument("--port", type=int, default=8787, help="--live port")
+    d.add_argument(
+        "--fps", type=float, default=0.0,
+        help="--live pacing (0 = the source's own rate, else 30)",
+    )
     d.add_argument("--save-settings", help="write dock settings JSON")
     d.add_argument("--load-settings", help="read dock settings JSON")
     d.set_defaults(fn=cmd_dock)

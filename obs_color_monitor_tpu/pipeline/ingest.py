@@ -60,12 +60,19 @@ class RawRGBASource(FrameSource):
 
 
 class Y4MSource(FrameSource):
-    """YUV4MPEG2 (.y4m) reader, C420 subsampling.
+    """YUV4MPEG2 (.y4m) reader: C420* (all sitings), C422, C444.
 
     The standard raw-video interchange format (ffmpeg: ``-f yuv4mpegpipe``).
-    I420 planes are interleaved to NV12 and converted through the same
-    limited-range fixed-point kernel.
+    4:2:0 planes are interleaved to NV12 and converted through the native
+    limited-range fixed-point kernel; 4:2:2 / 4:4:4 go through
+    ``native.yuv_planes_to_rgba`` (nearest chroma upsample + the identical
+    fixed-point math).  The C420 siting variants (jpeg/paldv/mpeg2) differ
+    only in where the chroma samples sit, which a nearest upsample ignores
+    — all are accepted and decoded alike.
     """
+
+    # chroma tag -> (x-subsample, y-subsample)
+    _SUBSAMPLING = {"C420": (2, 2), "C422": (2, 1), "C444": (1, 1)}
 
     def __init__(self, path: str, cs: int = 2):
         self.path, self.cs = path, cs
@@ -74,20 +81,31 @@ class Y4MSource(FrameSource):
         if not header.startswith("YUV4MPEG2"):
             raise ValueError(f"{path}: not a YUV4MPEG2 stream")
         self.width = self.height = 0
+        self.subsampling = self._SUBSAMPLING["C420"]  # y4m default
         for tok in header.split()[1:]:
             if tok.startswith("W"):
                 self.width = int(tok[1:])
             elif tok.startswith("H"):
                 self.height = int(tok[1:])
-            elif tok.startswith("C") and not tok.startswith("C420"):
-                raise ValueError(f"{path}: only C420 supported, got {tok}")
+            elif tok.startswith("C"):
+                base = tok[:4]
+                if base not in self._SUBSAMPLING or (
+                    len(tok) > 4 and not tok.startswith("C420")
+                ):
+                    raise ValueError(
+                        f"{path}: unsupported chroma {tok} "
+                        f"(supported: C420*, C422, C444)"
+                    )
+                self.subsampling = self._SUBSAMPLING[base]
         if not self.width or not self.height:
             raise ValueError(f"{path}: missing W/H in header")
         self._header_len = len(header.encode())
 
     def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
         w, h = self.width, self.height
-        ysz, csz = w * h, (w // 2) * (h // 2)
+        sx, sy = self.subsampling
+        cw, ch = -(-w // sx), -(-h // sy)
+        ysz, csz = w * h, cw * ch
         count = 0
         with open(self.path, "rb") as f:
             f.seek(self._header_len)
@@ -99,17 +117,102 @@ class Y4MSource(FrameSource):
                 if len(buf) < ysz + 2 * csz:
                     return
                 y = np.frombuffer(buf[:ysz], np.uint8).reshape(h, w)
-                u = np.frombuffer(buf[ysz : ysz + csz], np.uint8).reshape(
-                    h // 2, w // 2
-                )
-                v = np.frombuffer(buf[ysz + csz :], np.uint8).reshape(
-                    h // 2, w // 2
-                )
-                uv = np.empty((h // 2, w), np.uint8)
-                uv[:, 0::2] = u
-                uv[:, 1::2] = v
-                yield native.nv12_to_rgba(y, uv, cs=self.cs)
+                u = np.frombuffer(buf[ysz : ysz + csz], np.uint8).reshape(ch, cw)
+                v = np.frombuffer(buf[ysz + csz :], np.uint8).reshape(ch, cw)
+                if (sx, sy) == (2, 2):
+                    uv = np.empty((ch, w), np.uint8)
+                    uv[:, 0::2] = u
+                    uv[:, 1::2] = v
+                    yield native.nv12_to_rgba(y, uv, cs=self.cs)
+                else:
+                    yield native.yuv_planes_to_rgba(y, u, v, cs=self.cs)
                 count += 1
+
+
+class FFmpegSource(FrameSource):
+    """Any container/codec ffmpeg can decode (mp4, mkv, webm, live URLs...),
+    streamed as raw RGBA through an ``ffmpeg`` subprocess pipe.
+
+    The reference monitors arbitrary OBS sources — media files included
+    (reference README.md:5-15, the OBS media source does its own ffmpeg
+    decode); the standalone analog shells out to the system ffmpeg (GATED
+    on the binary being present — nothing is vendored or linked).
+
+    The frame size is parsed from ffmpeg's own stream banner unless given
+    explicitly; ``fps`` (probed the same way) lets live sinks pace
+    playback.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        width: Optional[int] = None,
+        height: Optional[int] = None,
+        ffmpeg: str = "ffmpeg",
+    ):
+        import shutil
+
+        self.path, self._ffmpeg = path, ffmpeg
+        if shutil.which(ffmpeg) is None:
+            raise RuntimeError(
+                f"{ffmpeg!r} not found on PATH — FFmpegSource needs a "
+                f"system ffmpeg (or pass raw .rgba/.nv12/.y4m files instead)"
+            )
+        self.fps: Optional[float] = None
+        if width is None or height is None:
+            width, height, self.fps = self._probe()
+        self.width, self.height = width, height
+        self.frame_bytes = width * height * 4
+
+    def _probe(self) -> tuple[int, int, Optional[float]]:
+        """Parse WxH (and fps) from the ``ffmpeg -i`` stream banner — works
+        without ffprobe, which minimal installs omit."""
+        import re
+        import subprocess
+
+        proc = subprocess.run(
+            [self._ffmpeg, "-hide_banner", "-i", self.path],
+            capture_output=True,
+            text=True,
+        )  # exits non-zero by design (no output file) — only stderr matters
+        banner = proc.stderr
+        m = re.search(r"Video:.*?\s(\d{2,5})x(\d{2,5})[\s,]", banner)
+        if m is None:
+            raise ValueError(
+                f"{self.path}: could not parse frame size from ffmpeg "
+                f"banner; pass width/height explicitly"
+            )
+        fm = re.search(r"(\d+(?:\.\d+)?)\s*fps", banner)
+        return (
+            int(m.group(1)),
+            int(m.group(2)),
+            float(fm.group(1)) if fm else None,
+        )
+
+    def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
+        import subprocess
+
+        cmd = [
+            self._ffmpeg, "-v", "error", "-i", self.path,
+            "-f", "rawvideo", "-pix_fmt", "rgba", "pipe:1",
+        ]
+        proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL
+        )
+        count = 0
+        try:
+            while n is None or count < n:
+                buf = proc.stdout.read(self.frame_bytes)
+                if buf is None or len(buf) < self.frame_bytes:
+                    return
+                yield np.frombuffer(buf, np.uint8).reshape(
+                    self.height, self.width, 4
+                )
+                count += 1
+        finally:
+            proc.stdout.close()
+            proc.terminate()
+            proc.wait()
 
 
 class NV12Source(FrameSource):

@@ -145,6 +145,34 @@ def nv12_to_rgba(
     return out
 
 
+def yuv_planes_to_rgba(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cs: int = 2
+) -> np.ndarray:
+    """Planar limited-range YCbCr -> RGBA u8, any chroma subsampling.
+
+    cb/cr may be (H, W), (H, W/2) [4:2:2] or (H/2, W/2) [4:2:0]; they are
+    nearest-upsampled to full resolution, then converted through the SAME
+    12-bit fixed-point inverse as nv12_to_rgba (csrc/ocm_runtime.cpp's
+    canonical constant table), so every y4m subsampling lands on identical
+    math.
+    """
+    h, w = y.shape
+    kr_cr, kg_cb, kg_cr, kb_cb = _NV12_COEF[int(cs)]
+    up = lambda c: np.repeat(
+        np.repeat(c, -(-h // c.shape[0]), axis=0),
+        -(-w // c.shape[1]), axis=1,
+    )[:h, :w]
+    yp = (y.astype(np.int64) - 16) * _KY
+    cbf = up(cb.astype(np.int64) - 128)
+    crf = up(cr.astype(np.int64) - 128)
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[..., 0] = np.clip((yp + kr_cr * crf + 2048) >> 12, 0, 255)
+    out[..., 1] = np.clip((yp + kg_cb * cbf + kg_cr * crf + 2048) >> 12, 0, 255)
+    out[..., 2] = np.clip((yp + kb_cb * cbf + 2048) >> 12, 0, 255)
+    out[..., 3] = 255
+    return out
+
+
 def deinterleave_rgba(rgba: np.ndarray) -> np.ndarray:
     """(H, W, 4) u8 -> planar (4, H, W) u8."""
     h, w = rgba.shape[:2]

@@ -14,16 +14,9 @@ from pathlib import Path
 import numpy as np
 
 
-def write_png(path: str | Path, rgba: np.ndarray) -> None:
-    """Write (H, W, 4) or (H, W, 3) uint8 as PNG."""
+def encode_png(rgba: np.ndarray) -> bytes:
+    """(H, W, 3|4) u8 -> PNG bytes (dependency-free zlib encoder)."""
     rgba = np.asarray(rgba, dtype=np.uint8)
-    try:
-        from PIL import Image
-
-        Image.fromarray(rgba).save(str(path))
-        return
-    except Exception:
-        pass
     h, w = rgba.shape[:2]
     color_type = 6 if rgba.shape[2] == 4 else 2
 
@@ -37,13 +30,45 @@ def write_png(path: str | Path, rgba: np.ndarray) -> None:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
-    Path(path).write_bytes(png)
+
+
+def write_png(path: str | Path, rgba: np.ndarray) -> None:
+    """Write (H, W, 4) or (H, W, 3) uint8 as PNG."""
+    rgba = np.asarray(rgba, dtype=np.uint8)
+    try:
+        from PIL import Image
+
+        Image.fromarray(rgba).save(str(path))
+        return
+    except Exception:
+        pass
+    Path(path).write_bytes(encode_png(rgba))
+
+
+def encode_frame(rgba: np.ndarray, quality: int = 80) -> tuple[bytes, str]:
+    """(H, W, 3|4) u8 -> (encoded bytes, mime type) for streaming sinks.
+
+    JPEG via PIL when present (small + fast, what MJPEG viewers expect);
+    falls back to the dependency-free PNG writer (multipart/x-mixed-replace
+    carries any image type, browsers render both).
+    """
+    rgba = np.asarray(rgba, dtype=np.uint8)
+    try:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(rgba[..., :3]).save(buf, "JPEG", quality=quality)
+        return buf.getvalue(), "image/jpeg"
+    except Exception:
+        return encode_png(rgba), "image/png"
 
 
 def load_image_rgba(path: str | Path) -> np.ndarray:

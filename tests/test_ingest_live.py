@@ -1,0 +1,195 @@
+"""Ingest widening (y4m C422/C444, ffmpeg pipe) and the live MJPEG sink.
+
+The reference monitors any OBS source — media files and live feeds
+included (reference README.md:5-15) — and draws its dock per display frame
+(src/scope-widget.cpp:99-175).  The standalone analogs: FFmpegSource
+(system-ffmpeg rawvideo pipe, gated on the binary) and MJPEGServer.
+"""
+
+import http.client
+import os
+import stat
+
+import numpy as np
+import pytest
+
+from obs_color_monitor_tpu.pipeline.ingest import FFmpegSource, Y4MSource
+from obs_color_monitor_tpu.runtime import native
+
+
+# ---------------------------------------------------------------------------
+# y4m chroma formats
+# ---------------------------------------------------------------------------
+
+
+def _write_y4m(path, w, h, ctag, y, u, v, n=1):
+    hdr = f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 {ctag}\n".encode()
+    with open(path, "wb") as f:
+        f.write(hdr)
+        for _ in range(n):
+            f.write(b"FRAME\n")
+            f.write(y.tobytes() + u.tobytes() + v.tobytes())
+
+
+@pytest.mark.parametrize("ctag,sx,sy", [
+    ("C420", 2, 2), ("C420mpeg2", 2, 2), ("C422", 2, 1), ("C444", 1, 1),
+])
+def test_y4m_chroma_formats(tmp_path, rng, ctag, sx, sy):
+    w, h = 16, 8
+    y = rng.integers(16, 236, (h, w), np.uint8)
+    u = rng.integers(16, 241, (h // sy, w // sx), np.uint8)
+    v = rng.integers(16, 241, (h // sy, w // sx), np.uint8)
+    p = tmp_path / f"t_{ctag}.y4m"
+    _write_y4m(p, w, h, ctag, y, u, v, n=2)
+    src = Y4MSource(str(p), cs=2)
+    assert (src.width, src.height) == (w, h)
+    frames = list(src.frames())
+    assert len(frames) == 2
+    want = native.yuv_planes_to_rgba(y, u, v, cs=2)
+    np.testing.assert_array_equal(frames[0], want)
+    np.testing.assert_array_equal(frames[1], want)
+
+
+def test_y4m_c420_matches_nv12_kernel(tmp_path, rng):
+    """The C420 path must stay bit-identical to the NV12 native kernel."""
+    w, h = 12, 6
+    y = rng.integers(0, 256, (h, w), np.uint8)
+    u = rng.integers(0, 256, (h // 2, w // 2), np.uint8)
+    v = rng.integers(0, 256, (h // 2, w // 2), np.uint8)
+    p = tmp_path / "t.y4m"
+    _write_y4m(p, w, h, "C420", y, u, v)
+    (frame,) = Y4MSource(str(p), cs=1).frames()
+    uv = np.empty((h // 2, w), np.uint8)
+    uv[:, 0::2] = u
+    uv[:, 1::2] = v
+    np.testing.assert_array_equal(frame, native.nv12_to_rgba(y, uv, cs=1))
+
+
+def test_y4m_rejects_unknown_chroma(tmp_path):
+    p = tmp_path / "t.y4m"
+    p.write_bytes(b"YUV4MPEG2 W4 H4 C411\nFRAME\n" + b"\0" * 24)
+    with pytest.raises(ValueError, match="unsupported chroma"):
+        Y4MSource(str(p))
+
+
+def test_yuv444_identity_physics():
+    """4:4:4 flat neutral gray: Y=126 -> (126-16)*4769+2048 >> 12 = 128."""
+    y = np.full((4, 4), 126, np.uint8)
+    c = np.full((4, 4), 128, np.uint8)
+    out = native.yuv_planes_to_rgba(y, c, c, cs=2)
+    assert (out[..., :3] == 128).all()
+    assert (out[..., 3] == 255).all()
+
+
+# ---------------------------------------------------------------------------
+# ffmpeg pipe source (fake binary — nothing vendored, gating tested)
+# ---------------------------------------------------------------------------
+
+_BANNER = """Input #0, mov,mp4,m4a, from 'clip.mp4':
+  Duration: 00:00:02.00, start: 0.000000, bitrate: 1000 kb/s
+  Stream #0:0(und): Video: h264 (High) (avc1), yuv420p, 20x12 [SAR 1:1 DAR 5:3], 900 kb/s, 24 fps, 24 tbr, 12288 tbn (default)
+"""
+
+
+@pytest.fixture
+def fake_ffmpeg(tmp_path, monkeypatch, rng):
+    """A PATH-shadowing 'ffmpeg' that prints a real-looking banner on probe
+    and cats deterministic rawvideo frames on decode."""
+    frames = rng.integers(0, 256, (3, 12, 20, 4), np.uint8)
+    data = tmp_path / "frames.bin"
+    data.write_bytes(frames.tobytes())
+    banner = tmp_path / "banner.txt"
+    banner.write_text(_BANNER)
+    exe = tmp_path / "ffmpeg"
+    exe.write_text(
+        "#!/bin/sh\n"
+        'case "$*" in\n'
+        f'  *rawvideo*) cat "{data}";;\n'
+        f'  *) cat "{banner}" >&2; exit 1;;\n'
+        "esac\n"
+    )
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}{os.environ['PATH']}")
+    return frames
+
+
+def test_ffmpeg_source_probe_and_stream(fake_ffmpeg):
+    src = FFmpegSource("clip.mp4")
+    assert (src.width, src.height) == (20, 12)
+    assert src.fps == 24.0
+    got = list(src.frames())
+    assert len(got) == 3
+    np.testing.assert_array_equal(np.stack(got), fake_ffmpeg)
+    # bounded reads stop early and clean up the subprocess
+    got2 = list(FFmpegSource("clip.mp4").frames(2))
+    assert len(got2) == 2
+
+
+def test_ffmpeg_source_gated_on_binary(monkeypatch, tmp_path):
+    monkeypatch.setenv("PATH", str(tmp_path))  # nothing on PATH
+    with pytest.raises(RuntimeError, match="not found on PATH"):
+        FFmpegSource("clip.mp4")
+
+
+# ---------------------------------------------------------------------------
+# MJPEG live sink
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_server_stream_and_frame(rng):
+    from obs_color_monitor_tpu.pipeline.live import MJPEGServer
+
+    server = MJPEGServer(port=0).start()
+    try:
+        host, port = server._httpd.server_address[:2]
+        # no frame yet: /frame is 503
+        c = http.client.HTTPConnection(host, port, timeout=5)
+        c.request("GET", "/frame")
+        assert c.getresponse().status == 503
+        c.close()
+
+        img = rng.integers(0, 256, (24, 32, 4), np.uint8)
+        server.publish(img)
+        c = http.client.HTTPConnection(host, port, timeout=5)
+        c.request("GET", "/frame")
+        r = c.getresponse()
+        assert r.status == 200
+        body = r.read()
+        assert body[:3] == b"\xff\xd8\xff" or body[:4] == b"\x89PNG"
+        c.close()
+
+        # the multipart stream delivers the latest frame per part
+        c = http.client.HTTPConnection(host, port, timeout=5)
+        c.request("GET", "/stream")
+        r = c.getresponse()
+        assert r.status == 200
+        assert "multipart/x-mixed-replace" in r.getheader("Content-Type")
+        server.publish(img)
+        chunk = r.fp.read(64)
+        assert b"--ocmframe" in chunk
+        c.close()
+
+        # the landing page embeds the stream
+        c = http.client.HTTPConnection(host, port, timeout=5)
+        c.request("GET", "/")
+        page = c.getresponse().read()
+        assert b"/stream" in page
+        c.close()
+    finally:
+        server.stop()
+
+
+def test_cli_dock_live_smoke(capsys):
+    """End-to-end: pattern source -> dock -> live sink, stats printed."""
+    from obs_color_monitor_tpu.__main__ import main
+
+    rc = main([
+        "dock", "--pattern", "bars", "--size", "64x48", "--scale", "1",
+        "--frames", "3", "--live", "--port", "0", "--fps", "240",
+        "--out-width", "64", "--out-height", "360",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "live dock at http://" in out
+    assert "live: 3 frames" in out
+    assert "published 3" in out
