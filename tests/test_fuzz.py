@@ -242,3 +242,66 @@ def test_frame_pipeline_vs_golden_direct(rng, seed):
         np.moveaxis(np.asarray(fp), 0, -1),
         golden.focus_peaking(f, pk_th_f, pk_col_f),
     )
+
+
+@pytest.mark.parametrize("comp", [0x04, 0x03, 0x20, 0x60, 0x50])
+def test_partial_components_pallas_path(rng, comp):
+    """Partial component masks (R-only, G+B, Y-only, Y|V, U|V) through the
+    PIPELINE kernel + the device-side channel select, with alpha-0 pixels.
+
+    Pins the apply-select-AFTER-saturation device order against the golden
+    model's zero-BEFORE-counting order: equivalent because disabled
+    channels are zeroed rather than summed (VERDICT r2 weak-4)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from obs_color_monitor_tpu.ops.pallas_pipeline import frame_pipeline
+    from obs_color_monitor_tpu.ops.stats import apply_channel_select
+
+    comp = Components(comp)
+    h, w = 40, 72
+    f = rng.integers(0, 256, (h, w, 4), np.uint8)
+    f[..., 3] = np.where(rng.random((h, w)) < 0.3, 0, 255)
+    yuv_fam = comp.is_yuv
+    planes = jnp.asarray(np.moveaxis(f, -1, 0).copy())
+    interpret = not bool(os.environ.get("OCM_TEST_TPU"))
+    vs, wv_i32, ds, _, _, _ = frame_pipeline(
+        planes, 0.0, cs=2, scale=1, yuv_data=yuv_fam, with_overlays=False,
+        interpret=interpret,
+    )
+    sel = comp.channel_select()
+    wv = apply_channel_select(jnp.minimum(wv_i32, 255).astype(jnp.uint8), sel)
+    hi = apply_channel_select(pallas_stats.histogram_from_waveform(wv_i32), sel)
+    yuv = golden.rgb_to_yuv_u8(f, Colorspace.BT709)
+    fam = yuv if yuv_fam else None
+    np.testing.assert_array_equal(
+        np.asarray(wv), golden.waveform_counts(f, fam, comp)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hi), golden.histogram_counts(f, fam, comp)
+    )
+
+
+def test_composite_cache_bounded_under_live_resize(rng):
+    """An actual_size focus-peaking dock being live-resized churns
+    _composite_fns (the key includes crop offsets); the cache must stay
+    bounded and keep rendering (VERDICT r2 weak-5)."""
+    from obs_color_monitor_tpu.config import FocusPeakingConfig
+
+    dock = Dock(
+        DockConfig(
+            show_vectorscope=False, show_waveform=False, show_histogram=False,
+            show_zebra=False, show_falsecolor=False, show_focuspeaking=True,
+        ),
+        roi=ROIConfig(interleave=0, target_scale=1),
+        focuspeaking=FocusPeakingConfig(actual_size=True),
+    )
+    f = rng.integers(0, 256, (64, 96, 4), dtype=np.uint8)
+    f[..., 3] = 255
+    dock.push_frame(f)
+    for i in range(40):
+        img = dock.render(width=40 + i, height=30 + i)
+        assert img.shape == (30 + i, 40 + i, 4)
+        assert len(dock._composite_fns) <= 33
+        assert len(dock._fused_render_fns) <= 9

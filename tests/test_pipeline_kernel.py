@@ -116,3 +116,32 @@ def test_pipeline_rejects_other_scales():
         frame_pipeline(
             p, jnp.float32(0.0), cs=2, scale=4, interpret=True, **ARGS
         )
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("OCM_TEST_TPU"),
+    reason="compiled-HLO check needs the real Mosaic lowering",
+)
+def test_sampled_checksum_cannot_dce_kernel():
+    """bench.py checksums Mosaic overlay outputs with a contiguous row-block
+    SAMPLE (x[:, :64, :]) on the argument that XLA cannot partially
+    dead-code-eliminate a custom call: consuming any slice keeps the WHOLE
+    kernel in the program.  Machine-check that claim: a jit that reduces
+    only the sample still contains the pallas custom-call in its compiled
+    HLO (bench.py honesty, doc/performance.md Methodology)."""
+    import jax
+
+    def g(p, tm):
+        vs, wv, ds, zb, fc, fp = frame_pipeline(p, tm, cs=2, scale=1, **ARGS)
+        return jnp.sum(zb[:, :64, :].astype(jnp.int32))
+
+    txt = (
+        jax.jit(g)
+        .lower(
+            jax.ShapeDtypeStruct((4, 128, 256), jnp.uint8),
+            jax.ShapeDtypeStruct((), jnp.float32),
+        )
+        .compile()
+        .as_text()
+    )
+    assert "custom-call" in txt
