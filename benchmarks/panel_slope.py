@@ -64,26 +64,32 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    # frames are HBM-resident as the packed (H, W) u32 view — identical
+    # bytes to (H, W, 4) u8; the u8-typed form pays a ~0.19 ms/4K relayout
+    # into the band kernel's operand (xprof r3, see bench.py)
+    def packed(h, w):
+        a = rng.integers(0, 256, (h, w, 4), np.uint8)
+        return jax.device_put(a.view(np.uint32).reshape(h, w))
+
     if "dock" in which:
-        f = jax.device_put(rng.integers(0, 256, (2160, 3840, 4), np.uint8))
         dstep = make_dock_step(2160, 3840, scale=2)
-        slope("make_dock_step 4K (full parity panel)", dstep, f)
+        slope("make_dock_step 4K (full parity panel)", dstep, packed(2160, 3840))
     if "1080p2" in which:
-        f = jax.device_put(rng.integers(0, 256, (1080, 1920, 4), np.uint8))
-        step = make_full_step(1080, 1920, cs=Colorspace.BT709, scale=2)
-        slope("full step 1080p scale2", step, f)
+        step = make_full_step(1080, 1920, cs=Colorspace.BT709, scale=2,
+                              input_format="packed")
+        slope("full step 1080p scale2", step, packed(1080, 1920))
     if "4k4" in which:
-        f = jax.device_put(rng.integers(0, 256, (2160, 3840, 4), np.uint8))
-        step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=4)
-        slope("full step 4K scale4", step, f)
+        step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=4,
+                              input_format="packed")
+        slope("full step 4K scale4", step, packed(2160, 3840))
     if "4k1" in which:
-        f = jax.device_put(rng.integers(0, 256, (2160, 3840, 4), np.uint8))
-        step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=1)
-        slope("full step 4K scale1", step, f, n=16)
+        step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=1,
+                              input_format="packed")
+        slope("full step 4K scale1", step, packed(2160, 3840), n=16)
     if "1080p1" in which:
-        f = jax.device_put(rng.integers(0, 256, (1080, 1920, 4), np.uint8))
-        step = make_full_step(1080, 1920, cs=Colorspace.BT709, scale=1)
-        slope("full step 1080p scale1", step, f)
+        step = make_full_step(1080, 1920, cs=Colorspace.BT709, scale=1,
+                              input_format="packed")
+        slope("full step 1080p scale1", step, packed(1080, 1920))
     if "batch2" in which:
         f = jax.device_put(rng.integers(0, 256, (2, 2160, 3840, 4), np.uint8))
         bstep = make_batched_step(2160, 3840, cs=Colorspace.BT709, scale=2)

@@ -1,0 +1,71 @@
+"""Model-layer streaming soak: Dock.push_frame + Dock.render end-to-end.
+
+Measures the CONVENIENCE path (the thing a user of models.Dock actually
+calls per frame), legacy per-scope route vs the fused one-program route
+(round-3 Dock.render auto-fusing), with device-resident frames — the
+serving shape, where a decoder lands frames in HBM.
+
+End-to-end soak numbers are environment-bound on this dev setup (the
+tunnel's per-frame panel fetch rides on them — see doc/performance.md
+"Streaming"); the legacy-vs-fused comparison is same-harness and fair.
+
+Usage: python benchmarks/soak_stream.py [n_frames] [WxH]
+"""
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import jax
+
+from obs_color_monitor_tpu.config import DockConfig, ROIConfig
+from obs_color_monitor_tpu.models import Dock
+from obs_color_monitor_tpu.runtime import native
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+W, H = (
+    tuple(int(v) for v in sys.argv[2].split("x")) if len(sys.argv) > 2
+    else (320, 180)
+)
+
+
+def soak(label: str, fused: bool) -> float:
+    if fused:
+        os.environ.pop("OCM_NO_FUSED_RENDER", None)
+    else:
+        os.environ["OCM_NO_FUSED_RENDER"] = "1"
+    dock = Dock(DockConfig(), roi=ROIConfig(interleave=0, target_scale=2))
+    # 8 distinct device-resident ramp frames, cycled (content varies, no
+    # per-frame host upload)
+    frames = [
+        jax.device_put(native.pattern("ramp", W, H, i)) for i in range(8)
+    ]
+    # warmup: compiles (legacy per-scope programs; + the fused program on
+    # the fused route) land outside the timed region
+    for i in range(3):
+        dock.push_frame(frames[i])
+        dock.render()
+    t0 = time.perf_counter()
+    for i in range(N):
+        dock.push_frame(frames[i & 7])
+        img = dock.render()
+    dt = time.perf_counter() - t0
+    ms = dt / N * 1e3
+    n_progs = len(dock._fused_render_fns)
+    print(
+        f"{label:34s} {ms:7.3f} ms/frame = {1e3/ms:7.1f} fps  "
+        f"(fused programs: {n_progs})",
+        flush=True,
+    )
+    return ms
+
+
+if __name__ == "__main__":
+    print(f"soak: {N} frames {W}x{H}, device-resident, backend="
+          f"{jax.default_backend()}")
+    legacy = soak("legacy per-scope route", fused=False)
+    fused = soak("fused one-program route", fused=True)
+    print(f"speedup: {legacy / fused:.2f}x")

@@ -63,6 +63,12 @@ def make_full_step(
 
     input_format:
       * "rgba"   — frame is (H, W, 4) u8 (planarized on device);
+      * "packed" — frame is the (H, W) u32 view of the interleaved RGBA
+        bytes (IDENTICAL memory: ``arr.view(np.uint32)`` host-side, or
+        keep capture buffers u32 end-to-end).  The fastest form — the
+        Mosaic band kernel reads it directly, whereas an (H, W, 4) u8
+        argument first pays a full-frame relayout copy to become one
+        (u8 lane groups -> u32 lanes, ~0.19 ms per 4K frame, xprof r3);
       * "planar" — frame is (4, H, W) u8 (skips planarize);
       * "nv12"   — frame is a (y (H,W) u8, uv (H/2,W) u8) tuple converted
         on device (1.5 bytes/px ingest; csrc spec, bit-exact vs native).
@@ -91,7 +97,7 @@ def make_full_step(
     peak_th = peaking_threshold_fixed(fp_cfg.peaking_threshold)
     sw, sh = width // scale, height // scale
 
-    if input_format not in ("rgba", "planar", "nv12"):
+    if input_format not in ("rgba", "packed", "planar", "nv12"):
         raise ValueError(f"unknown input_format {input_format!r}")
 
     from .ops.fused import AnalysisResult
@@ -102,11 +108,18 @@ def make_full_step(
     from .ops.pallas_pipeline import pipeline_fits
 
     use_lut_static = fc_cfg.use_lut and fc_cfg.lut is not None
-    use_pipeline = (
-        not use_lut_static
-        and wv_yuv_mode == hi_yuv_mode
-        and pipeline_fits(height, width, scale, with_overlays=True)
-    )
+    # prefer the whole-frame kernel; when its full-width working set misses
+    # VMEM (4K scale-1 with overlays: 18.1 MB), try the column-split build —
+    # two half-width passes per band with halo columns at the seam
+    pipe_split = 0
+    if not use_lut_static and wv_yuv_mode == hi_yuv_mode:
+        for cand in (1, 2):
+            if pipeline_fits(
+                height, width, scale, with_overlays=True, col_split=cand
+            ):
+                pipe_split = cand
+                break
+    use_pipeline = pipe_split > 0
 
     @jax.jit
     def step(frame, tm: jax.Array) -> ScopeOutputs:
@@ -122,6 +135,13 @@ def make_full_step(
             planes = nv12_to_planes(y, uv, cs=cs)
         elif input_format == "planar":
             planes = frame
+        elif input_format == "packed":
+            if on_pipeline:
+                packed = frame  # already the u32 view — zero copies
+            else:
+                from .ops.convert import planarize_packed
+
+                planes = planarize_packed(frame)
         elif on_pipeline:
             packed = jax.lax.bitcast_convert_type(frame, jnp.uint32)
         else:
@@ -144,6 +164,7 @@ def make_full_step(
                 fc_cs=fc_cs,
                 peak_th=int(peak_th),
                 peak_rgba=peak_tuple,
+                col_split=pipe_split,
             )
             vs_u8 = jnp.minimum(vs_i32, 255).astype(jnp.uint8)
             wv_u8 = jnp.minimum(wv_i32, 255).astype(jnp.uint8)

@@ -388,7 +388,10 @@ def make_dock_step(
             rect_c = jnp.stack([rx0, ry0, rx1, ry1])
             rw, rh = rx1 - rx0, ry1 - ry0
             rw1, rh1 = jnp.maximum(rw, 1), jnp.maximum(rh, 1)
-            src = jax.lax.bitcast_convert_type(frame, jnp.uint32)
+            if frame.ndim == 2:  # already the packed u32 view (zero copies)
+                src = frame
+            else:
+                src = jax.lax.bitcast_convert_type(frame, jnp.uint32)
             res = analyze(
                 src,
                 cs=csi,
@@ -581,8 +584,15 @@ def make_dock_step(
         # extracts bytes itself (no planarize pass); otherwise the overlay
         # scopes need full-res planes
         if overlays_on_capture:
-            src = jax.lax.bitcast_convert_type(frame, jnp.uint32)
+            if frame.ndim == 2:  # already the packed u32 view (zero copies)
+                src = frame
+            else:
+                src = jax.lax.bitcast_convert_type(frame, jnp.uint32)
             planes = None
+        elif frame.ndim == 2:
+            from .ops.convert import planarize_packed
+
+            src = planes = planarize_packed(frame)
         else:
             src = planes = planarize(frame)
         res = analyze(

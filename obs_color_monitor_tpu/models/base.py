@@ -240,15 +240,18 @@ class CaptureHub:
     ) -> Optional[SurfaceData]:
         """Analyze one frame and fan out; None if interleave-skipped.
 
-        frame: (H, W, 4) u8, or (4, H, W) with is_planar=True (preferred for
-        repeated streaming — skips the on-device planarize).
+        frame: (H, W, 4) u8, (4, H, W) with is_planar=True (skips the
+        on-device planarize), or the (H, W) u32 packed view of the
+        interleaved bytes — the zero-copy HBM-resident form (identical
+        memory; on TPU a u8 frame pays a relayout copy the u32 view skips).
         """
         self._rendered = True
         if self._i_interleave != 0 and self.config.interleave > 0:
             self.frames_skipped += 1
             return None
 
-        if is_planar:
+        is_packed = not is_planar and getattr(frame, "ndim", 3) == 2
+        if is_planar or is_packed:
             h, w = frame.shape[-2], frame.shape[-1]
         else:
             h, w = frame.shape[-3], frame.shape[-2]
@@ -279,6 +282,7 @@ class CaptureHub:
                 need_hi_yuv=needs.hi_yuv,
                 keep_rgba=True,
                 is_planar=is_planar,
+                is_packed=is_packed,
             )
         cw = rect[2] - rect[0]
         ch = rect[3] - rect[1]

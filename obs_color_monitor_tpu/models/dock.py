@@ -362,7 +362,11 @@ class Dock:
 
         cx = width or self.config.width
         cy = height or self.config.height
-        h, w = frame.shape[-3], frame.shape[-2]
+        # (H, W, 4) u8 or the zero-copy (H, W) u32 packed view
+        if getattr(frame, "ndim", 3) == 2:
+            h, w = frame.shape[-2], frame.shape[-1]
+        else:
+            h, w = frame.shape[-3], frame.shape[-2]
         scale = self.hub.config.target_scale
         rect = self.hub.config.resolve_rect(w // scale, h // scale)
         full = rect == (0, 0, w // scale, h // scale)

@@ -63,7 +63,10 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def pipeline_fits(height: int, width: int, scale: int, with_overlays: bool) -> bool:
+def pipeline_fits(
+    height: int, width: int, scale: int, with_overlays: bool,
+    col_split: int = 1,
+) -> bool:
     """Conservative static check that the band kernel's double-buffered
     working set fits the ~16 MB VMEM (4K scale-1 WITH overlays does not —
     the compiler measured 18.1 MB; callers fall back to the separate
@@ -87,19 +90,26 @@ def pipeline_fits(height: int, width: int, scale: int, with_overlays: bool) -> b
         return False
     if scale not in (1, 2):
         return False
+    if col_split != 1 and (scale != 1 or col_split != 2):
+        return False
     w = width // scale
     if w < 1 or height // scale < 1:
         return False
     s = _cdiv(w, _COLS)
+    if col_split == 2 and s < 2:
+        return False
+    s_blk = _cdiv(s, col_split)
     w4p = max(s * _COLS * scale, _cdiv(width, _COLS) * _COLS)
+    wb = s_blk * _COLS if col_split > 1 else w4p
     oh = _BAND // scale
-    band = 4 * _BAND * w4p
+    band = 4 * _BAND * wb
     step = (
         band
-        + 2 * 4 * 8 * w4p
+        + 2 * 4 * 8 * wb
+        + (2 * 4 * _BAND * _COLS if col_split > 1 else 0)  # column halos
         + (3 * band if with_overlays else 0)
-        + 5 * s * oh * _COLS
-        + 4 * oh * s * _COLS
+        + 5 * s_blk * oh * _COLS
+        + 4 * oh * s_blk * _COLS
     )
     return 2 * step + 4_500_000 < 16_000_000
 
@@ -126,11 +136,12 @@ def _downscale2_block(x, p2, q2):
 def _pipeline_kernel(params, cur_ref, prv_ref, nxt_ref, p2_ref, q2_ref, tm_ref,
                      *rest):
     (h, w, w4p, s_total, scale, packed, yuv_data, kcoef, ov_params,
-     with_ov, dyn) = params
+     with_ov, dyn, col_split, s_blk, wb) = params
     b = pl.program_id(0)
+    c = pl.program_id(1) if col_split > 1 else 0
     oh = _BAND // scale
     tm = tm_ref[0, 0]
-    cur = _extract_channels(cur_ref, packed)  # 4x (64, w4p) i32
+    cur = _extract_channels(cur_ref, packed)  # 4x (64, wb) i32
 
     refs = list(rest)
     if dyn:
@@ -142,43 +153,61 @@ def _pipeline_kernel(params, cur_ref, prv_ref, nxt_ref, p2_ref, q2_ref, tm_ref,
         refs = refs[1:]
         rx0, ry0 = rect_ref[0, 0], rect_ref[0, 1]
         rx1, ry1 = rect_ref[0, 2], rect_ref[0, 3]
+    if col_split > 1:
+        # neighbour 128-column blocks: their boundary columns are the
+        # focus-peaking column halos at the split seam (the true image
+        # edges stay masked by ci in _overlay_band_math)
+        lblk_ref, rblk_ref = refs[:2]
+        refs = refs[2:]
     if with_ov:
         zb_ref, fc_ref, fp_ref = refs[:3]
         refs = refs[3:]
     u_ref, v_ref, d0_ref, d1_ref, d2_ref, ds_ref = refs
 
+    col0 = c * wb  # this split's global first column
     if with_ov:
-        ri4 = b * _BAND + jax.lax.broadcasted_iota(jnp.int32, (_BAND, w4p), 0)
-        ci4 = jax.lax.broadcasted_iota(jnp.int32, (_BAND, w4p), 1)
+        ri4 = b * _BAND + jax.lax.broadcasted_iota(jnp.int32, (_BAND, wb), 0)
+        ci4 = col0 + jax.lax.broadcasted_iota(jnp.int32, (_BAND, wb), 1)
         prv = _extract_channels(prv_ref, packed, 3)
         nxt = _extract_channels(nxt_ref, packed, 3)
         prev_row = [p[7:8] for p in prv]
         next_row = [nx[0:1] for nx in nxt]
+        if col_split > 1:
+            lblk = _extract_channels(lblk_ref, packed, 3)
+            rblk = _extract_channels(rblk_ref, packed, 3)
+            left_col = [x[:, -1:] for x in lblk]
+            right_col = [x[:, 0:1] for x in rblk]
+        else:
+            left_col = right_col = None
         zb_ref[:], fc_ref[:], fp_ref[:] = _overlay_band_math(
-            ov_params, cur, prev_row, next_row, tm, ri4, ci4
+            ov_params, cur, prev_row, next_row, tm, ri4, ci4,
+            left_col=left_col, right_col=right_col,
         )
 
     half = np.float32(1 << 11)
     inv = np.float32(1.0 / (1 << 12))
-    for s in range(s_total):
+    for s in range(s_blk):
         if scale == 2:
             ds = [
                 _downscale2_block(
-                    cur[c][:, s * 2 * _COLS : (s + 1) * 2 * _COLS].astype(
+                    cur[ch][:, s * 2 * _COLS : (s + 1) * 2 * _COLS].astype(
                         jnp.float32
                     ),
                     p2_ref[:],
                     q2_ref[:],
                 )
-                for c in range(4)
+                for ch in range(4)
             ]
         else:
             ds = [
-                cur[c][:, s * _COLS : (s + 1) * _COLS].astype(jnp.float32)
-                for c in range(4)
+                cur[ch][:, s * _COLS : (s + 1) * _COLS].astype(jnp.float32)
+                for ch in range(4)
             ]
         rowi = b * oh + jax.lax.broadcasted_iota(jnp.int32, (oh, _COLS), 0)
-        coli = s * _COLS + jax.lax.broadcasted_iota(jnp.int32, (oh, _COLS), 1)
+        coli = (
+            col0 + s * _COLS
+            + jax.lax.broadcasted_iota(jnp.int32, (oh, _COLS), 1)
+        )
         valid = (rowi < h) & (coli < w)
         ds = [jnp.where(valid, x, 0.0) for x in ds]
         r8, g8, b8, a8 = ds
@@ -242,7 +271,7 @@ def _extract_channels(x, packed: bool, n: int = 4):
     static_argnames=(
         "cs", "scale", "yuv_data", "with_overlays", "packed",
         "th_low", "th_high", "zb_cs", "fc_cs", "peak_th", "peak_rgba",
-        "interpret",
+        "interpret", "col_split",
     ),
 )
 def frame_pipeline(
@@ -262,6 +291,7 @@ def frame_pipeline(
     peak_th: int = 3062,
     peak_rgba: tuple[int, int, int, int] = (255, 0, 0, 255),
     interpret: bool = False,
+    col_split: int = 1,
 ):
     """(4, H4, W4) u8 planar frame -> everything, in two Mosaic kernels.
 
@@ -289,9 +319,13 @@ def frame_pipeline(
 
     if scale not in (1, 2):
         raise ValueError("frame_pipeline supports scale 1 and 2")
+    if col_split not in (1, 2) or (col_split == 2 and scale != 1):
+        raise ValueError("col_split=2 requires scale=1")
     h4, w4 = planes.shape[-2], planes.shape[-1]
     h, w = h4 // scale, w4 // scale
     s = _cdiv(w, _COLS)
+    if col_split == 2 and s < 2:
+        col_split = 1  # a single stripe cannot split
     oh = _BAND // scale
     # exact band count: a band whose OUTPUT block index would be entirely
     # out of range clamps onto the last block and clobbers it, so no output
@@ -334,8 +368,10 @@ def frame_pipeline(
         ry1 = jnp.clip(r[3], ry0, h)
         rect_c = jnp.stack([rx0, ry0, rx1, ry1]).reshape(1, 4)
 
+    s_blk = _cdiv(s, col_split)  # statistics stripes per grid step
+    wb = s_blk * _COLS if col_split > 1 else w4p  # lane width per grid step
     params = (h, w, w4p, s, scale, packed, yuv_data, kcoef, ov_params,
-              with_overlays, dyn)
+              with_overlays, dyn, col_split, s_blk, wb)
 
     # MXU pair matrices for the scale-2 downscale (dummies at scale 1)
     if scale == 2:
@@ -351,25 +387,40 @@ def frame_pipeline(
         p2 = jnp.zeros((8, _COLS), jnp.float32)
         q2 = jnp.zeros((8, _COLS), jnp.float32)
 
+    # index maps take (b,) or (b, c) depending on the grid rank; `ix` adapts
+    # a (b, c)-style map so the col_split=1 path keeps its original 1-D grid
+    # (and its compiled program) byte-identical
+    split = col_split > 1
+    ix = (lambda f: f) if split else (lambda f: (lambda b: f(b, 0)))
+    sblk = s_blk if split else s  # tile stripes per block
     if packed:
         inspec = lambda: pl.BlockSpec(
-            (_BAND, w4p), lambda b: (b, 0), memory_space=pltpu.VMEM
+            (_BAND, wb), ix(lambda b, c: (b, c)), memory_space=pltpu.VMEM
         )
         row8 = lambda f: pl.BlockSpec(
-            (8, w4p), (lambda b: f(b)[1:]), memory_space=pltpu.VMEM
+            (8, wb), (lambda *a: f(*a)[1:]), memory_space=pltpu.VMEM
+        )
+        colblk = lambda f: pl.BlockSpec(
+            (_BAND, _COLS), ix(f), memory_space=pltpu.VMEM
         )
         nrb = _cdiv(h4, 8)
     else:
         inspec = lambda: pl.BlockSpec(
-            (4, _BAND, w4p), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+            (4, _BAND, wb), ix(lambda b, c: (0, b, c)), memory_space=pltpu.VMEM
         )
-        row8 = lambda f: pl.BlockSpec((4, 8, w4p), f, memory_space=pltpu.VMEM)
+        row8 = lambda f: pl.BlockSpec((4, 8, wb), f, memory_space=pltpu.VMEM)
+        colblk = lambda f: pl.BlockSpec(
+            (4, _BAND, _COLS),
+            ix(lambda b, c: (0,) + f(b, c)),
+            memory_space=pltpu.VMEM,
+        )
         nrb = hp // 8
     fullspec = lambda: pl.BlockSpec(
-        (4, _BAND, w4p), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+        (4, _BAND, wb), ix(lambda b, c: (0, b, c)), memory_space=pltpu.VMEM
     )
     tile = lambda: pl.BlockSpec(
-        (s, 1, oh, _COLS), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM
+        (sblk, 1, oh, _COLS), ix(lambda b, c: (c, b, 0, 0)),
+        memory_space=pltpu.VMEM,
     )
     tile_shape = jax.ShapeDtypeStruct((s, nb, oh, _COLS), jnp.uint8)
     # output arrays are EXACT-shaped: Pallas drops the out-of-range part of
@@ -378,14 +429,22 @@ def frame_pipeline(
     # disappear from the program entirely
     full_shape = lambda: jax.ShapeDtypeStruct((4, h4, w4), jnp.uint8)
     ds_spec = pl.BlockSpec(
-        (4, oh, s * _COLS), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+        (4, oh, sblk * _COLS), ix(lambda b, c: (0, b, c)),
+        memory_space=pltpu.VMEM,
     )
     # exact ds needs every band's block to start inside the array; at
     # scale 2 with h4 % 64 == 1 the last band's scaled rows all fall past
-    # h (floor division) — pad the rows there and crop after (rare shape)
-    ds_exact = (nb - 1) * oh < h
-    ds_shape = jax.ShapeDtypeStruct((4, h if ds_exact else nb * oh, w),
-                                    jnp.uint8)
+    # h (floor division) — pad the rows there and crop after (rare shape).
+    # With a column split the same applies to the stripe axis: the second
+    # half-block must start inside the array (s_blk < s holds by the s >= 2
+    # guard, and s_blk*_COLS < w needs w > half width — true whenever the
+    # split is worthwhile; fall back to padded width otherwise).
+    ds_exact = (nb - 1) * oh < h and (not split or s_blk * _COLS < w)
+    ds_shape = jax.ShapeDtypeStruct(
+        (4, h if ds_exact else nb * oh,
+         w if ds_exact else col_split * sblk * _COLS),
+        jnp.uint8,
+    )
 
     out_specs: list = []
     out_shape: list = []
@@ -400,23 +459,40 @@ def frame_pipeline(
         # 8-row halo blocks: the prev halo row b*64-1 is row 7 of 8-row
         # block b*8-1; the next halo row (b+1)*64 is row 0 of block
         # (b+1)*8; edge clamps feed rows the math masks out (ri==0/h4-1)
-        row8(lambda b: (0, jnp.maximum(b * (_BAND // 8) - 1, 0), 0)),
+        row8(ix(lambda b, c: (0, jnp.maximum(b * (_BAND // 8) - 1, 0), c))),
         row8(
-            lambda b: (0, jnp.minimum((b + 1) * (_BAND // 8), nrb - 1), 0)
+            ix(lambda b, c: (
+                0, jnp.minimum((b + 1) * (_BAND // 8), nrb - 1), c
+            ))
         ),
-        pl.BlockSpec(p2.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(q2.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(p2.shape, ix(lambda b, c: (0, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(q2.shape, ix(lambda b, c: (0, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), ix(lambda b, c: (0, 0)),
+                     memory_space=pltpu.SMEM),
     ]
     args = [x, x, x, p2, q2, jnp.reshape(jnp.asarray(tm, jnp.float32), (1, 1))]
     if dyn:
         in_specs.append(
-            pl.BlockSpec((1, 4), lambda b: (0, 0), memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, 4), ix(lambda b, c: (0, 0)),
+                         memory_space=pltpu.SMEM)
         )
         args.append(rect_c)
+    if split:
+        # neighbour 128-column blocks for the focus-peaking column halos at
+        # the split seam (clamped at the true edges; the kernel masks those)
+        nlb = w4p // _COLS
+        in_specs.append(
+            colblk(lambda b, c: (b, jnp.maximum(c * s_blk - 1, 0)))
+        )
+        in_specs.append(
+            colblk(lambda b, c: (b, jnp.minimum((c + 1) * s_blk, nlb - 1)))
+        )
+        args += [x, x]
     outs = pl.pallas_call(
         functools.partial(_pipeline_kernel, params),
-        grid=(nb,),
+        grid=(nb, col_split) if split else (nb,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
@@ -431,7 +507,7 @@ def frame_pipeline(
         zb = fc = fp = None
     u_t, v_t, d0, d1, d2, dsp = outs
     if not ds_exact:
-        dsp = dsp[:, :h]
+        dsp = dsp[:, :h, :w]
     vs, wv = ps.vs_swar_from_tiles(
         u_t, v_t, jnp.stack([d0, d1, d2], axis=0), oh=oh, w=w,
         interpret=interpret

@@ -305,3 +305,53 @@ def test_composite_cache_bounded_under_live_resize(rng):
         assert img.shape == (30 + i, 40 + i, 4)
         assert len(dock._composite_fns) <= 33
         assert len(dock._fused_render_fns) <= 9
+
+
+def test_packed_u32_input_parity(rng):
+    """The zero-copy (H, W) u32 packed frame form must match the (H, W, 4)
+    u8 form bit-for-bit on every entry point: make_full_step
+    (input_format="packed"), make_dock_step (auto-detected), the dynamic-ROI
+    step, and the model layer (CaptureHub.process).  The packed view is the
+    fast serving form — identical memory, no per-frame relayout (xprof r3,
+    doc/performance.md)."""
+    import jax.numpy as jnp
+
+    from obs_color_monitor_tpu.api import make_full_step
+    from obs_color_monitor_tpu.colorspace import Colorspace
+    from obs_color_monitor_tpu.config import DockConfig
+    from obs_color_monitor_tpu.dock_step import make_dock_step
+
+    h, w = 48, 64
+    rgba = rng.integers(0, 256, (h, w, 4), np.uint8)
+    rgba[rng.random((h, w)) < 0.1, 3] = 0
+    packed = rgba.view(np.uint32).reshape(h, w)
+
+    s1 = make_full_step(h, w, cs=Colorspace.BT709, scale=2)
+    s2 = make_full_step(h, w, cs=Colorspace.BT709, scale=2,
+                        input_format="packed")
+    a, b = s1(rgba, np.float32(1.0)), s2(packed, np.float32(1.0))
+    for name in a._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=name,
+        )
+
+    d1 = make_dock_step(h, w, scale=2, out_width=128, out_height=700)
+    o1, o2 = d1(rgba, np.float32(0.5)), d1(packed, np.float32(0.5))
+    np.testing.assert_array_equal(np.asarray(o1.panel), np.asarray(o2.panel))
+
+    dd = make_dock_step(h, w, scale=1, out_width=128, out_height=700,
+                        dynamic_roi=True, dock=DockConfig(show_roi=True))
+    r = np.asarray([4, 4, 40, 30], np.int32)
+    o3, o4 = dd(rgba, np.float32(0.5), r), dd(packed, np.float32(0.5), r)
+    np.testing.assert_array_equal(np.asarray(o3.panel), np.asarray(o4.panel))
+
+    dk1 = Dock(roi=ROIConfig(interleave=0, target_scale=1))
+    dk2 = Dock(roi=ROIConfig(interleave=0, target_scale=1))
+    p1 = p2 = None
+    for _ in range(3):
+        dk1.push_frame(rgba)
+        dk2.push_frame(jnp.asarray(packed))
+        p1 = dk1.render(width=128, height=600)
+        p2 = dk2.render(width=128, height=600)
+    np.testing.assert_array_equal(p1, p2)

@@ -145,3 +145,44 @@ def test_sampled_checksum_cannot_dce_kernel():
         .as_text()
     )
     assert "custom-call" in txt
+
+
+@pytest.mark.parametrize("shape", [(130, 300), (70, 140)])
+def test_pipeline_col_split_bitexact(shape):
+    """The column-split build (two half-width passes per band, halo columns
+    at the seam) must be bit-identical to the full-width kernel — including
+    the focus-peaking stencil across the split seam and odd stripe counts
+    (s=3 -> halves of 2).  Built for 4K scale-1 with overlays, whose
+    full-width working set misses VMEM (doc/performance.md)."""
+    import jax
+
+    h4, w4 = shape
+    rng = np.random.default_rng(h4 * w4)
+    p = jnp.asarray(rng.integers(0, 256, (4, h4, w4), np.uint8))
+    tm = jnp.float32(2.5)
+    ref = frame_pipeline(p, tm, cs=2, scale=1, interpret=True, **ARGS)
+    got = frame_pipeline(p, tm, cs=2, scale=1, interpret=True, col_split=2,
+                         **ARGS)
+    for name, a, b in zip(["vs", "wv", "ds", "zb", "fc", "fp"], ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+    # packed-input variant splits identically
+    rgba = np.ascontiguousarray(np.moveaxis(np.asarray(p), 0, -1))
+    x32 = jax.lax.bitcast_convert_type(jnp.asarray(rgba), jnp.uint32)
+    got_p = frame_pipeline(x32, tm, cs=2, scale=1, packed=True,
+                           interpret=True, col_split=2, **ARGS)
+    for name, a, b in zip(["vs", "wv", "ds", "zb", "fc", "fp"], ref, got_p):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_pipeline_fits_split_admits_4k_scale1():
+    """4K scale-1 WITH overlays: full-width build misses VMEM, the column
+    split fits (the reason col_split exists)."""
+    from obs_color_monitor_tpu.ops.pallas_pipeline import pipeline_fits
+
+    assert not pipeline_fits(2160, 3840, 1, with_overlays=True)
+    assert pipeline_fits(2160, 3840, 1, with_overlays=True, col_split=2)
+    # and the split is refused where it cannot hold
+    assert not pipeline_fits(2160, 3840, 2, with_overlays=True, col_split=2)
+    with pytest.raises(ValueError):
+        frame_pipeline(jnp.zeros((4, 32, 256), jnp.uint8), jnp.float32(0.0),
+                       cs=2, scale=2, col_split=2, interpret=True, **ARGS)
