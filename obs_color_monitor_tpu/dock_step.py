@@ -53,17 +53,17 @@ class DockStepOutput(NamedTuple):
 
 
 def _resize_nearest_rgba(img: jax.Array, oh: int, ow: int) -> jax.Array:
-    """(H, W, 4) u8 -> (oh, ow, 4) via u32-bitcast nearest gathers.
+    """(H, W, 4) u8 OR packed (H, W) u32 -> (oh, ow, 4) nearest resize.
 
-    Output-sized gathers only (panels are small); the u32 view keeps the
-    4-byte pixels on full lanes.
+    Rows are a sublane take; columns ride the MXU as a one-hot selection
+    matmul via _dyn_sample_rgba with STATIC indices (the selection matrix
+    constant-folds) — a lane-axis take costs a slow gather on TPU
+    (~0.024 ms/frame across the 4K panel's slots, xprof r3).
     """
     h, w = img.shape[0], img.shape[1]
-    x32 = jax.lax.bitcast_convert_type(img, jnp.uint32)  # (H, W)
-    sy = np.minimum((np.arange(oh) * h) // oh, h - 1)
-    sx = np.minimum((np.arange(ow) * w) // ow, w - 1)
-    out32 = jnp.take(jnp.take(x32, sy, axis=0), sx, axis=1)
-    return jax.lax.bitcast_convert_type(out32, jnp.uint8)  # (oh, ow, 4)
+    sy = np.minimum((np.arange(oh) * h) // oh, h - 1).astype(np.int32)
+    sx = np.minimum((np.arange(ow) * w) // ow, w - 1).astype(np.int32)
+    return _dyn_sample_rgba(img, jnp.asarray(sy), jnp.asarray(sx), None)
 
 
 # (4, H, W) u8 -> (H, W, 4) via u32 compose — the shared lane-friendly
@@ -92,7 +92,10 @@ def _dyn_sample_rgba(
     src_j: jax.Array,
     valid: jax.Array | None,
 ) -> jax.Array:
-    """(H, W, 4) u8 -> (len(sy), len(src_j), 4) sampled at DYNAMIC indices.
+    """(H, W, 4) u8 or packed (H, W) u32 -> (len(sy), len(src_j), 4),
+    sampled at row/column indices (dynamic or static — with static indices
+    the selection matrix constant-folds and this is also the fastest
+    STATIC nearest resize, see _resize_nearest_rgba).
 
     Rows are a sublane gather (jnp.take); columns ride the MXU as a one-hot
     selection matmul — NEVER a lane gather (doc/design-dynamic-roi.md).
@@ -102,7 +105,10 @@ def _dyn_sample_rgba(
     to opaque black (the slot background); None = all valid.
     """
     h, w = img.shape[0], img.shape[1]
-    x32 = jax.lax.bitcast_convert_type(img, jnp.uint32)  # (H, W)
+    if img.ndim == 2:  # already packed u32
+        x32 = img
+    else:
+        x32 = jax.lax.bitcast_convert_type(img, jnp.uint32)  # (H, W)
     rows = jnp.take(x32, jnp.clip(sy, 0, h - 1), axis=0)  # (oh, W)
     ow = src_j.shape[0]
     sel = (
@@ -482,6 +488,8 @@ def make_dock_step(
                 and fc_lut is None
                 and default_backend() == "pallas"
             ):
+                # packed u32 pixels straight from the kernel: the dynamic
+                # slot samplers gather whole pixels, so no relayout
                 zb_p, fc, fp = fused_overlays_planes(
                     ov_src,
                     tm,
@@ -492,8 +500,9 @@ def make_dock_step(
                     peak_th=int(peak_th),
                     peak_rgba=peak_tuple,
                     rect=rect_c,
+                    packed_out=True,
                 )
-                images["zebra"] = _planes_to_rgba(zb_p)
+                images["zebra"] = zb_p
             elif dk.show_zebra:
                 images["zebra"] = _planes_to_rgba(
                     overlay_ops.zebra_planes(
@@ -509,13 +518,15 @@ def make_dock_step(
                         )
                     else:
                         fc = overlay_ops.falsecolor_planes(ov_src, cs=fc_cs)
-                images["falsecolor"] = _planes_to_rgba(fc)
+                images["falsecolor"] = fc if fc.ndim == 2 else _planes_to_rgba(fc)
             if dk.show_focuspeaking:
                 if fp is None:
                     fp = overlay_ops.focus_peaking_planes(
                         ov_src, peak_th, peak_color, rect=rect_c
                     )
-                images["focuspeaking"] = _planes_to_rgba(fp)
+                images["focuspeaking"] = (
+                    fp if fp.ndim == 2 else _planes_to_rgba(fp)
+                )
 
             patches = []
             for name, _w_src, _h_src in shown:
@@ -678,9 +689,13 @@ def make_dock_step(
             and fc_lut is None
             and default_backend() == "pallas"
         ):
-            # one Mosaic pass for all three (shared read + luma)
+            # one Mosaic pass for all three (shared read + luma); without
+            # a key legend the kernel emits packed u32 pixels directly —
+            # the slot resamplers read them as-is, so no u32<->4xu8
+            # relayout ever materializes (xprof r3: ~0.05 ms/4K saved)
             from .ops.pallas_overlays import fused_overlays_planes
 
+            packed_ov = fc_key is None
             zb_p, fc, fp = fused_overlays_planes(
                 ov_src,
                 tm,
@@ -690,8 +705,9 @@ def make_dock_step(
                 fc_cs=fc_cs,
                 peak_th=int(peak_th),
                 peak_rgba=peak_tuple,
+                packed_out=packed_ov,
             )
-            images["zebra"] = _planes_to_rgba(zb_p)
+            images["zebra"] = zb_p if packed_ov else _planes_to_rgba(zb_p)
         elif dk.show_zebra:
             images["zebra"] = _planes_to_rgba(
                 overlay_ops.zebra_planes(
@@ -713,11 +729,11 @@ def make_dock_step(
                     canvas_fc = canvas_fc.at[3].set(255)
                     fc = canvas_fc.at[:, :ov_h, :ov_w].set(fc)
                 fc = render_ops.blend_overlay_planes(fc, fc_key)
-            images["falsecolor"] = _planes_to_rgba(fc)
+            images["falsecolor"] = fc if fc.ndim == 2 else _planes_to_rgba(fc)
         if dk.show_focuspeaking:
             if fp is None:
                 fp = overlay_ops.focus_peaking_planes(ov_src, peak_th, peak_color)
-            images["focuspeaking"] = _planes_to_rgba(fp)
+            images["focuspeaking"] = fp if fp.ndim == 2 else _planes_to_rgba(fp)
 
         patches = []
         for name, w_src, h_src in shown:
@@ -730,6 +746,8 @@ def make_dock_step(
                 cx0 = (w_src - w) // 2
                 cy0 = (h_src - h) // 2
                 patch = images[name][cy0 : cy0 + h, cx0 : cx0 + w]
+                if patch.ndim == 2:  # packed u32 -> (h, w, 4) u8 view
+                    patch = jax.lax.bitcast_convert_type(patch, jnp.uint8)
                 x0 = (out_width - w) // 2
             else:
                 patch = _resize_nearest_rgba(images[name], h, w)

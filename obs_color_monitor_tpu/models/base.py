@@ -250,6 +250,19 @@ class CaptureHub:
             self.frames_skipped += 1
             return None
 
+        # host u8 frames upload as their (H, W) u32 view — identical bytes,
+        # free on the host (numpy view), and the band kernel reads the u32
+        # form directly where a u8 device array first pays a full-frame
+        # relayout copy (xprof r3, doc/performance.md)
+        if (
+            not is_planar
+            and isinstance(frame, np.ndarray)
+            and frame.ndim == 3
+            and frame.shape[-1] == 4
+            and frame.dtype == np.uint8
+            and frame.flags["C_CONTIGUOUS"]
+        ):
+            frame = frame.view(np.uint32).reshape(frame.shape[:2])
         is_packed = not is_planar and getattr(frame, "ndim", 3) == 2
         if is_planar or is_packed:
             h, w = frame.shape[-2], frame.shape[-1]

@@ -362,7 +362,16 @@ class Dock:
 
         cx = width or self.config.width
         cy = height or self.config.height
-        # (H, W, 4) u8 or the zero-copy (H, W) u32 packed view
+        # (H, W, 4) u8 or the zero-copy (H, W) u32 packed view; host u8
+        # frames are re-viewed as u32 for free (see CaptureHub.process)
+        if (
+            isinstance(frame, np.ndarray)
+            and frame.ndim == 3
+            and frame.shape[-1] == 4
+            and frame.dtype == np.uint8
+            and frame.flags["C_CONTIGUOUS"]
+        ):
+            frame = frame.view(np.uint32).reshape(frame.shape[:2])
         if getattr(frame, "ndim", 3) == 2:
             h, w = frame.shape[-2], frame.shape[-1]
         else:

@@ -162,7 +162,16 @@ def _overlay_band_math(params, cur, prev_row, next_row, tm, ri, ci,
     return zb, fc, fp
 
 
-def _ov_kernel(dyn, params, cur_ref, prev_ref, nxt_ref, tm_ref, *rest):
+def _pack_u32(stack):
+    """(4, R, W) u8 channel stack -> (R, W) u32 packed RGBA (in-kernel
+    compose: downstream resamplers read whole pixels on single lanes, so
+    no u32<->4xu8 relayout copy ever materializes outside the kernel)."""
+    s = stack.astype(jnp.uint32)
+    return s[0] | (s[1] << 8) | (s[2] << 16) | (s[3] << 24)
+
+
+def _ov_kernel(dyn, packed_out, params, cur_ref, prev_ref, nxt_ref, tm_ref,
+               *rest):
     w = params[1]
     if dyn:
         rect_ref = rest[0]
@@ -178,15 +187,22 @@ def _ov_kernel(dyn, params, cur_ref, prev_ref, nxt_ref, tm_ref, *rest):
     ci = jax.lax.broadcasted_iota(jnp.int32, (_RB, w), 1)
     prev_row = [prev_ref[c][7:8].astype(jnp.int32) for c in range(3)]
     next_row = [nxt_ref[c][0:1].astype(jnp.int32) for c in range(3)]
-    zb_ref[:], fc_ref[:], fp_ref[:] = _overlay_band_math(
+    zb, fc, fp = _overlay_band_math(
         params, cur, prev_row, next_row, tm, ri, ci, rect=rect
     )
+    if packed_out:
+        zb_ref[:], fc_ref[:], fp_ref[:] = (
+            _pack_u32(zb), _pack_u32(fc), _pack_u32(fp)
+        )
+    else:
+        zb_ref[:], fc_ref[:], fp_ref[:] = zb, fc, fp
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "th_low", "th_high", "zb_cs", "fc_cs", "peak_th", "peak_rgba", "interpret",
+        "th_low", "th_high", "zb_cs", "fc_cs", "peak_th", "peak_rgba",
+        "interpret", "packed_out",
     ),
 )
 def fused_overlays_planes(
@@ -200,6 +216,7 @@ def fused_overlays_planes(
     peak_rgba: tuple[int, int, int, int],
     rect: jax.Array | None = None,
     interpret: bool = False,
+    packed_out: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(4, H, W) u8 -> (zebra, falsecolor, focuspeaking) planar u8, one pass.
 
@@ -212,6 +229,12 @@ def fused_overlays_planes(
     anchored at the rect origin, focus-peaking edges clamped at the rect
     borders); outside pixels are unspecified (the dynamic-ROI dock samples
     only the rect region).  Changing the rect never recompiles.
+
+    ``packed_out=True`` returns each overlay as its (H, W) u32 packed-RGBA
+    view instead of planes — composed IN the kernel, so consumers that
+    resample whole pixels (the dock's slot samplers) never pay the
+    u32<->4xu8 relayout copies that planes_to_rgba + a later bitcast cost
+    (~0.05 ms/frame on the 4K parity panel, xprof r3).
     """
     _, h, w = planes.shape
     nb = -(-h // _RB)
@@ -254,14 +277,26 @@ def fused_overlays_planes(
             pl.BlockSpec((1, 4), lambda r: (0, 0), memory_space=pltpu.SMEM)
         )
         args.append(jnp.stack([rx0, ry0, rx1, ry1]).reshape(1, 4))
+    if packed_out:
+        out_specs = (
+            pl.BlockSpec((_RB, w), lambda r: (r, 0), memory_space=pltpu.VMEM),
+        ) * 3
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((hp, w), jnp.uint32) for _ in range(3)
+        )
+    else:
+        out_specs = (blk(lambda r: (0, r, 0)),) * 3
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((4, hp, w), jnp.uint8) for _ in range(3)
+        )
     zb, fc, fp = pl.pallas_call(
-        functools.partial(_ov_kernel, dyn, params),
+        functools.partial(_ov_kernel, dyn, packed_out, params),
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=(blk(lambda r: (0, r, 0)),) * 3,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((4, hp, w), jnp.uint8) for _ in range(3)
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
+    if packed_out:
+        return zb[:h], fc[:h], fp[:h]
     return zb[:, :h], fc[:, :h], fp[:, :h]

@@ -119,9 +119,14 @@ def render_waveform(
     disp = DisplayMode(display)
     order = _disp_order(yuv_mode)
     w = counts.shape[-1]
-    # value image per display channel, flipped so row 0 = level 255
+    # value image per display channel, flipped so row 0 = level 255; the
+    # channel reorder is STATIC indexing (stack of slices), not a gather —
+    # a fancy-index gather on the (3,256,W) array cost 0.017 ms/4K frame
     vals = jnp.minimum(
-        counts[jnp.asarray(order), ::-1, :].astype(jnp.int32) * jnp.int32(intensity),
+        jnp.stack([counts[order[0]], counts[order[1]], counts[order[2]]])[
+            :, ::-1, :
+        ].astype(jnp.int32)
+        * jnp.int32(intensity),
         255,
     )  # (3, 256, W) display-ordered
 

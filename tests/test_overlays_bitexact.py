@@ -210,3 +210,37 @@ def test_fused_overlays_kernel_bitexact(rng, shape, zb_cs, fc_cs):
         np.asarray(fp),
         np.asarray(overlays.focus_peaking_planes(planes, 3062, jnp.asarray(pc))),
     )
+
+
+def test_fused_overlays_packed_out(rng):
+    """packed_out=True: the kernel composes (H, W) u32 pixels in place —
+    bitwise identical to packing the planar outputs (the dock's slot
+    samplers consume this form with zero relayout copies)."""
+    import jax.numpy as jnp
+
+    from obs_color_monitor_tpu.ops.pallas_overlays import fused_overlays_planes
+
+    f = rng.integers(0, 256, (52, 200, 4), dtype=np.uint8)
+    planes = jnp.asarray(np.moveaxis(f, -1, 0))
+    kw = dict(th_low=0.6, th_high=0.95, zb_cs=1, fc_cs=2,
+              peak_th=2000, peak_rgba=(255, 84, 0, 255), interpret=True)
+    zb, fc, fp = fused_overlays_planes(planes, 3.0, **kw)
+    zb32, fc32, fp32 = fused_overlays_planes(planes, 3.0, packed_out=True, **kw)
+
+    def pack(p):
+        p = np.asarray(p).astype(np.uint32)
+        return p[0] | (p[1] << 8) | (p[2] << 16) | (p[3] << 24)
+
+    for a, b in ((zb, zb32), (fc, fc32), (fp, fp32)):
+        assert np.asarray(b).dtype == np.uint32
+        np.testing.assert_array_equal(pack(a), np.asarray(b))
+
+    # with a dynamic rect too (the dynamic-ROI dock's configuration)
+    rect = jnp.asarray([10, 5, 150, 40], jnp.int32)
+    zb_r, fc_r, fp_r = fused_overlays_planes(planes, 3.0, rect=rect, **kw)
+    zb32_r, fc32_r, fp32_r = fused_overlays_planes(
+        planes, 3.0, rect=rect, packed_out=True, **kw
+    )
+    sl = np.s_[5:40, 10:150]  # only in-rect pixels are specified
+    for a, b in ((zb_r, zb32_r), (fc_r, fc32_r), (fp_r, fp32_r)):
+        np.testing.assert_array_equal(pack(a)[sl], np.asarray(b)[sl])
