@@ -48,10 +48,16 @@ def soak(label: str, fused: bool) -> float:
     for i in range(3):
         dock.push_frame(frames[i])
         dock.render()
+    # the loop uses render_async: dispatch-only, the device panel stays
+    # resident (a real sink fetches/encodes downstream).  A per-frame
+    # BLOCKING np.asarray fetch costs a full tunnel round trip (~30-200 ms)
+    # on this dev setup and would measure the tunnel, not the pipeline.
     t0 = time.perf_counter()
+    img = None
     for i in range(N):
         dock.push_frame(frames[i & 7])
-        img = dock.render()
+        img = dock.render_async()
+    jax.block_until_ready(img)
     dt = time.perf_counter() - t0
     ms = dt / N * 1e3
     n_progs = len(dock._fused_render_fns)

@@ -209,6 +209,13 @@ class Dock:
     def render(
         self, width: Optional[int] = None, height: Optional[int] = None
     ) -> np.ndarray:
+        """Host panel: render_async + ONE device->host transfer."""
+        panel = self.render_async(width, height)
+        return panel if panel is None else np.asarray(panel)
+
+    def render_async(
+        self, width: Optional[int] = None, height: Optional[int] = None
+    ):
         """Composite all shown scopes (reference draw,
         src/scope-widget.cpp:99-175): vertical stack, each scope centered;
         vectorscope forced square; ROI/zebra/falsecolor/focuspeaking keep
@@ -226,7 +233,12 @@ class Dock:
         overhead dominated the 320x180 soak, doc/performance.md).  The
         legacy per-scope route still runs the first frame after any config/
         shape change (it discovers the layout) and whenever a scope opts
-        out (bypass)."""
+        out (bypass).
+
+        Returns the DEVICE-resident panel (jax.Array) — dispatch is async,
+        so a streaming loop can run ahead of the device and fetch (or
+        encode) panels wherever it sinks them; ``render`` wraps this with
+        the single blocking transfer."""
         cx = width or self.config.width
         cy = height or self.config.height
 
@@ -266,7 +278,7 @@ class Dock:
                 self._rects = dict(rects)
                 by_name = dict(entries)
                 leaves = [l for n in included for l in by_name[n]]
-                return np.asarray(fn(*leaves))
+                return fn(*leaves)
         n_src = len(shown)
         self._rects = {}
         spec: list[tuple] = []
@@ -316,7 +328,7 @@ class Dock:
                 self._composite_fns.clear()
             fn = jax.jit(functools.partial(_composite, cy, cx, tuple(spec)))
             self._composite_fns[key] = fn
-        panel = np.asarray(fn(tuple(images)))
+        panel = fn(tuple(images))
         if fast:
             # build the fused program for subsequent frames: scope renders +
             # composite in one jit, published buffers as ARGUMENTS (captures
