@@ -57,34 +57,44 @@ class Histogram(Scope, StandaloneScopeMixin):
         counts = res.hi_yuv if self.config.components.is_yuv else res.hi_rgb
         if counts is None:
             return
-        sel = self.config.components.channel_select()
-        counts = apply_channel_select(counts, sel)
-        # levels + hi_max on device (reference does this in the CPU callback,
-        # src/histogram.c:396-418)
-        hi = histogram_hi_max(
-            counts.astype(np.int32),
-            sel,
-            surface.width * surface.height,
-            self.config.level_fixed,
-            self.config.level_ratio_permille,
-        )
-        levels, hi_eff = histogram_levels(
-            counts.astype(np.int32), hi, sel, self.config.logscale
-        )
-        self._publish((counts, levels, hi_eff))
+        # publish the RAW fused-pass counts + the pixel count: selection,
+        # hi_max, and the draw levels (reference CPU callback work,
+        # src/histogram.c:396-418) are all deferred into render_traced, so
+        # the callback issues ZERO device dispatches (each eager op is a
+        # separate program execution — the per-execution round trip on a
+        # remote TPU dominated the streaming soak, doc/performance.md).
+        # n_pixels enters the render program as a TRACED scalar leaf: an
+        # ROI resize changes it without rebuilding the program.
+        self._publish((counts, surface.width * surface.height))
 
     def counts(self) -> Optional[np.ndarray]:
-        """Raw u32 bin counts of the published buffer (for tests/tools)."""
+        """Channel-selected u32 bin counts of the published buffer (the
+        value the reference's dbuf holds, src/histogram.c:357-395); for
+        tests/tools."""
         v = self._read()
-        return None if v is None else np.asarray(v[0])
+        if v is None:
+            return None
+        return np.asarray(
+            apply_channel_select(v[0], self.config.components.channel_select())
+        )
 
     def render_leaves(self):
         if self.config.bypass:
             return None
         v = self._read()
-        return None if v is None else (v[1], v[2])  # (levels, hi_eff)
+        return None if v is None else (v[0], np.int32(v[1]))
 
-    def render_traced(self, levels, hi_eff):
+    def render_traced(self, counts, n_pixels):
+        sel = self.config.components.channel_select()
+        counts = apply_channel_select(counts, sel).astype(np.int32)
+        hi = histogram_hi_max(
+            counts,
+            sel,
+            n_pixels,
+            self.config.level_fixed,
+            self.config.level_ratio_permille,
+        )
+        levels, hi_eff = histogram_levels(counts, hi, sel, self.config.logscale)
         n = self.config.components.n_components
         img = render_ops.render_histogram(
             levels,

@@ -56,9 +56,25 @@ class Waveform(Scope, StandaloneScopeMixin):
         counts = res.wv_yuv if self.config.components.is_yuv else res.wv_rgb
         if counts is None:
             return
-        counts = apply_channel_select(counts, self.config.components.channel_select())
+        # publish the RAW fused-pass buffer: channel selection is deferred
+        # into render_traced so the callback issues ZERO device dispatches
+        # (each eager op is a separate program execution — on a remote TPU
+        # the per-execution round trip dominated the streaming soak,
+        # doc/performance.md).  Selection is config-static, so it rides the
+        # (cached) render program for free.
         self._buf_width[self._w_buf] = surface.width
         self._publish(counts)
+
+    def counts(self) -> Optional[np.ndarray]:
+        """Channel-selected u8 counts of the published buffer (the value
+        the reference's dbuf holds after its zero-first accumulate,
+        src/waveform.c:220-257); for tests/tools."""
+        v = self._read()
+        if v is None:
+            return None
+        return np.asarray(
+            apply_channel_select(v, self.config.components.channel_select())
+        )
 
     def tick(self, seconds: float = 1.0 / 60.0) -> None:
         # the read buffer only advances on tick (reference waveform.c:394-400)
@@ -76,7 +92,9 @@ class Waveform(Scope, StandaloneScopeMixin):
     def render_traced(self, counts):
         n = self.config.components.n_components
         img = render_ops.render_waveform(
-            counts,
+            apply_channel_select(
+                counts, self.config.components.channel_select()
+            ),
             intensity=self.config.intensity,
             display=int(self.config.display),
             n_components=n,
