@@ -32,11 +32,15 @@ W, H = (
 )
 
 
-def soak(label: str, fused: bool) -> float:
-    if fused:
-        os.environ.pop("OCM_NO_FUSED_RENDER", None)
-    else:
+def soak(label: str, mode: str) -> float:
+    """mode: 'legacy' (per-scope dispatches), 'fused' (analyze + one
+    render program = 2/frame), 'stream' (ONE program per frame)."""
+    os.environ.pop("OCM_NO_FUSED_RENDER", None)
+    os.environ.pop("OCM_NO_STREAM_STEP", None)
+    if mode == "legacy":
         os.environ["OCM_NO_FUSED_RENDER"] = "1"
+    elif mode == "fused":
+        os.environ["OCM_NO_STREAM_STEP"] = "1"
     dock = Dock(DockConfig(), roi=ROIConfig(interleave=0, target_scale=2))
     # 8 distinct device-resident ramp frames, cycled (content varies, no
     # per-frame host upload)
@@ -60,10 +64,11 @@ def soak(label: str, fused: bool) -> float:
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
     ms = dt / N * 1e3
-    n_progs = len(dock._fused_render_fns)
+    n_progs = (len(dock._fused_render_fns),
+               len(dock._stream_fns or ()))
     print(
         f"{label:34s} {ms:7.3f} ms/frame = {1e3/ms:7.1f} fps  "
-        f"(fused programs: {n_progs})",
+        f"(fused/stream programs: {n_progs[0]}/{n_progs[1]})",
         flush=True,
     )
     return ms
@@ -72,6 +77,8 @@ def soak(label: str, fused: bool) -> float:
 if __name__ == "__main__":
     print(f"soak: {N} frames {W}x{H}, device-resident, backend="
           f"{jax.default_backend()}")
-    legacy = soak("legacy per-scope route", fused=False)
-    fused = soak("fused one-program route", fused=True)
-    print(f"speedup: {legacy / fused:.2f}x")
+    legacy = soak("legacy per-scope route", "legacy")
+    fused = soak("fused render (2 programs/frame)", "fused")
+    stream = soak("stream step (1 program/frame)", "stream")
+    print(f"speedup: fused {legacy / fused:.2f}x  stream "
+          f"{legacy / stream:.2f}x", flush=True)

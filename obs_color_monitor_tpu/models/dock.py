@@ -196,15 +196,58 @@ class Dock:
         # fused render programs: one jitted call renders every scope AND
         # composites (key -> (fn, rects, included scope names))
         self._fused_render_fns: dict = {}
+        self._fused_specs: dict = {}  # fkey -> static composite spec
+        # stream-step programs: analyze + publish + every render + composite
+        # as ONE program (key -> (fn, rects, publish metadata)); None
+        # disables the route (tests pinning the fused path set this)
+        self._stream_fns: dict | None = {}
+        self._pending = None  # frame pushed but not yet analyzed
+        self._rendered_since_push = True
         self.roi_interact = None  # created when the ROI preview is shown
 
     def shown(self, name: str) -> bool:
         return bool(getattr(self.config, f"show_{name}"))
 
+    def _stream_ok(self) -> bool:
+        """Steady-state push/render streaming can defer the analysis into
+        render_async's ONE-program stream step.  Requires: warmed-up fused
+        render (layout + every leaf known), exactly the default consumers
+        (a custom consumer's surface_cb must see every processed frame),
+        and no bypass (dock_step-less semantics)."""
+        if self._stream_fns is None or os.environ.get("OCM_NO_STREAM_STEP"):
+            return False
+        if not self._fused_render_fns:
+            return False
+        if self.hub.consumers != [self.scopes[k] for k in SCOPE_ORDER]:
+            return False
+        return not any(
+            getattr(self.scopes[k].config, "bypass", False)
+            for k in SCOPE_ORDER
+        )
+
     def push_frame(self, frame) -> None:
-        """One video frame in: tick + shared analyze + fan-out."""
+        """One video frame in: tick + shared analyze + fan-out.
+
+        Steady-state streaming (push/render alternation with the default
+        consumers) defers the analysis into :meth:`render_async`, which
+        runs analyze + every scope render + the composite as ONE cached
+        device program per frame — on a remote TPU each separate program
+        execution pays a round trip, and this route pays exactly one.
+        Push-without-render patterns, custom hub consumers, and bypass all
+        take the reference-shaped hub fan-out unchanged."""
+        if self._pending is not None:
+            # a pushed frame was never rendered: flush it through the hub
+            # (under its own tick state, which is still current) so
+            # published statistics advance exactly like the legacy path
+            f, self._pending = self._pending, None
+            self.hub.process(f)
+        rendered = self._rendered_since_push
+        self._rendered_since_push = False
         self.hub.tick()
-        self.hub.process(frame)
+        if rendered and self._stream_ok():
+            self._pending = frame
+        else:
+            self.hub.process(frame)
 
     def render(
         self, width: Optional[int] = None, height: Optional[int] = None
@@ -228,12 +271,13 @@ class Dock:
 
         Steady-state streaming goes further: when every shown scope exposes
         its published buffers (render_leaves/render_traced), ALL scope
-        renders and the composite fuse into ONE cached jitted program — a
-        single device dispatch per panel instead of ~a dozen (per-dispatch
-        overhead dominated the 320x180 soak, doc/performance.md).  The
-        legacy per-scope route still runs the first frame after any config/
-        shape change (it discovers the layout) and whenever a scope opts
-        out (bypass).
+        renders and the composite fuse into ONE cached jitted program; and
+        with push/render alternation + default consumers the ANALYSIS fuses
+        in too (the stream step, see _consume_stream) — one device program
+        per frame end to end (per-dispatch overhead dominated the 320x180
+        soak, doc/performance.md).  The legacy per-scope route still runs
+        the first frame after any config/shape change (it discovers the
+        layout) and whenever a scope opts out (bypass).
 
         Returns the DEVICE-resident panel (jax.Array) — dispatch is async,
         so a streaming loop can run ahead of the device and fetch (or
@@ -241,8 +285,15 @@ class Dock:
         the single blocking transfer."""
         cx = width or self.config.width
         cy = height or self.config.height
+        self._rendered_since_push = True
 
         shown = [n for n in SCOPE_ORDER if self.shown(n)]
+        if self._pending is not None:
+            panel = self._consume_stream(cx, cy, shown)
+            if panel is not None:
+                return panel
+            # fell through (interleave skip / cache miss fallback): the
+            # frame was processed or skipped; render from published buffers
         # OCM_NO_FUSED_RENDER=1 keeps the legacy per-scope route (e.g. short
         # batch runs where the fused program's one extra compile never pays)
         fast = not os.environ.get("OCM_NO_FUSED_RENDER") and not any(
@@ -258,20 +309,7 @@ class Dock:
             if any(lv is None for _, lv in entries):
                 fast = False
         if fast:
-            fkey = (
-                cy,
-                cx,
-                tuple(
-                    (
-                        n,
-                        None
-                        if lv is None
-                        else tuple((tuple(l.shape), str(l.dtype)) for l in lv),
-                        self.scopes[n].render_trace_key(),
-                    )
-                    for n, lv in entries
-                ),
-            )
+            fkey = self._fused_key(cy, cx, entries)
             cached = self._fused_render_fns.get(fkey)
             if cached is not None:
                 fn, rects, included = cached
@@ -348,12 +386,210 @@ class Dock:
 
             if len(self._fused_render_fns) > 8:
                 self._fused_render_fns.clear()
+                self._fused_specs.clear()
             self._fused_render_fns[fkey] = (
                 jax.jit(_fused),
                 dict(self._rects),
                 tuple(included),
             )
+            self._fused_specs[fkey] = spec_t
         return panel
+
+    def _fused_key(self, cy: int, cx: int, entries) -> tuple:
+        """Cache key of the fused/stream render programs: panel geometry +
+        every scope's leaf signature and static trace key."""
+        return (
+            cy,
+            cx,
+            tuple(
+                (
+                    n,
+                    None
+                    if lv is None
+                    else tuple((tuple(l.shape), str(l.dtype)) for l in lv),
+                    self.scopes[n].render_trace_key(),
+                )
+                for n, lv in entries
+            ),
+        )
+
+    def _consume_stream(self, cx: int, cy: int, shown: list):
+        """Run the deferred frame through the ONE-program stream step:
+        analyze + hub fan-out publication + every scope render + composite
+        in a single cached jitted call (doc/performance.md Streaming).
+
+        Bit-identical to hub.process + the fused render: the program body
+        replays the actual surface_cb/render_traced code on the traced
+        analysis at trace time (state snapshot/restore), with the
+        waveform's tick-gated read buffer carried as a cross-frame leaf
+        (reference wvs_tick one-frame latency, src/waveform.c:394-400) and
+        the zebra clock a traced scalar.  Returns the device panel, or
+        None after a fallback (interleave skip, missing warmup state) —
+        the caller then renders from the published buffers as usual."""
+        frame, self._pending = self._pending, None
+        hub = self.hub
+        hub._rendered = True
+        if hub._i_interleave != 0 and hub.config.interleave > 0:
+            hub.frames_skipped += 1
+            return None  # skipped: panel re-renders the published buffers
+        # mirror hub.process's free host-side u8 -> packed u32 view
+        if (
+            isinstance(frame, np.ndarray)
+            and frame.ndim == 3
+            and frame.shape[-1] == 4
+            and frame.dtype == np.uint8
+            and frame.flags["C_CONTIGUOUS"]
+        ):
+            frame = frame.view(np.uint32).reshape(frame.shape[:2])
+        is_packed = getattr(frame, "ndim", 3) == 2
+        if is_packed:
+            h, w = frame.shape[-2], frame.shape[-1]
+        else:
+            h, w = frame.shape[-3], frame.shape[-2]
+        scale = hub.config.target_scale
+        sw, sh = w // scale, h // scale
+        if sw <= 0 or sh <= 0:
+            hub.frames_skipped += 1
+            return None
+        rect = hub.config.resolve_rect(sw, sh)
+        full = rect == (0, 0, sw, sh)
+        cw, ch = rect[2] - rect[0], rect[3] - rect[1]
+        wv = self.waveform
+        wv_prev = wv._buf[wv._r_buf]
+        entries = [(n, self.scopes[n].render_leaves()) for n in shown]
+        if wv_prev is None or any(lv is None for _, lv in entries):
+            hub.process(frame)  # warmup state missing: legacy fan-out
+            return None
+        fkey = self._fused_key(cy, cx, entries)
+        skey = (
+            fkey,
+            is_packed,
+            tuple(frame.shape),
+            str(frame.dtype),
+            scale,
+            int(hub.colorspace),
+            rect,
+        )
+        entry = self._stream_fns.get(skey)
+        if entry is None:
+            fentry = self._fused_render_fns.get(fkey)
+            spec = self._fused_specs.get(fkey)
+            if fentry is None or spec is None:
+                hub.process(frame)  # layout unknown for this state: legacy
+                return None
+            entry = self._build_stream_fn(
+                cx, cy, spec, fentry[1], fentry[2],
+                is_packed, scale, rect, full, cw, ch,
+            )
+            if len(self._stream_fns) > 8:
+                self._stream_fns.clear()
+            self._stream_fns[skey] = entry
+        fn, rects, wv_fam_yuv, hi_fam_yuv = entry
+        self._rects = dict(rects)
+        tm = np.float32(self.zebra.tm)
+        panel, vs_c, wv_c, hi_c, planes = fn(frame, tm, wv_prev)
+        # publish-back: exactly what each scope's surface_cb stores
+        cs = hub.colorspace
+        for n in ("zebra", "falsecolor", "focuspeaking"):
+            s = self.scopes[n]
+            s._size = (cw, ch)
+            s._publish((planes, cs))
+        rp = self.roi_preview
+        rp._size = (cw, ch)
+        rp._publish(planes)
+        vsc = self.vectorscope
+        vsc._buf_cs[vsc._w_buf] = cs
+        vsc._publish(vs_c)
+        wv._buf_width[wv._w_buf] = cw
+        wv._publish(wv_c)
+        self.histogram._publish((hi_c, cw * ch))
+        from ..ops.fused import AnalysisResult
+        from .base import SurfaceData
+
+        hub.last_surface = SurfaceData(
+            result=AnalysisResult(
+                yuv_planes=None,
+                vs_counts=vs_c,
+                wv_rgb=None if wv_fam_yuv else wv_c,
+                wv_yuv=wv_c if wv_fam_yuv else None,
+                hi_rgb=None if hi_fam_yuv else hi_c,
+                hi_yuv=hi_c if hi_fam_yuv else None,
+                planes=planes,
+            ),
+            width=cw,
+            height=ch,
+            colorspace=cs,
+        )
+        hub.frames_processed += 1
+        return panel
+
+    def _build_stream_fn(
+        self, cx, cy, spec, rects, included,
+        is_packed, scale, rect, full, cw, ch,
+    ):
+        """Build the jitted stream-step program for one (layout, frame
+        shape, hub config) state."""
+        from ..ops.fused import analyze
+        from .base import SurfaceData
+
+        hub = self.hub
+        scopes = self.scopes
+        consumers = [scopes[k] for k in SCOPE_ORDER]
+        needs = hub.union_needs()
+        cs = hub.colorspace
+        wv = self.waveform
+        wv_fam_yuv = wv.config.components.is_yuv
+        hi_fam_yuv = self.histogram.config.components.is_yuv
+        spec_t = tuple(spec)
+        included_t = tuple(included)
+
+        def _stream(frame, tm, wv_prev):
+            # trace-time only: replay the hub fan-out + scope renders on
+            # the traced analysis, then restore the host-side buffers
+            res = analyze(
+                frame,
+                cs=int(cs),
+                scale=scale,
+                rect=None if full else rect,
+                need_vs=needs.vs,
+                need_wv_rgb=needs.wv_rgb,
+                need_wv_yuv=needs.wv_yuv,
+                need_hi_rgb=needs.hi_rgb,
+                need_hi_yuv=needs.hi_yuv,
+                keep_rgba=True,
+                is_packed=is_packed,
+                tm=tm,
+            )
+            surface = SurfaceData(
+                result=res, width=cw, height=ch, colorspace=cs
+            )
+            saved = [(c, list(c._buf), c._w_buf) for c in consumers]
+            try:
+                for c in consumers:
+                    c.surface_cb(surface)
+                # the tick-gated read buffer holds LAST frame's counts —
+                # the carried leaf (publish above wrote the other buffer)
+                wv._buf[wv._r_buf] = wv_prev
+                imgs = []
+                for n in included_t:
+                    s = scopes[n]
+                    if n == "zebra":
+                        # the stripe clock must be the TRACED scalar, not
+                        # the host float render_leaves would bake in
+                        lv = (s._read()[0], tm)
+                    else:
+                        lv = s.render_leaves()
+                    imgs.append(s.render_traced(*lv))
+            finally:
+                for c, buf, wb in saved:
+                    c._buf = buf
+                    c._w_buf = wb
+            panel = _composite(cy, cx, spec_t, tuple(imgs))
+            wv_new = res.wv_yuv if wv_fam_yuv else res.wv_rgb
+            hi_new = res.hi_yuv if hi_fam_yuv else res.hi_rgb
+            return panel, res.vs_counts, wv_new, hi_new, res.planes
+
+        return jax.jit(_stream), dict(rects), wv_fam_yuv, hi_fam_yuv
 
     def render_device(
         self,

@@ -29,6 +29,9 @@ class _NoCache(dict):
 def _mk_dock(show_roi=False, legacy=False):
     cfg = DockConfig(show_roi=show_roi)
     dock = Dock(cfg, roi=ROIConfig(interleave=0, target_scale=1))
+    # pin the fused-render route: the one-program stream step would bypass
+    # it in steady state (its own coverage lives in test_stream_step.py)
+    dock._stream_fns = None
     if legacy:
         dock._fused_render_fns = _NoCache()
     return dock
