@@ -74,11 +74,38 @@ def soak(label: str, mode: str) -> float:
     return ms
 
 
+def soak_raw_step() -> float:
+    """Floor of any per-frame-dispatch path on this setup: the raw
+    one-program dock step called in the same loop shape (no model layer).
+    The delta vs the stream route is the model layer's overhead; the
+    delta vs the step's fori-loop slope (benchmarks/panel_slope.py) is
+    the tunnel's per-execution cost, absent on local hardware."""
+    from obs_color_monitor_tpu.dock_step import make_dock_step
+
+    step = make_dock_step(H, W, scale=2, out_width=512, out_height=1536)
+    frames = [
+        jax.device_put(native.pattern("ramp", W, H, i)) for i in range(8)
+    ]
+    for i in range(3):
+        out = step(frames[i], np.float32(i))
+    jax.block_until_ready(out.panel)
+    t0 = time.perf_counter()
+    for i in range(N):
+        out = step(frames[i & 7], np.float32(i))
+    jax.block_until_ready(out.panel)
+    ms = (time.perf_counter() - t0) / N * 1e3
+    print(f"{'raw dock_step (floor)':34s} {ms:7.3f} ms/frame = "
+          f"{1e3/ms:7.1f} fps", flush=True)
+    return ms
+
+
 if __name__ == "__main__":
     print(f"soak: {N} frames {W}x{H}, device-resident, backend="
           f"{jax.default_backend()}")
     legacy = soak("legacy per-scope route", "legacy")
     fused = soak("fused render (2 programs/frame)", "fused")
     stream = soak("stream step (1 program/frame)", "stream")
+    raw = soak_raw_step()
     print(f"speedup: fused {legacy / fused:.2f}x  stream "
-          f"{legacy / stream:.2f}x", flush=True)
+          f"{legacy / stream:.2f}x  (stream overhead vs raw step: "
+          f"{(stream / raw - 1) * 100:.0f}%)", flush=True)

@@ -105,6 +105,30 @@ def _clamp(v, lo, hi):
     return max(lo, min(hi, v))
 
 
+_FIELD_NAMES: dict[type, tuple[str, ...]] = {}
+
+
+def config_key(cfg, skip: tuple[str, ...] = ()) -> tuple:
+    """Hashable value-identity of a config: (class name, field values).
+
+    Equivalent to ``repr(cfg)`` as a cache key (two configs with equal
+    fields collide, a mutated field changes the key) but ~10x cheaper —
+    the dock's fused/stream render caches revalidate every scope's key
+    every frame, and string formatting dominated that host path
+    (benchmarks/soak_stream.py).  ``skip`` drops unhashable fields the
+    caller fingerprints separately (e.g. a false-color LUT array).
+    """
+    cls = type(cfg)
+    names = _FIELD_NAMES.get(cls)
+    if names is None:
+        names = tuple(f.name for f in dataclasses.fields(cfg))
+        _FIELD_NAMES[cls] = names
+    d = cfg.__dict__
+    return (cls.__name__,) + tuple(
+        d[n] for n in names if n not in skip
+    )
+
+
 @dataclasses.dataclass
 class CaptureConfig:
     """Shared capture settings (the reference's ``cm`` properties,

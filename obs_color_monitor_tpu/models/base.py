@@ -163,8 +163,11 @@ class Scope:
 
     def render_trace_key(self):
         """Hashable of every non-leaf value render_traced reads — the dock's
-        fused-render cache key (a change forces a rebuild)."""
-        return repr(self.config)
+        fused-render cache key (a change forces a rebuild).  Revalidated
+        every streamed frame, so it must be cheap (config_key, not repr)."""
+        from ..config import config_key
+
+        return config_key(self.config)
 
     def render_image(self):
         """DEVICE-resident RGBA u8 image (jax.Array), or None before the

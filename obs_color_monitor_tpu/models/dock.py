@@ -136,7 +136,7 @@ class _RoiPreview(Scope):
 
     def render_trace_key(self):
         v = self._read()
-        return (repr(self._hub.config.target_scale),
+        return (self._hub.config.target_scale,
                 None if v is None else self._full_rect(v))
 
     def render_traced(self, planes, rect=None):
@@ -406,7 +406,7 @@ class Dock:
                     n,
                     None
                     if lv is None
-                    else tuple((tuple(l.shape), str(l.dtype)) for l in lv),
+                    else tuple((l.shape, l.dtype) for l in lv),
                     self.scopes[n].render_trace_key(),
                 )
                 for n, lv in entries
@@ -465,7 +465,7 @@ class Dock:
             fkey,
             is_packed,
             tuple(frame.shape),
-            str(frame.dtype),
+            frame.dtype,
             scale,
             int(hub.colorspace),
             rect,

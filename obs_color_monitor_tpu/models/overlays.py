@@ -145,11 +145,11 @@ class FalseColor(_OverlayScope):
         super().__init__(config or FalseColorConfig())
 
     def render_trace_key(self):
-        import dataclasses
+        from ..config import config_key
 
         lut = self.config.lut
         fp = None if lut is None else self._lut_fingerprint(lut)
-        return (repr(dataclasses.replace(self.config, lut=None)), fp)
+        return (config_key(self.config, skip=("lut",)), fp)
 
     def apply(self, frame, cs=None):
         cs = calc_colorspace(self.config.colorspace if cs is None else cs)

@@ -54,7 +54,9 @@ class Vectorscope(Scope, StandaloneScopeMixin):
         return None if counts is None else (counts,)
 
     def render_trace_key(self):
-        return (repr(self.config), self._buf_cs[self._w_buf ^ 1])
+        from ..config import config_key
+
+        return (config_key(self.config), self._buf_cs[self._w_buf ^ 1])
 
     def render_traced(self, counts):
         cs = self._buf_cs[self._w_buf ^ 1]

@@ -87,7 +87,9 @@ class Waveform(Scope, StandaloneScopeMixin):
         return None if counts is None else (counts,)
 
     def render_trace_key(self):
-        return (repr(self.config), self._buf_width[self._r_buf])
+        from ..config import config_key
+
+        return (config_key(self.config), self._buf_width[self._r_buf])
 
     def render_traced(self, counts):
         n = self.config.components.n_components
