@@ -247,9 +247,11 @@ def make_dock_step(
     difference between usable and unusable interaction).  The rect enters
     the Mosaic kernels as SMEM scalars; slot layout keeps static bands and
     fits the rect aspect dynamically inside them; the ROI preview row shows
-    the FULL capture with the reference's drag shading.  See
-    doc/design-dynamic-roi.md.  Not combinable with roi_rect,
-    overlays_on_capture=False, or a false-color key legend.
+    the FULL capture with the reference's drag shading.  A false-color key
+    legend rides along as a display-resolution texture blended over the
+    slot's dynamic fit (placement fractions are canvas-relative, and the
+    canvas maps affinely onto the fit box).  See doc/design-dynamic-roi.md.
+    Not combinable with roi_rect or overlays_on_capture=False.
     """
     dk = dock or DockConfig()
     vs_cfg = vectorscope or VectorscopeConfig()
@@ -314,12 +316,6 @@ def make_dock_step(
                 "dynamic_roi requires overlays_on_capture=True (the "
                 "reference dock's configuration)"
             )
-        if fc_cfg.show_key != ShowKey.NONE and dk.show_falsecolor:
-            raise NotImplementedError(
-                "dynamic_roi with a false-color key legend is not supported "
-                "(the legend is placed in rect-relative coordinates); use "
-                "the static roi_rect build"
-            )
         # overlay slots become full static bands; the rect aspect is fitted
         # dynamically inside them per frame (doc/design-dynamic-roi.md)
         dims = {**dims, "zebra": (0, 0), "falsecolor": (0, 0),
@@ -356,12 +352,31 @@ def make_dock_step(
     # key legend: a device constant per (placement, size, cs, lut), planar,
     # blended on device (reference draws it per frame, src/zebra.c:385-597)
     fc_key = None
-    if fc_cfg.show_key != ShowKey.NONE:
+    if fc_cfg.show_key != ShowKey.NONE and not dynamic_roi:
         key_rgba = falsecolor_key_overlay(
             fc_cfg.show_key, ov_w, ov_h, fc_cs,
             lut=fc_cfg.lut if fc_cfg.use_lut else None,
         )
         fc_key = jnp.asarray(np.ascontiguousarray(np.moveaxis(key_rgba, -1, 0)))
+    # dynamic-ROI legend: the placement fractions are rect-relative
+    # (reference src/zebra.c:385-597 draws into the scope canvas), but the
+    # canvas maps AFFINELY onto the slot's fitted box — so a legend texture
+    # prebuilt at the BAND's resolution, sampled by display fraction of the
+    # dynamic fit, lands exactly where the static build's canvas-space
+    # legend would (and renders glyphs at display resolution instead of
+    # capture resolution; content pixels are untouched where its alpha=0,
+    # since nearest sampling commutes with the per-pixel blend)
+    fc_key_dyn = None
+    if dynamic_roi and dk.show_falsecolor and fc_cfg.show_key != ShowKey.NONE:
+        ws_fc, hs_fc = rects["falsecolor"][2], rects["falsecolor"][3]
+        base_w = ws_fc * 10 // 11 if fc_cfg.show_key == ShowKey.OUTSIDE else ws_fc
+        base_h = hs_fc * 10 // 12 if fc_cfg.show_key == ShowKey.BELOW else hs_fc
+        fc_key_dyn = jnp.asarray(
+            falsecolor_key_overlay(
+                fc_cfg.show_key, base_w, base_h, fc_cs,
+                lut=fc_cfg.lut if fc_cfg.use_lut else None,
+            )
+        )
 
     need_vs = dk.show_vectorscope
     need_wv = dk.show_waveform
@@ -558,6 +573,59 @@ def make_dock_step(
                     continue
                 # content is x-centered but TOP-aligned in its band, exactly
                 # like _layout places the static patch (y0 is the slot top)
+                if name == "falsecolor" and fc_key_dyn is not None:
+                    # canvas = rect extended by the key strip (OUTSIDE/
+                    # BELOW, reference src/zebra.c:316-334); fit THAT
+                    # aspect, sample frame pixels inside the rect region
+                    # and blend the display-res legend texture over the box
+                    cw_c = (
+                        (rw1 * 11) // 10
+                        if fc_cfg.show_key == ShowKey.OUTSIDE
+                        else rw1
+                    )
+                    ch_c = (
+                        (rh1 * 12) // 10
+                        if fc_cfg.show_key == ShowKey.BELOW
+                        else rh1
+                    )
+                    fw, fh = _fit_dyn(ws, hs, cw_c, ch_c)
+                    dxo = (ws - fw) // 2
+                    cx = ((jj - dxo) * cw_c) // fw
+                    cy = (ii * ch_c) // fh
+                    col_in_box = (jj >= dxo) & (jj < dxo + fw)
+                    row_in_box = ii < fh
+                    valid = (row_in_box & (cy < rh1))[:, None] & (
+                        col_in_box & (cx < rw1)
+                    )[None, :]
+                    base = _dyn_sample_rgba(
+                        img,
+                        ry0 + jnp.clip(cy, 0, rh1 - 1),
+                        rx0 + jnp.clip(cx, 0, rw1 - 1),
+                        valid,
+                    )
+                    lh_t, lw_t = fc_key_dyn.shape[0], fc_key_dyn.shape[1]
+                    lg = _dyn_sample_rgba(
+                        fc_key_dyn,
+                        jnp.clip((ii * lh_t) // fh, 0, lh_t - 1),
+                        jnp.clip(((jj - dxo) * lw_t) // fw, 0, lw_t - 1),
+                        None,
+                    )
+                    in_box = row_in_box[:, None] & col_in_box[None, :]
+                    a = jnp.where(
+                        in_box, lg[..., 3].astype(jnp.int32), 0
+                    )[..., None]
+                    rgb = (
+                        lg[..., :3].astype(jnp.int32) * a
+                        + base[..., :3].astype(jnp.int32) * (255 - a)
+                        + 127
+                    ) // 255
+                    patches.append((
+                        x0s, y0s,
+                        jnp.concatenate(
+                            [rgb.astype(jnp.uint8), base[..., 3:]], axis=-1
+                        ),
+                    ))
+                    continue
                 if name == "focuspeaking" and fp_cfg.actual_size:
                     # 1:1 pixel mapping, centered on the rect, cropped to
                     # the slot (reference focuspeaking.c:203-220)

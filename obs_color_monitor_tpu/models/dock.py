@@ -667,8 +667,8 @@ class Dock:
                     )
                     self._device_step_dynamic = True
                 except NotImplementedError:
-                    # configs outside the dynamic step's coverage (e.g. a
-                    # false-color key legend): static rebuild per rect
+                    # configs outside the dynamic step's coverage (none
+                    # from this entry point today): static rebuild per rect
                     self._device_step = make_dock_step(
                         h, w, roi_rect=rect, **kwargs
                     )

@@ -204,17 +204,96 @@ def test_dynamic_dock_step_actual_size_and_roi_row(frame):
 
 
 def test_dynamic_dock_rejects_unsupported():
-    from obs_color_monitor_tpu.config import FalseColorConfig, ShowKey
-
     with pytest.raises(ValueError):
         make_dock_step(120, 160, roi_rect=(0, 0, 10, 10), dynamic_roi=True)
     with pytest.raises(NotImplementedError):
-        make_dock_step(
-            120, 160, dynamic_roi=True,
-            falsecolor=FalseColorConfig(show_key=ShowKey.LEFT),
-        )
-    with pytest.raises(NotImplementedError):
         make_dock_step(120, 160, dynamic_roi=True, overlays_on_capture=False)
+
+
+@pytest.mark.parametrize("placement", ["LEFT", "OUTSIDE", "BELOW"])
+def test_dynamic_dock_key_legend(frame, placement):
+    """False-color key legend in the dynamic-ROI step: content pixels equal
+    the no-key dynamic build wherever the sampled legend is transparent,
+    legend pixels equal the exact integer blend of the display-res legend
+    texture, and dragging still compiles exactly one program."""
+    from obs_color_monitor_tpu.colorspace import calc_colorspace
+    from obs_color_monitor_tpu.config import FalseColorConfig, ShowKey
+    from obs_color_monitor_tpu.dock_step import _layout
+    from obs_color_monitor_tpu.ops.graticule import falsecolor_key_overlay
+
+    sk = ShowKey[placement]
+    dk = DockConfig(show_roi=False)
+    kw = dict(scale=2, out_width=128, out_height=672, dock=dk)
+    dyn_key = make_dock_step(
+        120, 160, dynamic_roi=True,
+        falsecolor=FalseColorConfig(show_key=sk), **kw,
+    )
+    dyn_plain = make_dock_step(120, 160, dynamic_roi=True, **kw)
+
+    # band geometry (mirrors make_dock_step's layout for show_roi=False)
+    shown = [(n, 0, 0) for n in
+             ("vectorscope", "waveform", "histogram", "zebra", "falsecolor",
+              "focuspeaking")]
+    shown[0] = ("vectorscope", 256, 256)
+    shown[1] = ("waveform", 80, 256)
+    shown[2] = ("histogram", 256, 200)
+    rects = _layout(shown, 128, 672, False)
+    x0s, y0s, ws, hs = rects["falsecolor"]
+    base_w = ws * 10 // 11 if sk == ShowKey.OUTSIDE else ws
+    base_h = hs * 10 // 12 if sk == ShowKey.BELOW else hs
+    key_tex = falsecolor_key_overlay(
+        sk, base_w, base_h, calc_colorspace(FalseColorConfig().colorspace)
+    )
+
+    for r in RECTS[:3]:
+        out_k = np.asarray(
+            dyn_key(frame, np.float32(1.5), jnp.asarray(r, jnp.int32)).panel
+        )
+        out_p = np.asarray(
+            dyn_plain(frame, np.float32(1.5), jnp.asarray(r, jnp.int32)).panel
+        )
+        rw, rh = r[2] - r[0], r[3] - r[1]
+        cw_c = rw * 11 // 10 if sk == ShowKey.OUTSIDE else rw
+        ch_c = rh * 12 // 10 if sk == ShowKey.BELOW else rh
+        # numpy twin of the slot sampler's geometry
+        fw = min(ws, hs * cw_c // max(ch_c, 1)) if ws * ch_c > hs * cw_c else ws
+        fh = min(hs, ws * ch_c // max(cw_c, 1)) if hs * cw_c > ws * ch_c else hs
+        fw, fh = max(fw, 1), max(fh, 1)
+        dxo = (ws - fw) // 2
+        ii = np.arange(hs)[:, None]
+        jj = np.arange(ws)[None, :]
+        in_box = (ii < fh) & (jj >= dxo) & (jj < dxo + fw)
+        lh_t, lw_t = key_tex.shape[0], key_tex.shape[1]
+        lg = key_tex[
+            np.clip(ii * lh_t // fh, 0, lh_t - 1),
+            np.clip((jj - dxo) * lw_t // fw, 0, lw_t - 1),
+        ]
+        a = np.where(in_box, lg[..., 3].astype(np.int64), 0)[..., None]
+        band_k = out_k[y0s : y0s + hs, x0s : x0s + ws]
+        # where the legend is transparent, the dynamic fit geometry for
+        # non-extending placements matches the plain build exactly
+        if sk == ShowKey.LEFT:
+            band_p = out_p[y0s : y0s + hs, x0s : x0s + ws]
+            exp_rgb = (
+                lg[..., :3].astype(np.int64) * a
+                + band_p[..., :3].astype(np.int64) * (255 - a) + 127
+            ) // 255
+            np.testing.assert_array_equal(band_k[..., :3], exp_rgb)
+        else:
+            # extended canvas: the legend strip must carry the gradient
+            # (nonblack where its texture is opaque) and the panel outside
+            # the falsecolor band is untouched
+            lit = (a[..., 0] > 200) & (lg[..., :3].sum(-1) > 60)
+            assert lit.any()
+            assert (band_k[..., :3][lit].sum(-1) > 0).any()
+        out_k2 = out_k.copy()
+        out_k2[y0s : y0s + hs] = out_p[y0s : y0s + hs]
+        np.testing.assert_array_equal(out_k2, out_p)
+
+    for i in range(6):
+        dyn_key(frame, np.float32(1.5),
+                jnp.asarray((i, i, 50 + i, 40 + i), jnp.int32))
+    assert dyn_key._cache_size() == 1
 
 
 def test_render_device_drag_no_recompile(frame):
