@@ -654,6 +654,11 @@ def make_dock_step(
             )
 
         step_dyn.pipeline_static_ok = pipeline_ok
+        # slot geometry for the model layer's mouse routing (name ->
+        # (x0, y0, w, h) band + source dims; overlays are (0, 0) = the
+        # band itself in dynamic mode)
+        step_dyn.rects = dict(rects)
+        step_dyn.dims = dict(dims)
         return step_dyn
 
     @jax.jit
@@ -833,4 +838,6 @@ def make_dock_step(
     # downstream — loop-variant; benchmark loops can then drop the input-XOR
     # anti-hoist copy (see api.make_full_step.pipeline_static_ok)
     step.pipeline_static_ok = roi_rect is None and pipeline_ok
+    step.rects = dict(rects)
+    step.dims = dict(dims)
     return step

@@ -65,6 +65,28 @@ def _composite(cy: int, cx: int, spec: tuple, images: tuple):
 
 
 @jax.jit
+def _sizing_border_px(panel, rect_px):
+    """1-px green selection outline at PANEL coordinates — the in-progress
+    drag rectangle (reference draw_roi_rect, src/roi.c:236-265), drawn over
+    the finished panel so any render route shows live drag feedback without
+    retracing (rect is a dynamic (4,) i32)."""
+    import jax.numpy as jnp
+
+    h, w = panel.shape[0], panel.shape[1]
+    r = jnp.asarray(rect_px, jnp.int32)
+    x0, y0, x1, y1 = r[0], r[1], r[2], r[3]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    in_cols = (ci >= x0) & (ci < x1)
+    in_rows = (ri >= y0) & (ri < y1)
+    border = (((ri == y0) | (ri == y1 - 1)) & in_cols) | (
+        ((ci == x0) | (ci == x1 - 1)) & in_rows
+    )
+    green = jnp.asarray([0, 255, 0, 255], jnp.uint8)
+    return jnp.where(border[..., None], green, panel)
+
+
+@jax.jit
 def _shaded_preview(planes, rect):
     """ROI selection shading on device: 50% black outside the rect + green
     border (reference draw_roi_range / draw_roi_rect, src/roi.c:207-265).
@@ -204,6 +226,9 @@ class Dock:
         self._pending = None  # frame pushed but not yet analyzed
         self._rendered_since_push = True
         self.roi_interact = None  # created when the ROI preview is shown
+        # last streamed rect: a change routes the frame onto the dynamic-
+        # rect device step (zero recompiles) until the rect settles
+        self._last_stream_rect = None
 
     def shown(self, name: str) -> bool:
         return bool(getattr(self.config, f"show_{name}"))
@@ -282,7 +307,36 @@ class Dock:
         Returns the DEVICE-resident panel (jax.Array) — dispatch is async,
         so a streaming loop can run ahead of the device and fetch (or
         encode) panels wherever it sinks them; ``render`` wraps this with
-        the single blocking transfer."""
+        the single blocking transfer.
+
+        While an ROI drag is in progress, the in-progress selection
+        rectangle is outlined over the panel (reference draw_roi_rect,
+        src/roi.c:236-265) and mid-drag rect changes are served by the
+        dynamic-rect device step — zero recompiles (see
+        _consume_dynamic)."""
+        panel = self._render_async_impl(width, height)
+        ri = self.roi_interact
+        if panel is None or ri is None:
+            return panel
+        sr = ri.sizing_rect()
+        band = self._rects.get("roi")
+        if sr is None or band is None:
+            return panel
+        x0b, y0b, wb, hb, ws, hs = band
+        px = np.asarray(
+            (
+                x0b + sr[0] * wb // max(ws, 1),
+                y0b + sr[1] * hb // max(hs, 1),
+                x0b + sr[2] * wb // max(ws, 1),
+                y0b + sr[3] * hb // max(hs, 1),
+            ),
+            np.int32,
+        )
+        return _sizing_border_px(panel, px)
+
+    def _render_async_impl(
+        self, width: Optional[int] = None, height: Optional[int] = None
+    ):
         cx = width or self.config.width
         cy = height or self.config.height
         self._rendered_since_push = True
@@ -454,6 +508,28 @@ class Dock:
         rect = hub.config.resolve_rect(sw, sh)
         full = rect == (0, 0, sw, sh)
         cw, ch = rect[2] - rect[0], rect[3] - rect[1]
+        if not full:
+            # a mid-drag or just-changed rect is served by the dynamic-rect
+            # device step: one cached program for EVERY rect (a per-rect
+            # stream program would cold-compile per drag step); once the
+            # rect settles the exact per-rect stream path resumes below
+            from .roi_interact import DRAG_FIRST, DRAG_MOVE, DRAG_RESIZE
+
+            ri = self.roi_interact
+            drag = ri is not None and bool(
+                ri.flags & (DRAG_FIRST | DRAG_MOVE | DRAG_RESIZE)
+            )
+            changed = (
+                self._last_stream_rect is not None
+                and self._last_stream_rect != rect
+            )
+            self._last_stream_rect = rect
+            if drag or changed:
+                panel = self._consume_dynamic(frame, cx, cy, cw, ch)
+                if panel is not None:
+                    return panel
+        else:
+            self._last_stream_rect = rect
         wv = self.waveform
         wv_prev = wv._buf[wv._r_buf]
         entries = [(n, self.scopes[n].render_leaves()) for n in shown]
@@ -591,6 +667,50 @@ class Dock:
 
         return jax.jit(_stream), dict(rects), wv_fam_yuv, hi_fam_yuv
 
+    def _consume_dynamic(self, frame, cx, cy, cw, ch):
+        """Serve a mid-drag / just-changed-rect streamed frame from the
+        dynamic-rect one-program step (make_dock_step(dynamic_roi=True)):
+        ONE cached program serves EVERY rect, so interactive drags run at
+        video rate with zero recompiles (the reference's drag is a crop
+        realloc, src/roi.c:343-521; a per-rect stream program here would
+        cold-compile 20-120 s through the dev tunnel).
+
+        Panel semantics follow the dynamic dock step (the preview row
+        shows the FULL capture with drag shading; overlay slots fit the
+        rect inside static bands).  Exact vectorscope/histogram statistics
+        are published back; the waveform/overlay/preview published buffers
+        keep their last hub-published crop (their shapes are rect-sized
+        and would retrace per rect) and catch up on the first settled
+        frame.  Returns the device panel, or None to fall back."""
+        hub = self.hub
+        try:
+            out = self._device_step_out(frame, float(self.zebra.tm), cx, cy)
+        except NotImplementedError:
+            return None
+        if not self._device_step_dynamic:
+            return None  # static fallback build: no recompile-free win
+        step = self._device_step
+        # mouse routing follows the device step's static bands (source
+        # dims of the full-band overlay slots are the bands themselves)
+        self._rects = {
+            n: (
+                r[0], r[1], r[2], r[3],
+                step.dims[n][0] or r[2], step.dims[n][1] or r[3],
+            )
+            for n, r in step.rects.items()
+        }
+        cs = hub.colorspace
+        if self.shown("vectorscope"):
+            vsc = self.vectorscope
+            vsc._buf_cs[vsc._w_buf] = cs
+            vsc._publish(out.vs_counts)
+        if self.shown("histogram"):
+            # channel-selected counts: the render's own select is
+            # idempotent over them (disabled channels are already zero)
+            self.histogram._publish((out.hi_counts, cw * ch))
+        hub.frames_processed += 1
+        return out.panel
+
     def render_device(
         self,
         frame,
@@ -605,11 +725,38 @@ class Dock:
         fine locally, many round trips on remote TPU), this is one device
         call per frame.
         """
-        from ..dock_step import make_dock_step
-        from ..utils.persistence import dock_save_data
-
         cx = width or self.config.width
         cy = height or self.config.height
+        return np.asarray(self._device_step_out(frame, tm, cx, cy).panel)
+
+    def _device_confkey(self, full: bool) -> tuple:
+        """Cheap value-identity of every config the device step bakes in
+        (per-frame on the dynamic streaming route).  The ROI rect fields
+        are EXCLUDED when non-full: the dynamic step takes the rect as a
+        runtime input, so dragging must not rebuild."""
+        from ..config import config_key
+
+        fc = self.falsecolor.config
+        fp = None if fc.lut is None else self.falsecolor._lut_fingerprint(fc.lut)
+        return (
+            config_key(
+                self.hub.config,
+                skip=() if full else ("x0", "y0", "x1", "y1"),
+            ),
+            config_key(self.config),
+            config_key(self.vectorscope.config),
+            config_key(self.waveform.config),
+            config_key(self.histogram.config),
+            config_key(self.zebra.config),
+            (config_key(fc, skip=("lut",)), fp),
+            config_key(self.focuspeaking.config),
+        )
+
+    def _device_step_out(self, frame, tm: float, cx: int, cy: int):
+        """Run the cached one-program dock step; returns the device-resident
+        DockStepOutput (panel + stats)."""
+        from ..dock_step import make_dock_step
+
         # (H, W, 4) u8 or the zero-copy (H, W) u32 packed view; host u8
         # frames are re-viewed as u32 for free (see CaptureHub.process)
         if (
@@ -627,17 +774,7 @@ class Dock:
         scale = self.hub.config.target_scale
         rect = self.hub.config.resolve_rect(w // scale, h // scale)
         full = rect == (0, 0, w // scale, h // scale)
-        save = dock_save_data(self)
-        if not full:
-            # the dynamic-ROI step takes the rect as a runtime input: key
-            # the cached program WITHOUT the rect so dragging never rebuilds
-            # (a cold compile is 20-120 s on the tunneled dev setup)
-            save["roi-prop"] = {
-                k: v
-                for k, v in save["roi-prop"].items()
-                if k not in ("x0", "y0", "x1", "y1")
-            }
-        key = (h, w, cx, cy, full, repr(sorted(save.items())))
+        key = (h, w, cx, cy, full, self._device_confkey(full))
         rebuild = getattr(self, "_device_step_key", None) != key or (
             getattr(self, "_device_step_rect", None) is not None
             and self._device_step_rect != rect
@@ -681,7 +818,7 @@ class Dock:
             )
         else:
             out = self._device_step(frame, np.float32(tm))
-        return np.asarray(out.panel)
+        return out
 
     # -- mouse routing (reference src/scope-widget.cpp:241-428) --------------
     def _hit(self, x: int, y: int):
@@ -707,12 +844,27 @@ class Dock:
             w = self.roi_preview.width or 1
             h = self.roi_preview.height or 1
             self.roi_interact = InteractiveROI(width=w, height=h)
+            # seed the committed rect from the hub config (the reference's
+            # roi source keeps x0in.. across settings loads, src/roi.c)
+            c = self.hub.config
+            self.roi_interact.x0in, self.roi_interact.y0in = c.x0, c.y0
+            self.roi_interact.x1in, self.roi_interact.y1in = c.x1, c.y1
         return self.roi_interact
 
     def mouse_move(self, x: int, y: int) -> None:
         name, sx, sy = self._hit(x, y)
         if name == "roi":
-            self._ensure_roi_interact().mouse_move(sx, sy)
+            from .roi_interact import DRAG_MOVE
+
+            r = self._ensure_roi_interact()
+            before = r.rect()
+            r.mouse_move(sx, sy)
+            # a move-drag changes the committed rect continuously; the
+            # reference pushes it to consumers every tick (roi_send_range,
+            # src/roi.c:478-520) — apply live (the dynamic streaming route
+            # serves every rect from one compiled program)
+            if (r.flags & DRAG_MOVE) and r.rect() != before:
+                r.apply_to(self.hub)
 
     def mouse_down(self, x: int, y: int) -> None:
         name, sx, sy = self._hit(x, y)

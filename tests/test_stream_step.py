@@ -206,3 +206,127 @@ def test_config_change_rebuilds_stream_program(rng):
         b = legacy.render(width=128, height=600)
         np.testing.assert_array_equal(a, b, err_msg=f"post-change {i}")
     assert len(stream._stream_fns) == 2  # old + new key
+
+
+def test_live_drag_serves_dynamic_step(rng):
+    """A move-drag changes the hub rect every frame (reference pushes the
+    rect per tick, roi_send_range src/roi.c:478-520); streaming serves every
+    rect from ONE compiled dynamic-rect program — zero recompiles — with
+    exact published vectorscope/histogram statistics, then resumes the
+    exact per-rect stream path when the rect settles."""
+    from obs_color_monitor_tpu.config import Components
+    from obs_color_monitor_tpu.golden import reference as golden
+    from obs_color_monitor_tpu.models.roi_interact import DRAG_MOVE
+
+    dock = _mk(show_roi=True)
+    fs = _frames(12, rng)
+    for f in fs[:3]:  # warm the full-rect stream route
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    assert len(dock._stream_fns) == 1
+    # a programmatic rect change routes the next frame onto the dynamic step
+    dock.hub.set_roi(10, 8, 60, 40)
+    dock.push_frame(fs[3])
+    dock.render(width=128, height=700)
+    assert dock._device_step_dynamic
+    step = dock._device_step
+    assert step._cache_size() == 1
+
+    x0b, y0b, wb, hb, ws, hs = dock._rects["roi"]
+
+    def to_panel(sx, sy):
+        # ceil: _hit's inverse is floor((x - x0) * ws / wb), so the
+        # smallest panel pixel mapping back to (sx, sy) exactly
+        return x0b + -(-sx * wb // ws), y0b + -(-sy * hb // hs)
+
+    dock.mouse_move(*to_panel(30, 20))  # hover inside the rect
+    dock.mouse_down(*to_panel(30, 20))
+    assert dock.roi_interact.flags & DRAG_MOVE
+    cs = dock.hub.colorspace
+    rects_seen = set()
+    for i, f in enumerate(fs[4:9]):
+        dock.mouse_move(*to_panel(30 + 2 * (i + 1), 20 + (i + 1)))
+        r = dock.hub.config.resolve_rect(96, 48)
+        rects_seen.add(r)
+        dock.push_frame(f)
+        p = np.asarray(dock.render(width=128, height=700))
+        # the panel is the dynamic step's own output for this rect
+        out = step(
+            f.view(np.uint32).reshape(48, 96),
+            np.float32(dock.zebra.tm),
+            np.asarray(r, np.int32),
+        )
+        np.testing.assert_array_equal(p, np.asarray(out.panel))
+        # published statistics are exact for the live rect
+        crop = golden.roi_crop(f, *r)
+        yuv = golden.rgb_to_yuv_u8(crop, cs)
+        np.testing.assert_array_equal(
+            np.asarray(dock.vectorscope._read()),
+            golden.vectorscope_counts(yuv),
+        )
+        hi, n_px = dock.histogram._read()
+        np.testing.assert_array_equal(
+            np.asarray(hi), golden.histogram_counts(crop, None, Components.RGB)
+        )
+        assert n_px == (r[2] - r[0]) * (r[3] - r[1])
+    assert len(rects_seen) == 5  # the rect moved every frame
+    assert step._cache_size() == 1  # ...through ONE compiled program
+    assert dock._device_step is step
+    dock.mouse_up(*to_panel(40, 25))
+
+    # settled: the exact per-rect stream path resumes (hub-route parity)
+    final = dock.hub.config.resolve_rect(96, 48)
+    legacy = _mk(stream=False, show_roi=True)
+    legacy.hub.set_roi(*final)
+    dock.push_frame(fs[9])
+    legacy.push_frame(fs[9])
+    dock.render(width=128, height=700)
+    legacy.render(width=128, height=700)
+    for f in fs[10:]:
+        dock.push_frame(f)
+        legacy.push_frame(f)
+        a = dock.render(width=128, height=700)
+        b = legacy.render(width=128, height=700)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _assert_scope_state_equal(dock, legacy)
+
+
+def test_sizing_drag_outlines_selection(rng):
+    """A corner-handle resize drag keeps the committed rect (and its stream
+    program) but outlines the in-progress selection on the panel
+    (reference draw_roi_rect, src/roi.c:236-265)."""
+    dock = _mk(show_roi=True)
+    fs = _frames(6, rng)
+    for f in fs[:3]:
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    x0b, y0b, wb, hb, ws, hs = dock._rects["roi"]
+
+    def to_panel(sx, sy):
+        # ceil: _hit's inverse is floor((x - x0) * ws / wb), so the
+        # smallest panel pixel mapping back to (sx, sy) exactly
+        return x0b + -(-sx * wb // ws), y0b + -(-sy * hb // hs)
+
+    dock.push_frame(fs[3])
+    dock.render(width=128, height=700)
+    # second render of the SAME frame state (no push between): same tm,
+    # same published stats — the before/after pair differs only by the
+    # drag outline
+    base = np.asarray(dock.render(width=128, height=700))
+    # first-selection drag over empty state
+    dock.mouse_move(*to_panel(20, 10))
+    dock.mouse_down(*to_panel(20, 10))
+    dock.mouse_move(*to_panel(70, 40))
+    assert dock.roi_interact.sizing_rect() == (20, 10, 70, 40)
+    p = np.asarray(dock.render(width=128, height=700))
+    green = np.array([0, 255, 0, 255], np.uint8)
+    assert (p == green).all(axis=-1).any()
+    # the committed rect never changed: still the full-rect stream program
+    assert dock.hub.config.resolve_rect(96, 48) == (0, 0, 96, 48)
+    diff = p != base
+    ys, xs = np.where(diff.any(axis=-1))
+    # changes are exactly the outline, confined to the preview band
+    assert ys.size and (ys < y0b + hb).all() and (ys >= y0b).all()
+    assert (p[ys, xs] == green).all()
+    dock.mouse_up(*to_panel(70, 40))
+    assert dock.hub.config.resolve_rect(96, 48) == (20, 10, 70, 40)
