@@ -268,11 +268,13 @@ def make_full_step(
             hi_counts=hi_counts.astype(jnp.uint32),
         )
 
-    # True when (on a Pallas backend) the whole step flows through the
-    # frame-pipeline kernel, whose tm input makes every output loop-variant
-    # — bench.py relies on this for its copy-free anti-hoist and must fall
-    # back to an input XOR otherwise
-    step.pipeline_static_ok = use_pipeline
+    # True when the whole step flows through the frame-pipeline kernel,
+    # whose tm input makes every output loop-variant — bench.py relies on
+    # this for its copy-free anti-hoist and must fall back to an input XOR
+    # otherwise.  The backend factor is part of the flag: on CPU/XLA the
+    # generic stats path ignores tm, so use_pipeline alone would let a
+    # benchmark drop its anti-hoist and time a hoisted loop.
+    step.pipeline_static_ok = use_pipeline and default_backend() == "pallas"
     return step
 
 

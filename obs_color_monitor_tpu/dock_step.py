@@ -36,7 +36,7 @@ from .models.dock import SCOPE_ORDER
 from .ops import overlays as overlay_ops
 from .ops import render as render_ops
 from .ops.convert import planarize
-from .ops.fused import analyze
+from .ops.fused import analyze, default_backend
 from .ops.graticule import (
     histogram_graticule,
     vectorscope_graticule,
@@ -394,7 +394,6 @@ def make_dock_step(
     if dynamic_roi:
         from .config import DisplayMode as _DM
         from .models.dock import _shaded_preview
-        from .ops.fused import default_backend
         from .ops.pallas_overlays import fused_overlays_planes
 
         @jax.jit
@@ -653,7 +652,9 @@ def make_dock_step(
                 hi_counts=hi_counts.astype(jnp.uint32),
             )
 
-        step_dyn.pipeline_static_ok = pipeline_ok
+        step_dyn.pipeline_static_ok = (
+            pipeline_ok and default_backend() == "pallas"
+        )
         # slot geometry for the model layer's mouse routing (name ->
         # (x0, y0, w, h) band + source dims; overlays are (0, 0) = the
         # band itself in dynamic mode)
@@ -818,9 +819,14 @@ def make_dock_step(
                 w, h = min(w, w_src), min(h, h_src)
                 cx0 = (w_src - w) // 2
                 cy0 = (h_src - h) // 2
-                patch = images[name][cy0 : cy0 + h, cx0 : cx0 + w]
-                if patch.ndim == 2:  # packed u32 -> (h, w, 4) u8 view
+                patch = images[name]
+                if patch.ndim == 2:
+                    # packed u32 -> (H, W, 4) u8 view BEFORE the column
+                    # crop: slicing the u32 image's minor (lane) axis would
+                    # pay a full relayout copy (repo invariant; the bitcast
+                    # is free and the crop then rides the fused consumer)
                     patch = jax.lax.bitcast_convert_type(patch, jnp.uint8)
+                patch = patch[cy0 : cy0 + h, cx0 : cx0 + w]
                 x0 = (out_width - w) // 2
             else:
                 patch = _resize_nearest_rgba(images[name], h, w)
@@ -833,11 +839,14 @@ def make_dock_step(
             hi_counts=hi_counts.astype(jnp.uint32),
         )
 
-    # True when (on a Pallas backend) analyze takes its frame-pipeline fast
-    # path, whose tm SMEM input makes the stats kernel — and everything
-    # downstream — loop-variant; benchmark loops can then drop the input-XOR
-    # anti-hoist copy (see api.make_full_step.pipeline_static_ok)
-    step.pipeline_static_ok = roi_rect is None and pipeline_ok
+    # True when analyze takes its frame-pipeline fast path, whose tm SMEM
+    # input makes the stats kernel — and everything downstream —
+    # loop-variant; benchmark loops can then drop the input-XOR anti-hoist
+    # copy.  Backend-inclusive: on CPU/XLA tm is ignored, so the flag must
+    # be False there (see api.make_full_step.pipeline_static_ok)
+    step.pipeline_static_ok = (
+        roi_rect is None and pipeline_ok and default_backend() == "pallas"
+    )
     step.rects = dict(rects)
     step.dims = dict(dims)
     return step

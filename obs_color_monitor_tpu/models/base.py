@@ -47,6 +47,10 @@ class SurfaceData:
     width: int
     height: int
     colorspace: Colorspace
+    # True when ``result.planes`` is the ROI crop (a non-full rect was
+    # applied): the preview row must render it plainly rather than
+    # re-resolving the rect against the crop's own dimensions
+    cropped: bool = False
 
 
 @dataclasses.dataclass
@@ -257,15 +261,10 @@ class CaptureHub:
         # free on the host (numpy view), and the band kernel reads the u32
         # form directly where a u8 device array first pays a full-frame
         # relayout copy (xprof r3, doc/performance.md)
-        if (
-            not is_planar
-            and isinstance(frame, np.ndarray)
-            and frame.ndim == 3
-            and frame.shape[-1] == 4
-            and frame.dtype == np.uint8
-            and frame.flags["C_CONTIGUOUS"]
-        ):
-            frame = frame.view(np.uint32).reshape(frame.shape[:2])
+        if not is_planar:
+            from ..ops.convert import host_packed_view
+
+            frame = host_packed_view(frame)
         is_packed = not is_planar and getattr(frame, "ndim", 3) == 2
         if is_planar or is_packed:
             h, w = frame.shape[-2], frame.shape[-1]
@@ -302,7 +301,10 @@ class CaptureHub:
             )
         cw = rect[2] - rect[0]
         ch = rect[3] - rect[1]
-        surface = SurfaceData(result=result, width=cw, height=ch, colorspace=cs)
+        surface = SurfaceData(
+            result=result, width=cw, height=ch, colorspace=cs,
+            cropped=not full,
+        )
         self.last_surface = surface
         for c in self.consumers:
             with profiler.probe(f"surface_cb:{type(c).__name__}"):

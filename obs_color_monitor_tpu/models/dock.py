@@ -130,6 +130,8 @@ class _RoiPreview(Scope):
     def __init__(self, hub: CaptureHub):
         super().__init__(hub.config)
         self._hub = hub
+        # whether each published buffer is an ROI crop (paired with _buf)
+        self._buf_cropped = [False, False]
 
     def needs(self):
         from .base import Needs
@@ -139,6 +141,7 @@ class _RoiPreview(Scope):
     def surface_cb(self, surface) -> None:
         if surface.result.planes is not None:
             self._size = (surface.width, surface.height)
+            self._buf_cropped[self._w_buf] = surface.cropped
             self._publish(surface.result.planes)
 
     def _full_rect(self, planes) -> bool:
@@ -149,6 +152,11 @@ class _RoiPreview(Scope):
         v = self._read()
         if v is None:
             return None
+        if self._buf_cropped[self._w_buf ^ 1]:
+            # the published planes ARE the rect crop: render plainly (the
+            # static dock step shows the same; re-resolving the rect
+            # against the crop's own dims would shade it a second time)
+            return (v,)
         if self._full_rect(v):
             return (v,)
         h, w = v.shape[-2], v.shape[-1]
@@ -158,8 +166,10 @@ class _RoiPreview(Scope):
 
     def render_trace_key(self):
         v = self._read()
-        return (self._hub.config.target_scale,
-                None if v is None else self._full_rect(v))
+        if v is None:
+            return (self._hub.config.target_scale, None)
+        shaded = not self._buf_cropped[self._w_buf ^ 1] and not self._full_rect(v)
+        return (self._hub.config.target_scale, shaded)
 
     def render_traced(self, planes, rect=None):
         if rect is None:
@@ -229,6 +239,12 @@ class Dock:
         # last streamed rect: a change routes the frame onto the dynamic-
         # rect device step (zero recompiles) until the rect settles
         self._last_stream_rect = None
+        # rect under which the currently-published scope leaves were
+        # produced: the stream/fused programs' layout spec is derived from
+        # those leaves, so a frame whose rect differs must resync through
+        # the hub fan-out first (else the new rect's analysis would be
+        # composed into the OLD rect's slot layout)
+        self._leaves_rect = None
 
     def shown(self, name: str) -> bool:
         return bool(getattr(self.config, f"show_{name}"))
@@ -259,20 +275,51 @@ class Dock:
         device program per frame — on a remote TPU each separate program
         execution pays a round trip, and this route pays exactly one.
         Push-without-render patterns, custom hub consumers, and bypass all
-        take the reference-shaped hub fan-out unchanged."""
+        take the reference-shaped hub fan-out unchanged.
+
+        Deferral is observable host-side: between push_frame(f) and the
+        next render, scope reads (histogram.counts(), hub.last_surface,
+        frames_processed...) still show the PREVIOUS frame — the render
+        call publishes f's statistics together with its panel.  A
+        push-then-poll consumer that needs f's statistics before any
+        render should call :meth:`flush` first (or drive hub.process
+        directly, bypassing the stream route)."""
         if self._pending is not None:
             # a pushed frame was never rendered: flush it through the hub
             # (under its own tick state, which is still current) so
             # published statistics advance exactly like the legacy path
             f, self._pending = self._pending, None
-            self.hub.process(f)
+            if self.hub.process(f) is not None:
+                self._leaves_rect = self._hub_rect(f)
         rendered = self._rendered_since_push
         self._rendered_since_push = False
         self.hub.tick()
         if rendered and self._stream_ok():
             self._pending = frame
         else:
-            self.hub.process(frame)
+            if self.hub.process(frame) is not None:
+                self._leaves_rect = self._hub_rect(frame)
+
+    def _hub_rect(self, frame):
+        """The rect hub.process publishes a processed frame's leaves under
+        (mirrors CaptureHub.process's scale + rect resolution) — tracked so
+        the stream route can tell when its published leaves belong to a
+        different rect than the live one (see _consume_stream's resync)."""
+        if getattr(frame, "ndim", 3) == 2:
+            h, w = frame.shape[-2], frame.shape[-1]
+        else:
+            h, w = frame.shape[-3], frame.shape[-2]
+        scale = self.hub.config.target_scale
+        return self.hub.config.resolve_rect(w // scale, h // scale)
+
+    def flush(self) -> None:
+        """Analyze any deferred frame NOW through the hub fan-out, so
+        host-side scope reads reflect the latest pushed frame without a
+        render (see push_frame on deferral)."""
+        if self._pending is not None:
+            f, self._pending = self._pending, None
+            if self.hub.process(f) is not None:
+                self._leaves_rect = self._hub_rect(f)
 
     def render(
         self, width: Optional[int] = None, height: Optional[int] = None
@@ -487,14 +534,9 @@ class Dock:
             hub.frames_skipped += 1
             return None  # skipped: panel re-renders the published buffers
         # mirror hub.process's free host-side u8 -> packed u32 view
-        if (
-            isinstance(frame, np.ndarray)
-            and frame.ndim == 3
-            and frame.shape[-1] == 4
-            and frame.dtype == np.uint8
-            and frame.flags["C_CONTIGUOUS"]
-        ):
-            frame = frame.view(np.uint32).reshape(frame.shape[:2])
+        from ..ops.convert import host_packed_view
+
+        frame = host_packed_view(frame)
         is_packed = getattr(frame, "ndim", 3) == 2
         if is_packed:
             h, w = frame.shape[-2], frame.shape[-1]
@@ -530,6 +572,15 @@ class Dock:
                     return panel
         else:
             self._last_stream_rect = rect
+        if self._leaves_rect != rect:
+            # the published leaves belong to a different rect (warmup, a
+            # just-settled drag — the dynamic step publishes only stats —
+            # or a programmatic rect change): one hub-fan-out frame
+            # republishes every leaf at THIS rect, so the stream/fused
+            # programs below are always built from rect-consistent specs
+            hub.process(frame)
+            self._leaves_rect = rect
+            return None
         wv = self.waveform
         wv_prev = wv._buf[wv._r_buf]
         entries = [(n, self.scopes[n].render_leaves()) for n in shown]
@@ -572,6 +623,7 @@ class Dock:
             s._publish((planes, cs))
         rp = self.roi_preview
         rp._size = (cw, ch)
+        rp._buf_cropped[rp._w_buf] = not full
         rp._publish(planes)
         vsc = self.vectorscope
         vsc._buf_cs[vsc._w_buf] = cs
@@ -637,7 +689,8 @@ class Dock:
                 tm=tm,
             )
             surface = SurfaceData(
-                result=res, width=cw, height=ch, colorspace=cs
+                result=res, width=cw, height=ch, colorspace=cs,
+                cropped=not full,
             )
             saved = [(c, list(c._buf), c._w_buf) for c in consumers]
             try:
@@ -759,14 +812,9 @@ class Dock:
 
         # (H, W, 4) u8 or the zero-copy (H, W) u32 packed view; host u8
         # frames are re-viewed as u32 for free (see CaptureHub.process)
-        if (
-            isinstance(frame, np.ndarray)
-            and frame.ndim == 3
-            and frame.shape[-1] == 4
-            and frame.dtype == np.uint8
-            and frame.flags["C_CONTIGUOUS"]
-        ):
-            frame = frame.view(np.uint32).reshape(frame.shape[:2])
+        from ..ops.convert import host_packed_view
+
+        frame = host_packed_view(frame)
         if getattr(frame, "ndim", 3) == 2:
             h, w = frame.shape[-2], frame.shape[-1]
         else:

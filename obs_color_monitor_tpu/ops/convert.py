@@ -52,6 +52,26 @@ def planarize_packed(x32: jax.Array) -> jax.Array:
     return jnp.stack(planes, axis=-3)
 
 
+def host_packed_view(frame):
+    """Host (H, W, 4) u8 C-contiguous frame -> its (H, W) u32 packed view
+    (identical bytes, free numpy view); anything else passes through.
+
+    The band kernel reads the u32 form directly where a u8 device array
+    first pays a full-frame relayout copy (doc/performance.md) — every
+    ingest entry point normalizes through here."""
+    import numpy as np
+
+    if (
+        isinstance(frame, np.ndarray)
+        and frame.ndim == 3
+        and frame.shape[-1] == 4
+        and frame.dtype == np.uint8
+        and frame.flags["C_CONTIGUOUS"]
+    ):
+        return frame.view(np.uint32).reshape(frame.shape[:2])
+    return frame
+
+
 @jax.jit
 def interleave(planes: jax.Array) -> jax.Array:
     """(..., C, H, W) -> (..., H, W, C); display/spec boundary only."""

@@ -119,11 +119,17 @@ class Y4MSource(FrameSource):
                 y = np.frombuffer(buf[:ysz], np.uint8).reshape(h, w)
                 u = np.frombuffer(buf[ysz : ysz + csz], np.uint8).reshape(ch, cw)
                 v = np.frombuffer(buf[ysz + csz :], np.uint8).reshape(ch, cw)
-                if (sx, sy) == (2, 2):
+                if (sx, sy) == (2, 2) and w % 2 == 0:
                     uv = np.empty((ch, w), np.uint8)
                     uv[:, 0::2] = u
                     uv[:, 1::2] = v
                     yield native.nv12_to_rgba(y, uv, cs=self.cs)
+                elif (sx, sy) == (2, 2):
+                    # odd width: the NV12 interleave needs an even column
+                    # count (ceil-sized chroma rows don't fit u/v slots);
+                    # the planar path applies the identical fixed-point
+                    # math with a nearest upsample
+                    yield native.yuv_planes_to_rgba(y, u, v, cs=self.cs)
                 else:
                     yield native.yuv_planes_to_rgba(y, u, v, cs=self.cs)
                 count += 1

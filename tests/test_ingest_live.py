@@ -65,6 +65,24 @@ def test_y4m_c420_matches_nv12_kernel(tmp_path, rng):
     np.testing.assert_array_equal(frame, native.nv12_to_rgba(y, uv, cs=1))
 
 
+def test_y4m_c420_odd_dims(tmp_path, rng):
+    """Odd-width/height C420 (ceil-sized chroma planes, e.g. 101x53): the
+    NV12 interleave needs an even column count, so odd widths take the
+    planar path — same fixed-point math, no crash."""
+    for w, h in ((101, 24), (16, 9), (13, 7)):
+        cw, ch = -(-w // 2), -(-h // 2)
+        y = rng.integers(0, 256, (h, w), np.uint8)
+        u = rng.integers(0, 256, (ch, cw), np.uint8)
+        v = rng.integers(0, 256, (ch, cw), np.uint8)
+        p = tmp_path / f"odd_{w}x{h}.y4m"
+        _write_y4m(p, w, h, "C420", y, u, v)
+        (frame,) = Y4MSource(str(p), cs=2).frames()
+        np.testing.assert_array_equal(
+            frame, native.yuv_planes_to_rgba(y, u, v, cs=2),
+            err_msg=f"{w}x{h}",
+        )
+
+
 def test_y4m_rejects_unknown_chroma(tmp_path):
     p = tmp_path / "t.y4m"
     p.write_bytes(b"YUV4MPEG2 W4 H4 C411\nFRAME\n" + b"\0" * 24)

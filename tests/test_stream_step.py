@@ -330,3 +330,64 @@ def test_sizing_drag_outlines_selection(rng):
     assert (p[ys, xs] == green).all()
     dock.mouse_up(*to_panel(70, 40))
     assert dock.hub.config.resolve_rect(96, 48) == (20, 10, 70, 40)
+
+
+def test_settled_rect_change_uses_fresh_layout(rng):
+    """The first settled frame after a rect change must NOT pair the old
+    rect's layout spec with the new rect's analysis: the published leaves
+    are republished at the new rect (one hub fan-out frame) before any
+    stream program is built, so slot geometry always matches the live
+    crop and converges to the legacy route bit-exactly."""
+    dock = _mk(show_roi=True)
+    legacy = _mk(stream=False, show_roi=True)
+    fs = _frames(10, rng)
+    for d in (dock, legacy):
+        d.hub.set_roi(10, 8, 60, 40)  # 50x32 crop (wide)
+    for f in fs[:3]:
+        for d in (dock, legacy):
+            d.push_frame(f)
+            d.render(width=128, height=700)
+    assert dock._rects["roi"][4:] == (50, 32)
+    for d in (dock, legacy):
+        d.hub.set_roi(30, 4, 50, 44)  # 20x40 crop (tall) - new aspect
+    for i, f in enumerate(fs[3:]):
+        dock.push_frame(f)
+        legacy.push_frame(f)
+        a = np.asarray(dock.render(width=128, height=700))
+        b = np.asarray(legacy.render(width=128, height=700))
+        if i >= 1:
+            # i==0 is the dynamic-step frame (static bands over the full
+            # capture); from the settle frame on, the slot geometry must
+            # track the NEW crop, never the old wide aspect
+            assert dock._rects["roi"][4:] == (20, 40), f"frame {i}"
+        if i >= 2:
+            # published state has converged: panels match legacy exactly
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
+    _assert_scope_state_equal(dock, legacy)
+
+
+def test_flush_publishes_pending_statistics(rng):
+    """Dock.flush: a push-then-poll consumer sees the pushed frame's
+    statistics without rendering (the stream route otherwise defers the
+    analysis into the next render)."""
+    from obs_color_monitor_tpu.config import Components
+    from obs_color_monitor_tpu.golden import reference as golden
+
+    dock = _mk()
+    fs = _frames(4, rng)
+    for f in fs[:3]:  # warm the stream route (deferral active)
+        dock.push_frame(f)
+        dock.render(width=128, height=600)
+    dock.push_frame(fs[3])
+    assert dock._pending is not None  # deferred
+    dock.flush()
+    assert dock._pending is None
+    hi, _ = dock.histogram._read()
+    np.testing.assert_array_equal(
+        np.asarray(hi),
+        golden.histogram_counts(fs[3], None, Components.RGB),
+    )
+    # rendering afterwards is still consistent (no double processing)
+    n = dock.hub.frames_processed
+    dock.render(width=128, height=600)
+    assert dock.hub.frames_processed == n
