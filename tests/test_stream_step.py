@@ -391,3 +391,48 @@ def test_flush_publishes_pending_statistics(rng):
     n = dock.hub.frames_processed
     dock.render(width=128, height=600)
     assert dock.hub.frames_processed == n
+
+
+def test_live_drag_custom_configs_and_midrag_config_change(rng):
+    """Drag streaming with non-default configs (falsecolor LUT + RIGHT key
+    legend): the cached-program key (tuple config_key + LUT fingerprint)
+    serves every rect from ONE dynamic program with exact stats; mutating a
+    config mid-drag rebuilds the program (a stale key must not survive)."""
+    from obs_color_monitor_tpu.config import Components, ShowKey
+    from obs_color_monitor_tpu.golden import reference as golden
+
+    dock = _mk(show_roi=True)
+    lut = np.stack([
+        np.arange(256, dtype=np.uint8),
+        np.arange(255, -1, -1, dtype=np.uint8),
+        np.full(256, 40, np.uint8),
+        np.full(256, 255, np.uint8),
+    ], axis=1)
+    dock.falsecolor.update(use_lut=True, lut=lut, show_key=ShowKey.RIGHT)
+    fs = _frames(12, rng)
+    for f in fs[:3]:
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    cs = dock.hub.colorspace
+    # programmatic per-frame rect changes ride the dynamic route
+    for i, f in enumerate(fs[3:8]):
+        dock.hub.set_roi(5 + 2 * i, 4 + i, 70 + 2 * i, 40 + i)
+        r = dock.hub.config.resolve_rect(96, 48)
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+        assert dock._device_step_dynamic, f"frame {i}"
+        crop = golden.roi_crop(f, *r)
+        yuv = golden.rgb_to_yuv_u8(crop, cs)
+        np.testing.assert_array_equal(
+            np.asarray(dock.vectorscope._read()),
+            golden.vectorscope_counts(yuv), err_msg=f"frame {i}",
+        )
+    step = dock._device_step
+    assert step._cache_size() == 1  # five rects, one compiled program
+    # mid-drag config mutation -> the device-step key must miss and rebuild
+    dock.falsecolor.update(show_key=ShowKey.LEFT)
+    dock.hub.set_roi(30, 10, 80, 44)
+    dock.push_frame(fs[8])
+    dock.render(width=128, height=700)
+    assert dock._device_step is not step
+    assert dock._device_step_dynamic
