@@ -60,9 +60,13 @@ def main() -> None:
     # base batch: big enough that the measured slope span (B x ~2 ms)
     # dwarfs timer jitter; the tunnel round trip cancels in the slope
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    # best-of-7: single spans occasionally read ~5% high (tunnel/host
-    # scheduling jitter on the long program); the minimum converges
-    N_REPS = 7
+    # best-of-9, INTERLEAVED: single spans occasionally read ~5% high
+    # (tunnel/host scheduling jitter), and the shared dev TPU drifts
+    # between fast/slow states over minutes (observed 548->617 fps across
+    # three runs, 2026-08-17) — taking all B reps then all 2B reps lets a
+    # state change between the blocks skew the slope, so the two batch
+    # sizes alternate rep-by-rep and each keeps its own minimum
+    N_REPS = 9
 
     # frames live in HBM as the (H, W) u32 view of the interleaved RGBA
     # bytes — IDENTICAL memory to an (H, W, 4) u8 array (numpy .view), and
@@ -115,17 +119,17 @@ def main() -> None:
     frames = jax.device_put(rgba.view(np.uint32).reshape(H, W))
     frames.block_until_ready()
 
-    def best_of(fn):
-        _ = np.asarray(fn(frames))  # compile + warmup
-        best = float("inf")
-        for _ in range(N_REPS):
-            t0 = time.perf_counter()
-            _ = np.asarray(fn(frames))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def timed(fn):
+        t0 = time.perf_counter()
+        _ = np.asarray(fn(frames))
+        return time.perf_counter() - t0
 
-    t_b = best_of(run_b)
-    t_2b = best_of(run_2b)
+    _ = np.asarray(run_b(frames))  # compile + warmup
+    _ = np.asarray(run_2b(frames))
+    t_b = t_2b = float("inf")
+    for _ in range(N_REPS):
+        t_b = min(t_b, timed(run_b))
+        t_2b = min(t_2b, timed(run_2b))
 
     per_frame = max(t_2b - t_b, 1e-9) / B
     fps = 1.0 / per_frame

@@ -32,10 +32,24 @@ def best_of(fn, args, reps: int = 3) -> float:
     return best
 
 
-def slope_ms(build, args, n: int, reps: int = 3) -> float:
-    """Per-iteration wall cost in ms via the two-batch slope."""
-    t1 = best_of(build(n), args, reps)
-    t2 = best_of(build(2 * n), args, reps)
+def slope_ms(build, args, n: int, reps: int = 5) -> float:
+    """Per-iteration wall cost in ms via the two-batch slope.
+
+    The two batch sizes are timed INTERLEAVED rep-by-rep (each keeping
+    its own minimum): the shared dev TPU drifts between fast/slow states
+    over minutes, and timing all n-reps then all 2n-reps lets a state
+    change between the blocks skew the slope (see bench.py)."""
+    f1, f2 = build(n), build(2 * n)
+    _ = np.asarray(f1(*args))  # compile + warmup
+    _ = np.asarray(f2(*args))
+    t1 = t2 = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = np.asarray(f1(*args))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = np.asarray(f2(*args))
+        t2 = min(t2, time.perf_counter() - t0)
     return (t2 - t1) / n * 1e3
 
 

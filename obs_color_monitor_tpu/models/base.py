@@ -215,6 +215,8 @@ class CaptureHub:
         self.last_surface: Optional[SurfaceData] = None
         self.frames_processed = 0
         self.frames_skipped = 0
+        # scaled (pre-crop) capture dims of the last processed frame
+        self.capture_size: Optional[tuple[int, int]] = None
 
     def register(self, scope: Scope) -> None:
         self.consumers.append(scope)
@@ -279,6 +281,11 @@ class CaptureHub:
             return None
         rect = self.config.resolve_rect(sw, sh)
         full = rect == (0, 0, sw, sh)
+        # scaled capture dims BEFORE the crop: the coordinate space of
+        # interactive ROI selection (reference roi.c works on the full
+        # target; the dock's mouse bridge needs this when the preview
+        # band displays only the crop)
+        self.capture_size = (sw, sh)
         needs = self.union_needs()
         cs = self.colorspace
 

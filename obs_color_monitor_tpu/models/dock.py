@@ -239,6 +239,10 @@ class Dock:
         # last streamed rect: a change routes the frame onto the dynamic-
         # rect device step (zero recompiles) until the rect settles
         self._last_stream_rect = None
+        # whether the LAST-rendered roi band displays the crop (vs the
+        # full capture): the mouse bridge and sizing outline translate
+        # between band pixels and capture coordinates with this
+        self._roi_shows_crop = False
         # rect under which the currently-published scope leaves were
         # produced: the stream/fused programs' layout spec is derived from
         # those leaves, so a frame whose rect differs must resync through
@@ -370,12 +374,18 @@ class Dock:
         if sr is None or band is None:
             return panel
         x0b, y0b, wb, hb, ws, hs = band
+        # sr is in scaled-CAPTURE coords; when the band displays the crop,
+        # shift by the committed rect origin before scaling to band pixels
+        ox = oy = 0
+        if self._roi_shows_crop and self.hub.capture_size:
+            r = self.hub.config.resolve_rect(*self.hub.capture_size)
+            ox, oy = r[0], r[1]
         px = np.asarray(
             (
-                x0b + sr[0] * wb // max(ws, 1),
-                y0b + sr[1] * hb // max(hs, 1),
-                x0b + sr[2] * wb // max(ws, 1),
-                y0b + sr[3] * hb // max(hs, 1),
+                np.clip(x0b + (sr[0] - ox) * wb // max(ws, 1), x0b, x0b + wb),
+                np.clip(y0b + (sr[1] - oy) * hb // max(hs, 1), y0b, y0b + hb),
+                np.clip(x0b + (sr[2] - ox) * wb // max(ws, 1), x0b, x0b + wb),
+                np.clip(y0b + (sr[3] - oy) * hb // max(hs, 1), y0b, y0b + hb),
             ),
             np.int32,
         )
@@ -415,11 +425,13 @@ class Dock:
             if cached is not None:
                 fn, rects, included = cached
                 self._rects = dict(rects)
+                self._roi_shows_crop = self._preview_is_crop()
                 by_name = dict(entries)
                 leaves = [l for n in included for l in by_name[n]]
                 return fn(*leaves)
         n_src = len(shown)
         self._rects = {}
+        self._roi_shows_crop = self._preview_is_crop()
         spec: list[tuple] = []
         images: list = []
         included: list[str] = []
@@ -613,6 +625,7 @@ class Dock:
             self._stream_fns[skey] = entry
         fn, rects, wv_fam_yuv, hi_fam_yuv = entry
         self._rects = dict(rects)
+        self._roi_shows_crop = not full
         tm = np.float32(self.zebra.tm)
         panel, vs_c, wv_c, hi_c, planes = fn(frame, tm, wv_prev)
         # publish-back: exactly what each scope's surface_cb stores
@@ -752,6 +765,7 @@ class Dock:
             )
             for n, r in step.rects.items()
         }
+        self._roi_shows_crop = False  # dynamic preview = full capture
         cs = hub.colorspace
         if self.shown("vectorscope"):
             vsc = self.vectorscope
@@ -820,6 +834,7 @@ class Dock:
         else:
             h, w = frame.shape[-3], frame.shape[-2]
         scale = self.hub.config.target_scale
+        self.hub.capture_size = (w // scale, h // scale)
         rect = self.hub.config.resolve_rect(w // scale, h // scale)
         full = rect == (0, 0, w // scale, h // scale)
         key = (h, w, cx, cy, full, self._device_confkey(full))
@@ -885,12 +900,33 @@ class Dock:
         if name == "vectorscope":
             self.vectorscope.zoom_by(delta_y)
 
+    def _preview_is_crop(self) -> bool:
+        """True when the roi preview's published planes are the rect crop
+        (what a settled non-full rect displays)."""
+        rp = self.roi_preview
+        return bool(rp._buf_cropped[rp._w_buf ^ 1])
+
+    def _roi_to_capture(self, sx: int, sy: int) -> tuple[int, int]:
+        """Band-local scope coords -> scaled-CAPTURE coords (the
+        InteractiveROI state machine's space, like the reference's
+        full-target ROI view): when the band displays the crop, offset by
+        the committed rect origin."""
+        if self._roi_shows_crop and self.hub.capture_size:
+            r = self.hub.config.resolve_rect(*self.hub.capture_size)
+            return sx + r[0], sy + r[1]
+        return sx, sy
+
     def _ensure_roi_interact(self):
         if self.roi_interact is None:
             from .roi_interact import InteractiveROI
 
-            w = self.roi_preview.width or 1
-            h = self.roi_preview.height or 1
+            # the interact space is the scaled CAPTURE (the reference's ROI
+            # source always shows the full target, src/roi.c:279-315) — not
+            # the preview's published dims, which may be the crop
+            w, h = self.hub.capture_size or (
+                self.roi_preview.width or 1,
+                self.roi_preview.height or 1,
+            )
             self.roi_interact = InteractiveROI(width=w, height=h)
             # seed the committed rect from the hub config (the reference's
             # roi source keeps x0in.. across settings loads, src/roi.c)
@@ -905,6 +941,7 @@ class Dock:
             from .roi_interact import DRAG_MOVE
 
             r = self._ensure_roi_interact()
+            sx, sy = self._roi_to_capture(sx, sy)
             before = r.rect()
             r.mouse_move(sx, sy)
             # a move-drag changes the committed rect continuously; the
@@ -917,11 +954,12 @@ class Dock:
     def mouse_down(self, x: int, y: int) -> None:
         name, sx, sy = self._hit(x, y)
         if name == "roi":
-            self._ensure_roi_interact().mouse_down(sx, sy)
+            r = self._ensure_roi_interact()
+            r.mouse_down(*self._roi_to_capture(sx, sy))
 
     def mouse_up(self, x: int, y: int) -> None:
         name, sx, sy = self._hit(x, y)
         if name == "roi":
             r = self._ensure_roi_interact()
-            r.mouse_up(sx, sy)
+            r.mouse_up(*self._roi_to_capture(sx, sy))
             r.apply_to(self.hub)

@@ -436,3 +436,56 @@ def test_live_drag_custom_configs_and_midrag_config_change(rng):
     dock.render(width=128, height=700)
     assert dock._device_step is not step
     assert dock._device_step_dynamic
+
+
+def test_move_drag_from_settled_crop_view(rng):
+    """A settled non-full rect displays the CROP in the preview band; mouse
+    coords there are crop-local while the interact state machine works in
+    scaled-capture space (the reference's ROI view is always the full
+    target) — the bridge offsets by the committed rect origin, so moving
+    the rect from the crop view lands exactly."""
+    from obs_color_monitor_tpu.golden import reference as golden
+    from obs_color_monitor_tpu.models.roi_interact import DRAG_MOVE
+
+    dock = _mk(show_roi=True)
+    fs = _frames(10, rng)
+    for f in fs[:3]:
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    dock.hub.set_roi(20, 10, 70, 40)
+    for f in fs[3:6]:  # dynamic frame, resync frame, stream frame
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    assert dock._roi_shows_crop
+    assert dock._rects["roi"][4:] == (50, 30)  # band displays the crop
+
+    def cap_to_panel(cx_, cy_):
+        x0b, y0b, wb, hb, ws, hs = dock._rects["roi"]
+        ox = oy = 0
+        if dock._roi_shows_crop:
+            r = dock.hub.config.resolve_rect(*dock.hub.capture_size)
+            ox, oy = r[0], r[1]
+        return (
+            x0b + -(-(cx_ - ox) * wb // ws),
+            y0b + -(-(cy_ - oy) * hb // hs),
+        )
+
+    dock.mouse_move(*cap_to_panel(40, 25))
+    dock.mouse_down(*cap_to_panel(40, 25))
+    assert dock.roi_interact.flags & DRAG_MOVE
+    dock.mouse_move(*cap_to_panel(50, 30))  # drag +10,+5 in capture space
+    assert dock.hub.config.resolve_rect(96, 48) == (30, 15, 80, 45)
+    cs = dock.hub.colorspace
+    dock.push_frame(fs[6])
+    dock.render(width=128, height=700)
+    assert not dock._roi_shows_crop  # mid-drag: dynamic full-capture view
+    crop = golden.roi_crop(fs[6], 30, 15, 80, 45)
+    np.testing.assert_array_equal(
+        np.asarray(dock.vectorscope._read()),
+        golden.vectorscope_counts(golden.rgb_to_yuv_u8(crop, cs)),
+    )
+    # the drag continues in full-view coordinates (no crop offset now)
+    dock.mouse_move(*cap_to_panel(52, 31))
+    assert dock.hub.config.resolve_rect(96, 48) == (32, 16, 82, 46)
+    dock.mouse_up(*cap_to_panel(52, 31))
+    assert dock.hub.config.resolve_rect(96, 48) == (32, 16, 82, 46)
