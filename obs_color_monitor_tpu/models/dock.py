@@ -240,9 +240,14 @@ class Dock:
         # rect device step (zero recompiles) until the rect settles
         self._last_stream_rect = None
         # whether the LAST-rendered roi band displays the crop (vs the
-        # full capture): the mouse bridge and sizing outline translate
-        # between band pixels and capture coordinates with this
+        # full capture), and that crop's capture-space origin SNAPSHOTTED
+        # at render time: the mouse bridge and sizing outline translate
+        # between band pixels and capture coordinates with these.  The
+        # origin must NOT be re-resolved from live config at event time —
+        # a move-drag changes the committed rect between renders, and a
+        # live offset would compound every mouse event into runaway drift
         self._roi_shows_crop = False
+        self._roi_crop_origin = (0, 0)
         # rect under which the currently-published scope leaves were
         # produced: the stream/fused programs' layout spec is derived from
         # those leaves, so a frame whose rect differs must resync through
@@ -375,11 +380,8 @@ class Dock:
             return panel
         x0b, y0b, wb, hb, ws, hs = band
         # sr is in scaled-CAPTURE coords; when the band displays the crop,
-        # shift by the committed rect origin before scaling to band pixels
-        ox = oy = 0
-        if self._roi_shows_crop and self.hub.capture_size:
-            r = self.hub.config.resolve_rect(*self.hub.capture_size)
-            ox, oy = r[0], r[1]
+        # shift by the DISPLAYED crop's origin before scaling to band px
+        ox, oy = self._roi_crop_origin
         px = np.asarray(
             (
                 np.clip(x0b + (sr[0] - ox) * wb // max(ws, 1), x0b, x0b + wb),
@@ -425,13 +427,13 @@ class Dock:
             if cached is not None:
                 fn, rects, included = cached
                 self._rects = dict(rects)
-                self._roi_shows_crop = self._preview_is_crop()
+                self._set_roi_view()
                 by_name = dict(entries)
                 leaves = [l for n in included for l in by_name[n]]
                 return fn(*leaves)
         n_src = len(shown)
         self._rects = {}
-        self._roi_shows_crop = self._preview_is_crop()
+        self._set_roi_view()
         spec: list[tuple] = []
         images: list = []
         included: list[str] = []
@@ -626,6 +628,7 @@ class Dock:
         fn, rects, wv_fam_yuv, hi_fam_yuv = entry
         self._rects = dict(rects)
         self._roi_shows_crop = not full
+        self._roi_crop_origin = (rect[0], rect[1]) if not full else (0, 0)
         tm = np.float32(self.zebra.tm)
         panel, vs_c, wv_c, hi_c, planes = fn(frame, tm, wv_prev)
         # publish-back: exactly what each scope's surface_cb stores
@@ -766,6 +769,7 @@ class Dock:
             for n, r in step.rects.items()
         }
         self._roi_shows_crop = False  # dynamic preview = full capture
+        self._roi_crop_origin = (0, 0)
         cs = hub.colorspace
         if self.shown("vectorscope"):
             vsc = self.vectorscope
@@ -900,21 +904,31 @@ class Dock:
         if name == "vectorscope":
             self.vectorscope.zoom_by(delta_y)
 
-    def _preview_is_crop(self) -> bool:
-        """True when the roi preview's published planes are the rect crop
-        (what a settled non-full rect displays)."""
+    def _set_roi_view(self) -> None:
+        """Snapshot what the roi band is about to display (published
+        planes): crop or full, and the crop's capture-space origin — the
+        rect the planes were PUBLISHED under (_leaves_rect), not the live
+        config (a mid-drag commit must not move the offset until the
+        display catches up)."""
         rp = self.roi_preview
-        return bool(rp._buf_cropped[rp._w_buf ^ 1])
+        self._roi_shows_crop = bool(rp._buf_cropped[rp._w_buf ^ 1])
+        if not self._roi_shows_crop:
+            self._roi_crop_origin = (0, 0)
+        elif self._leaves_rect is not None:
+            self._roi_crop_origin = (self._leaves_rect[0], self._leaves_rect[1])
+        elif self.hub.capture_size:
+            r = self.hub.config.resolve_rect(*self.hub.capture_size)
+            self._roi_crop_origin = (r[0], r[1])
+        else:
+            self._roi_crop_origin = (0, 0)
 
     def _roi_to_capture(self, sx: int, sy: int) -> tuple[int, int]:
         """Band-local scope coords -> scaled-CAPTURE coords (the
         InteractiveROI state machine's space, like the reference's
         full-target ROI view): when the band displays the crop, offset by
-        the committed rect origin."""
-        if self._roi_shows_crop and self.hub.capture_size:
-            r = self.hub.config.resolve_rect(*self.hub.capture_size)
-            return sx + r[0], sy + r[1]
-        return sx, sy
+        the DISPLAYED crop's origin (snapshotted at render time)."""
+        ox, oy = self._roi_crop_origin
+        return sx + ox, sy + oy
 
     def _ensure_roi_interact(self):
         if self.roi_interact is None:

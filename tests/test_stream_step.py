@@ -461,10 +461,7 @@ def test_move_drag_from_settled_crop_view(rng):
 
     def cap_to_panel(cx_, cy_):
         x0b, y0b, wb, hb, ws, hs = dock._rects["roi"]
-        ox = oy = 0
-        if dock._roi_shows_crop:
-            r = dock.hub.config.resolve_rect(*dock.hub.capture_size)
-            ox, oy = r[0], r[1]
+        ox, oy = dock._roi_crop_origin  # the DISPLAYED crop's origin
         return (
             x0b + -(-(cx_ - ox) * wb // ws),
             y0b + -(-(cy_ - oy) * hb // hs),
@@ -489,3 +486,44 @@ def test_move_drag_from_settled_crop_view(rng):
     assert dock.hub.config.resolve_rect(96, 48) == (32, 16, 82, 46)
     dock.mouse_up(*cap_to_panel(52, 31))
     assert dock.hub.config.resolve_rect(96, 48) == (32, 16, 82, 46)
+
+
+def test_multi_move_drag_between_renders_no_drift(rng):
+    """Many mouse-move events between two renders (the normal UI cadence —
+    mouse rates exceed display rates) must track the cursor 1:1 from a
+    settled crop view: the crop offset is snapshotted at render time, so
+    mid-drag rect commits cannot compound into runaway drift (each event
+    once gained an offset equal to ALL prior motion)."""
+    from obs_color_monitor_tpu.models.roi_interact import DRAG_MOVE
+
+    dock = _mk(show_roi=True)
+    fs = _frames(8, rng)
+    for f in fs[:3]:
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    dock.hub.set_roi(20, 10, 70, 40)
+    for f in fs[3:6]:  # dynamic, resync, stream: crop view settles
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    assert dock._roi_shows_crop
+
+    x0b, y0b, wb, hb, ws, hs = dock._rects["roi"]
+    ox, oy = dock._roi_crop_origin
+    assert (ox, oy) == (20, 10)
+
+    def cap_to_panel(cx_, cy_):
+        return (
+            x0b + -(-(cx_ - ox) * wb // ws),
+            y0b + -(-(cy_ - oy) * hb // hs),
+        )
+
+    dock.mouse_move(*cap_to_panel(40, 25))
+    dock.mouse_down(*cap_to_panel(40, 25))
+    assert dock.roi_interact.flags & DRAG_MOVE
+    # three 1-px moves with NO render in between: total shift must be +3,
+    # not +1,+2,+3 compounding
+    for dx in (1, 2, 3):
+        dock.mouse_move(*cap_to_panel(40 + dx, 25))
+    assert dock.hub.config.resolve_rect(96, 48) == (23, 10, 73, 40)
+    dock.mouse_up(*cap_to_panel(43, 25))
+    assert dock.hub.config.resolve_rect(96, 48) == (23, 10, 73, 40)
