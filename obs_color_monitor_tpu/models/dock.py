@@ -64,26 +64,34 @@ def _composite(cy: int, cx: int, spec: tuple, images: tuple):
     return compose_vstack(patches, cx, cy)
 
 
+# the reference draws up to 4 border edges + 4 handles x 3 lines each
+_MAX_INDICATOR_SEGS = 16
+
+
 @jax.jit
-def _sizing_border_px(panel, rect_px):
-    """1-px green selection outline at PANEL coordinates — the in-progress
-    drag rectangle (reference draw_roi_rect, src/roi.c:236-265), drawn over
-    the finished panel so any render route shows live drag feedback without
-    retracing (rect is a dynamic (4,) i32)."""
+def _segments_px(panel, segs):
+    """1-px green axis-aligned line segments at PANEL coordinates — the
+    drag/hover indicator vertices of the reference's draw_roi_rect
+    (src/roi.c:183-242), drawn over the finished panel so any render route
+    shows live mouse feedback without retracing (segs is a dynamic
+    (_MAX_INDICATOR_SEGS, 4) i32 of inclusive (x0, y0, x1, y1) spans,
+    normalized so x0<=x1, y0<=y1; x0 < 0 marks an empty slot)."""
     import jax.numpy as jnp
 
     h, w = panel.shape[0], panel.shape[1]
-    r = jnp.asarray(rect_px, jnp.int32)
-    x0, y0, x1, y1 = r[0], r[1], r[2], r[3]
+    segs = jnp.asarray(segs, jnp.int32)
     ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    in_cols = (ci >= x0) & (ci < x1)
-    in_rows = (ri >= y0) & (ri < y1)
-    border = (((ri == y0) | (ri == y1 - 1)) & in_cols) | (
-        ((ci == x0) | (ci == x1 - 1)) & in_rows
-    )
+    mask = jnp.zeros((h, w), jnp.bool_)
+    for i in range(_MAX_INDICATOR_SEGS):
+        x0, y0, x1, y1 = segs[i, 0], segs[i, 1], segs[i, 2], segs[i, 3]
+        mask |= (
+            (x0 >= 0)
+            & (ri >= y0) & (ri <= y1)
+            & (ci >= x0) & (ci <= x1)
+        )
     green = jnp.asarray([0, 255, 0, 255], jnp.uint8)
-    return jnp.where(border[..., None], green, panel)
+    return jnp.where(mask[..., None], green, panel)
 
 
 @jax.jit
@@ -374,24 +382,27 @@ class Dock:
         ri = self.roi_interact
         if panel is None or ri is None:
             return panel
-        sr = ri.sizing_rect()
+        segs = ri.indicator_segments()
         band = self._rects.get("roi")
-        if sr is None or band is None:
+        if not segs or band is None:
             return panel
         x0b, y0b, wb, hb, ws, hs = band
-        # sr is in scaled-CAPTURE coords; when the band displays the crop,
-        # shift by the DISPLAYED crop's origin before scaling to band px
+        # segments are in scaled-CAPTURE coords; when the band displays
+        # the crop, shift by the DISPLAYED crop's origin (snapshotted at
+        # render time) before scaling to band pixels, clipped to the band
         ox, oy = self._roi_crop_origin
-        px = np.asarray(
-            (
-                np.clip(x0b + (sr[0] - ox) * wb // max(ws, 1), x0b, x0b + wb),
-                np.clip(y0b + (sr[1] - oy) * hb // max(hs, 1), y0b, y0b + hb),
-                np.clip(x0b + (sr[2] - ox) * wb // max(ws, 1), x0b, x0b + wb),
-                np.clip(y0b + (sr[3] - oy) * hb // max(hs, 1), y0b, y0b + hb),
-            ),
-            np.int32,
-        )
-        return _sizing_border_px(panel, px)
+
+        def mx(v):
+            return min(max(x0b + (v - ox) * wb // max(ws, 1), x0b), x0b + wb - 1)
+
+        def my(v):
+            return min(max(y0b + (v - oy) * hb // max(hs, 1), y0b), y0b + hb - 1)
+
+        arr = np.full((_MAX_INDICATOR_SEGS, 4), -1, np.int32)
+        for i, (ax, ay, bx, by) in enumerate(segs[:_MAX_INDICATOR_SEGS]):
+            arr[i] = (mx(min(ax, bx)), my(min(ay, by)),
+                      mx(max(ax, bx)), my(max(ay, by)))
+        return _segments_px(panel, arr)
 
     def _render_async_impl(
         self, width: Optional[int] = None, height: Optional[int] = None
@@ -922,13 +933,22 @@ class Dock:
         else:
             self._roi_crop_origin = (0, 0)
 
-    def _roi_to_capture(self, sx: int, sy: int) -> tuple[int, int]:
-        """Band-local scope coords -> scaled-CAPTURE coords (the
-        InteractiveROI state machine's space, like the reference's
-        full-target ROI view): when the band displays the crop, offset by
-        the DISPLAYED crop's origin (snapshotted at render time)."""
+    def _roi_band_coords(self, x: int, y: int):
+        """PANEL coords -> scaled-CAPTURE coords through the roi band
+        transform, UNCLAMPED — a drag may run outside the band and the
+        reference keeps translating through the grabbed scope's rect
+        (get_source_from_mouse, scope-widget.cpp:241-263).  When the band
+        displays the crop, the DISPLAYED crop's origin (snapshotted at
+        render time) offsets into capture space."""
+        band = self._rects.get("roi")
+        if band is None:
+            return None
+        x0b, y0b, wb, hb, ws, hs = band
         ox, oy = self._roi_crop_origin
-        return sx + ox, sy + oy
+        return (
+            (x - x0b) * ws // max(wb, 1) + ox,
+            (y - y0b) * hs // max(hb, 1) + oy,
+        )
 
     def _ensure_roi_interact(self):
         if self.roi_interact is None:
@@ -949,31 +969,56 @@ class Dock:
             self.roi_interact.x1in, self.roi_interact.y1in = c.x1, c.y1
         return self.roi_interact
 
-    def mouse_move(self, x: int, y: int) -> None:
-        name, sx, sy = self._hit(x, y)
-        if name == "roi":
-            from .roi_interact import DRAG_MOVE
+    def _roi_dragging(self) -> bool:
+        from .roi_interact import DRAG_FIRST, DRAG_MOVE, DRAG_RESIZE
 
+        ri = self.roi_interact
+        return ri is not None and bool(
+            ri.flags & (DRAG_FIRST | DRAG_MOVE | DRAG_RESIZE)
+        )
+
+    def mouse_move(self, x: int, y: int) -> None:
+        from .roi_interact import DRAG_MOVE
+
+        name, _, _ = self._hit(x, y)
+        if name == "roi" or self._roi_dragging():
+            # a drag grabs the pointer: moves keep routing to the roi band
+            # even outside it (reference INTERACT_KEEP_SOURCE,
+            # scope-widget.cpp:241-263,372-374)
+            c = self._roi_band_coords(x, y)
+            if c is None:
+                return
             r = self._ensure_roi_interact()
-            sx, sy = self._roi_to_capture(sx, sy)
             before = r.rect()
-            r.mouse_move(sx, sy)
+            r.mouse_move(*c)
             # a move-drag changes the committed rect continuously; the
             # reference pushes it to consumers every tick (roi_send_range,
             # src/roi.c:478-520) — apply live (the dynamic streaming route
             # serves every rect from one compiled program)
             if (r.flags & DRAG_MOVE) and r.rect() != before:
                 r.apply_to(self.hub)
+        elif self.roi_interact is not None and self.roi_interact.flags:
+            # hover moved onto another scope: the reference sends a LEAVE
+            # to the previously-hovered source (scope-widget.cpp:379-380),
+            # clearing the hover handle indicators
+            self.roi_interact.mouse_move(0, 0, leave=True)
 
     def mouse_down(self, x: int, y: int) -> None:
-        name, sx, sy = self._hit(x, y)
+        name, _, _ = self._hit(x, y)
         if name == "roi":
-            r = self._ensure_roi_interact()
-            r.mouse_down(*self._roi_to_capture(sx, sy))
+            c = self._roi_band_coords(x, y)
+            if c is None:
+                return
+            self._ensure_roi_interact().mouse_down(*c)
 
     def mouse_up(self, x: int, y: int) -> None:
-        name, sx, sy = self._hit(x, y)
-        if name == "roi":
+        name, _, _ = self._hit(x, y)
+        if name == "roi" or self._roi_dragging():
+            # releases outside the band still finish the grabbed drag
+            # (reference KEEP_SOURCE on release, scope-widget.cpp:329)
+            c = self._roi_band_coords(x, y)
+            if c is None:
+                return
             r = self._ensure_roi_interact()
-            r.mouse_up(*self._roi_to_capture(sx, sy))
+            r.mouse_up(*c)
             r.apply_to(self.hub)

@@ -177,6 +177,73 @@ class InteractiveROI:
             return x0, y0, x1, y1
         return None
 
+    # -- indicator drawing (reference draw_roi_rect, src/roi.c:183-242) -----
+    def _draw_rect_segments(self, x0, y0, x1, y1, flags):
+        """Axis-aligned line segments (x0, y0, x1, y1) of the rect outline
+        plus per-flag resize-handle indicator lines, exactly the vertex
+        pattern of the reference's draw_roi_rect: a handle line offset by
+        handle_size inside (or outside when the rect is small / an outside
+        handle is hovered), with connector stubs back to the edge."""
+        hh = self._handle_size()
+        if flags & (HANDLE_LO | HANDLE_RO):
+            x_outside = True
+        elif flags & (HANDLE_LI | HANDLE_RI):
+            x_outside = False
+        else:
+            x_outside = self._is_outside(x0, x1)
+        if flags & (HANDLE_TO | HANDLE_BO):
+            y_outside = True
+        elif flags & (HANDLE_TI | HANDLE_BI):
+            y_outside = False
+        else:
+            y_outside = self._is_outside(y0, y1)
+        x0h = x0 - hh if x_outside else x0 + hh
+        x1h = x1 + hh if x_outside else x1 - hh
+        y0h = y0 - hh if y_outside else y0 + hh
+        y1h = y1 + hh if y_outside else y1 - hh
+        x0e = x0 if x_outside else x0h
+        x1e = x1 if x_outside else x1h
+        y0e = y0 if y_outside else y0h
+        y1e = y1 if y_outside else y1h
+        segs = [
+            (x0, y1, x0, y0), (x0, y0, x1, y0),
+            (x1, y0, x1, y1), (x1, y1, x0, y1),
+        ]
+
+        def handle_x(xh, x, ya, yb, outside):
+            segs.append((xh, ya, xh, yb))
+            if outside:
+                segs.append((xh, ya, x, ya))
+                segs.append((xh, yb, x, yb))
+
+        def handle_y(xa, xb, yh, y, outside):
+            segs.append((xa, yh, xb, yh))
+            if outside:
+                segs.append((xa, yh, xa, y))
+                segs.append((xb, yh, xb, y))
+
+        if flags & (HANDLE_LI | HANDLE_LO):
+            handle_x(x0h, x0, y0e, y1e, (not y_outside) or x_outside)
+        if flags & (HANDLE_RI | HANDLE_RO):
+            handle_x(x1h, x1, y0e, y1e, (not y_outside) or x_outside)
+        if flags & (HANDLE_TI | HANDLE_TO):
+            handle_y(x0e, x1e, y0h, y0, (not x_outside) or y_outside)
+        if flags & (HANDLE_BI | HANDLE_BO):
+            handle_y(x0e, x1e, y1h, y1, (not x_outside) or y_outside)
+        return segs
+
+    def indicator_segments(self):
+        """What the reference's roi_render draws this frame
+        (src/roi.c:304-308): the SIZING rect with handles during a
+        first-selection/resize drag; the COMMITTED rect with handles while
+        hovering it (DRAW_ROI_RECT, also held through a move drag); else
+        nothing.  Segments are in scaled-capture coordinates."""
+        if self.flags & (DRAG_FIRST | DRAG_RESIZE):
+            return self._draw_rect_segments(*self.sizing_rect(), self.flags)
+        if self.flags & DRAW_ROI_RECT:
+            return self._draw_rect_segments(*self._resolved(), self.flags)
+        return []
+
     def apply_to(self, hub) -> None:
         """Push the effective rect into a CaptureHub each tick."""
         hub.set_roi(*self.rect())

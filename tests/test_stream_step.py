@@ -250,13 +250,19 @@ def test_live_drag_serves_dynamic_step(rng):
         rects_seen.add(r)
         dock.push_frame(f)
         p = np.asarray(dock.render(width=128, height=700))
-        # the panel is the dynamic step's own output for this rect
+        # the panel is the dynamic step's own output for this rect, plus
+        # the green committed-rect indicator the reference draws during a
+        # move drag (roi_render, src/roi.c:306-308)
         out = step(
             f.view(np.uint32).reshape(48, 96),
             np.float32(dock.zebra.tm),
             np.asarray(r, np.int32),
         )
-        np.testing.assert_array_equal(p, np.asarray(out.panel))
+        diff = p != np.asarray(out.panel)
+        green = np.array([0, 255, 0, 255], np.uint8)
+        # any extra pixels are the indicator (often a subset of the
+        # step's own in-program border -> zero diff is fine too)
+        assert (p[diff.any(axis=-1)] == green).all()
         # published statistics are exact for the live rect
         crop = golden.roi_crop(f, *r)
         yuv = golden.rgb_to_yuv_u8(crop, cs)
@@ -273,6 +279,11 @@ def test_live_drag_serves_dynamic_step(rng):
     assert step._cache_size() == 1  # ...through ONE compiled program
     assert dock._device_step is step
     dock.mouse_up(*to_panel(40, 25))
+    # park the pointer off the roi band: hovering the region keeps the
+    # green outline drawn (reference roi_render w/ DRAW_ROI_RECT), which
+    # would differ from the mouse-less legacy twin below
+    dock.mouse_move(0, 699)
+    assert dock.roi_interact.flags == 0
 
     # settled: the exact per-rect stream path resumes (hub-route parity)
     final = dock.hub.config.resolve_rect(96, 48)
@@ -527,3 +538,56 @@ def test_multi_move_drag_between_renders_no_drift(rng):
     assert dock.hub.config.resolve_rect(96, 48) == (23, 10, 73, 40)
     dock.mouse_up(*cap_to_panel(43, 25))
     assert dock.hub.config.resolve_rect(96, 48) == (23, 10, 73, 40)
+
+
+def test_hover_indicators_and_leave(rng):
+    """Hovering the committed region draws its green outline; hovering near
+    an edge adds the resize-handle indicator line; moving off the band
+    sends a leave and clears the indicators (reference roi_render +
+    draw_roi_rect src/roi.c:183-242,304-308, leave scope-widget.cpp:379)."""
+    from obs_color_monitor_tpu.models.roi_interact import (
+        DRAW_ROI_RECT, HANDLE_LI,
+    )
+
+    dock = _mk(show_roi=True)
+    fs = _frames(4, rng)
+    for f in fs:
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    x0b, y0b, wb, hb, ws, hs = dock._rects["roi"]
+
+    def tp(sx, sy):
+        return x0b + -(-sx * wb // ws), y0b + -(-sy * hb // hs)
+
+    # commit a rect by dragging
+    dock.mouse_move(*tp(20, 10))
+    dock.mouse_down(*tp(20, 10))
+    dock.mouse_move(*tp(70, 40))
+    dock.mouse_up(*tp(70, 40))
+    assert dock.hub.config.resolve_rect(96, 48) == (20, 10, 70, 40)
+    dock.mouse_move(0, 699)  # park off-band
+    assert dock.roi_interact.flags == 0
+    base = np.asarray(dock.render(width=128, height=700))
+    green = np.array([0, 255, 0, 255], np.uint8)
+
+    # hover the region center: outline only
+    dock.mouse_move(*tp(45, 25))
+    assert dock.roi_interact.flags == DRAW_ROI_RECT
+    p_center = np.asarray(dock.render(width=128, height=700))
+    d_center = (p_center != base).any(axis=-1)
+    assert d_center.sum() > 0 and (p_center[d_center] == green).all()
+
+    # hover the left edge: outline + handle indicator line
+    dock.mouse_move(*tp(21, 25))
+    assert dock.roi_interact.flags == (DRAW_ROI_RECT | HANDLE_LI)
+    p_edge = np.asarray(dock.render(width=128, height=700))
+    d_edge = (p_edge != base).any(axis=-1)
+    assert (p_edge[d_edge] == green).all()
+    assert d_edge.sum() > d_center.sum()  # the handle line adds pixels
+
+    # leave clears everything
+    dock.mouse_move(0, 699)
+    assert dock.roi_interact.flags == 0
+    np.testing.assert_array_equal(
+        np.asarray(dock.render(width=128, height=700)), base
+    )
