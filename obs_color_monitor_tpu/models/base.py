@@ -217,6 +217,10 @@ class CaptureHub:
         self.frames_skipped = 0
         # scaled (pre-crop) capture dims of the last processed frame
         self.capture_size: Optional[tuple[int, int]] = None
+        # the resolved rect the last processed frame was PUBLISHED under —
+        # consumers displaying the crop need ITS origin, which a rect
+        # change after publication (e.g. a mid-drag commit) moves past
+        self.published_rect: Optional[tuple[int, int, int, int]] = None
 
     def register(self, scope: Scope) -> None:
         self.consumers.append(scope)
@@ -286,6 +290,7 @@ class CaptureHub:
         # target; the dock's mouse bridge needs this when the preview
         # band displays only the crop)
         self.capture_size = (sw, sh)
+        self.published_rect = rect
         needs = self.union_needs()
         cs = self.colorspace
 

@@ -307,7 +307,11 @@ class Dock:
             # published statistics advance exactly like the legacy path
             f, self._pending = self._pending, None
             if self.hub.process(f) is not None:
-                self._leaves_rect = self._hub_rect(f)
+                # the rect the hub published those leaves under — tracked so
+                # the stream route can tell when its published leaves belong
+                # to a different rect than the live one (_consume_stream's
+                # resync)
+                self._leaves_rect = self.hub.published_rect
         rendered = self._rendered_since_push
         self._rendered_since_push = False
         self.hub.tick()
@@ -315,19 +319,7 @@ class Dock:
             self._pending = frame
         else:
             if self.hub.process(frame) is not None:
-                self._leaves_rect = self._hub_rect(frame)
-
-    def _hub_rect(self, frame):
-        """The rect hub.process publishes a processed frame's leaves under
-        (mirrors CaptureHub.process's scale + rect resolution) — tracked so
-        the stream route can tell when its published leaves belong to a
-        different rect than the live one (see _consume_stream's resync)."""
-        if getattr(frame, "ndim", 3) == 2:
-            h, w = frame.shape[-2], frame.shape[-1]
-        else:
-            h, w = frame.shape[-3], frame.shape[-2]
-        scale = self.hub.config.target_scale
-        return self.hub.config.resolve_rect(w // scale, h // scale)
+                self._leaves_rect = self.hub.published_rect
 
     def flush(self) -> None:
         """Analyze any deferred frame NOW through the hub fan-out, so
@@ -336,7 +328,7 @@ class Dock:
         if self._pending is not None:
             f, self._pending = self._pending, None
             if self.hub.process(f) is not None:
-                self._leaves_rect = self._hub_rect(f)
+                self._leaves_rect = self.hub.published_rect
 
     def render(
         self, width: Optional[int] = None, height: Optional[int] = None
@@ -389,19 +381,26 @@ class Dock:
         x0b, y0b, wb, hb, ws, hs = band
         # segments are in scaled-CAPTURE coords; when the band displays
         # the crop, shift by the DISPLAYED crop's origin (snapshotted at
-        # render time) before scaling to band pixels, clipped to the band
+        # render time) before scaling to band pixels
         ox, oy = self._roi_crop_origin
 
         def mx(v):
-            return min(max(x0b + (v - ox) * wb // max(ws, 1), x0b), x0b + wb - 1)
+            return x0b + (v - ox) * wb // max(ws, 1)
 
         def my(v):
-            return min(max(y0b + (v - oy) * hb // max(hs, 1), y0b), y0b + hb - 1)
+            return y0b + (v - oy) * hb // max(hs, 1)
 
         arr = np.full((_MAX_INDICATOR_SEGS, 4), -1, np.int32)
         for i, (ax, ay, bx, by) in enumerate(segs[:_MAX_INDICATOR_SEGS]):
-            arr[i] = (mx(min(ax, bx)), my(min(ay, by)),
-                      mx(max(ax, bx)), my(max(ay, by)))
+            # CLIP to the band: a segment partially off the displayed view
+            # keeps only its visible part; one entirely off-view is dropped
+            # (clamping endpoints would collapse it onto the band edge as a
+            # spurious line, e.g. an outside handle left of a crop view)
+            sx0, sy0 = max(mx(min(ax, bx)), x0b), max(my(min(ay, by)), y0b)
+            sx1 = min(mx(max(ax, bx)), x0b + wb - 1)
+            sy1 = min(my(max(ay, by)), y0b + hb - 1)
+            if sx0 <= sx1 and sy0 <= sy1:
+                arr[i] = (sx0, sy0, sx1, sy1)
         return _segments_px(panel, arr)
 
     def _render_async_impl(
@@ -572,6 +571,9 @@ class Dock:
         if sw <= 0 or sh <= 0:
             hub.frames_skipped += 1
             return None
+        # keep the hub's capture dims live on the stream route too (mouse
+        # geometry reads them; hub.process may never run again steady-state)
+        hub.capture_size = (sw, sh)
         rect = hub.config.resolve_rect(sw, sh)
         full = rect == (0, 0, sw, sh)
         cw, ch = rect[2] - rect[0], rect[3] - rect[1]
@@ -927,8 +929,12 @@ class Dock:
             self._roi_crop_origin = (0, 0)
         elif self._leaves_rect is not None:
             self._roi_crop_origin = (self._leaves_rect[0], self._leaves_rect[1])
-        elif self.hub.capture_size:
-            r = self.hub.config.resolve_rect(*self.hub.capture_size)
+        elif self.hub.published_rect is not None:
+            # a consumer driving hub.process directly (never push_frame):
+            # the rect the hub last PUBLISHED under — not the live config,
+            # which a mid-drag commit may already have moved past the
+            # displayed crop (the drift class e3ca59d fixed for push_frame)
+            r = self.hub.published_rect
             self._roi_crop_origin = (r[0], r[1])
         else:
             self._roi_crop_origin = (0, 0)
@@ -967,6 +973,12 @@ class Dock:
             c = self.hub.config
             self.roi_interact.x0in, self.roi_interact.y0in = c.x0, c.y0
             self.roi_interact.x1in, self.roi_interact.y1in = c.x1, c.y1
+        elif self.hub.capture_size:
+            # the reference recomputes roi_get_width/height per event
+            # (src/roi.c:146-156): handle geometry and clamps must track a
+            # capture-resolution change, not the dims at first interaction
+            ri = self.roi_interact
+            ri.width, ri.height = self.hub.capture_size
         return self.roi_interact
 
     def _roi_dragging(self) -> bool:

@@ -183,7 +183,15 @@ class InteractiveROI:
         plus per-flag resize-handle indicator lines, exactly the vertex
         pattern of the reference's draw_roi_rect: a handle line offset by
         handle_size inside (or outside when the rect is small / an outside
-        handle is hovered), with connector stubs back to the edge."""
+        handle is hovered), with connector stubs back to the edge.
+
+        Rects are half-open [x0, x1) x [y0, y1); drawn lines sit on the
+        LAST included pixel column/row (x1-1 / y1-1) — the same pixel
+        convention as the dock's _shaded_preview and the dynamic step's
+        in-program border, so an overlaid indicator and an in-program
+        border land on the same source pixels."""
+        x1 = max(x1 - 1, x0)
+        y1 = max(y1 - 1, y0)
         hh = self._handle_size()
         if flags & (HANDLE_LO | HANDLE_RO):
             x_outside = True

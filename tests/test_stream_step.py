@@ -591,3 +591,134 @@ def test_hover_indicators_and_leave(rng):
     np.testing.assert_array_equal(
         np.asarray(dock.render(width=128, height=700)), base
     )
+
+
+def test_indicator_pixel_convention_matches_inprogram_border():
+    """Indicator segments use the same half-open-rect pixel convention as
+    _shaded_preview and the dynamic step's in-program border: lines sit on
+    the LAST included pixel (x1-1/y1-1), so an overlaid outline and an
+    in-program border land on the same source pixels (no doubled, offset
+    border after band resampling)."""
+    from obs_color_monitor_tpu.models.roi_interact import InteractiveROI
+
+    ri = InteractiveROI(width=96, height=48)
+    ri.x0in, ri.y0in, ri.x1in, ri.y1in = 20, 10, 70, 40
+    ri.mouse_move(45, 25)  # hover the region center: outline only, 4 segs
+    segs = ri.indicator_segments()
+    assert len(segs) == 4
+    xs = [c for s in segs for c in (s[0], s[2])]
+    ys = [c for s in segs for c in (s[1], s[3])]
+    assert min(xs) == 20 and max(xs) == 69  # x1 - 1, not x1
+    assert min(ys) == 10 and max(ys) == 39  # y1 - 1, not y1
+
+
+def test_offview_drag_segments_clipped_not_collapsed(rng):
+    """From a settled crop view, resize-dragging an edge outside the
+    displayed crop must CLIP the sizing outline: the off-view left edge is
+    dropped, not collapsed onto the band's left column as a spurious
+    full-height line."""
+    from obs_color_monitor_tpu.models.roi_interact import (
+        DRAG_RESIZE, HANDLE_LO,
+    )
+
+    dock = _mk(show_roi=True)
+    fs = _frames(8, rng)
+    for f in fs[:3]:
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    dock.hub.set_roi(20, 10, 34, 24)  # small rect: outside handles
+    for f in fs[3:6]:  # dynamic, resync, stream: the crop view settles
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    assert dock._roi_shows_crop
+    x0b, y0b, wb, hb, ws, hs = dock._rects["roi"]
+    ox, oy = dock._roi_crop_origin
+    assert (ox, oy) == (20, 10)
+
+    def cap_to_panel(cx_, cy_):
+        return (
+            x0b + -(-(cx_ - ox) * wb // ws),
+            y0b + -(-(cy_ - oy) * hb // hs),
+        )
+
+    # grab the left (outside) handle at the crop's left column...
+    dock.mouse_move(*cap_to_panel(20, 17))
+    assert dock.roi_interact.flags & HANDLE_LO
+    dock.mouse_down(*cap_to_panel(20, 17))
+    assert dock.roi_interact.flags & DRAG_RESIZE
+    # ...and drag it 10 px left, outside the displayed crop (the grab
+    # keeps routing even though the pointer leaves the band)
+    dock.mouse_move(*cap_to_panel(10, 17))
+    assert dock.roi_interact.sizing_rect() == (10, 10, 34, 24)
+    p = np.asarray(dock.render(width=128, height=700))  # no push: crop view
+    green = np.array([0, 255, 0, 255], np.uint8)
+    # the sizing outline's left edge lies off-view; the band's left column
+    # must NOT be a full-height green line (only the clipped horizontal
+    # top/bottom edges may cross it)
+    col = p[y0b : y0b + hb, x0b]
+    n_green = int((col == green).all(axis=-1).sum())
+    assert n_green <= 4, n_green
+    # the in-view right edge still draws (at x1-1 in capture space);
+    # drawn segments use the FLOOR capture->band mapping (mx in
+    # render_async), unlike cap_to_panel's ceil (which inverts the
+    # band->capture mouse mapping)
+    right = p[y0b : y0b + hb, x0b + (33 - ox) * wb // ws]
+    assert (right == green).all(axis=-1).sum() > hb // 2
+    dock.mouse_up(*cap_to_panel(10, 17))
+
+
+def test_interact_dims_track_capture_resolution(rng):
+    """Handle geometry tracks the LIVE capture size (the reference
+    recomputes roi_get_width/height per event, src/roi.c:146-156):
+    a capture-resolution change refreshes the interact's dims, and the
+    steady stream route keeps hub.capture_size current without a
+    hub.process call."""
+    dock = _mk(show_roi=True)
+    for f in _frames(3, rng):
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    x0b, y0b = dock._rects["roi"][:2]
+    dock.mouse_move(x0b + 1, y0b + 1)
+    assert dock.roi_interact.width == 96
+    assert dock.roi_interact.height == 48
+    # switch the source to a 192x96 capture; stream until steady
+    for f in _frames(4, rng, shape=(96, 192)):
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    # steady state: the stream step (not hub.process) served the last
+    # frames, and it kept capture_size current
+    assert dock.hub.capture_size == (192, 96)
+    n = dock.hub.frames_processed
+    dock.hub.capture_size = (7, 7)  # poison: only the stream route resets
+    dock.push_frame(_frames(1, rng, shape=(96, 192))[0])
+    dock.render(width=128, height=700)
+    assert dock.hub.frames_processed == n + 1
+    assert dock.hub.capture_size == (192, 96)
+    # a mouse event now sees the new dims
+    dock.mouse_move(x0b + 1, y0b + 1)
+    assert dock.roi_interact.width == 192
+    assert dock.roi_interact.height == 96
+
+
+def test_direct_hub_process_crop_origin(rng):
+    """Driving hub.process directly (push_frame's documented alternative)
+    and then committing a new rect: mouse/indicator rendering must
+    translate through the PUBLISHED crop's origin, not the live config —
+    the displayed planes still show the old crop until the next process."""
+    dock = _mk(show_roi=True)
+    fs = _frames(4, rng)
+    dock.hub.set_roi(20, 10, 70, 40)
+    for f in fs[:2]:
+        dock.hub.process(f)
+        dock.hub.tick()
+    dock.render(width=128, height=700)
+    assert dock._roi_shows_crop and dock._leaves_rect is None
+    assert dock._roi_crop_origin == (20, 10)
+    # a rect commit ahead of the display (e.g. mid-drag) must not move
+    # the origin until the new crop is actually published
+    dock.hub.set_roi(40, 20, 90, 48)
+    dock.render(width=128, height=700)
+    assert dock._roi_crop_origin == (20, 10)
+    dock.hub.process(fs[2])
+    dock.render(width=128, height=700)
+    assert dock._roi_crop_origin == (40, 20)
