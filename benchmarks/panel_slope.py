@@ -72,8 +72,14 @@ def main():
         return jax.device_put(a.view(np.uint32).reshape(h, w))
 
     if "dock" in which:
-        dstep = make_dock_step(2160, 3840, scale=2)
-        slope("make_dock_step 4K (full parity panel)", dstep, packed(2160, 3840))
+        # the measured composition is pinned explicitly: all six scopes, no
+        # ROI preview band (doc/performance.md's 4K dock panel row) — the
+        # DockConfig DEFAULT now mirrors the reference's new-dock defaults
+        # (ROI band shown, focus peaking hidden), a different program
+        from obs_color_monitor_tpu.config import DockConfig
+        dk = DockConfig(show_roi=False, show_focuspeaking=True)
+        dstep = make_dock_step(2160, 3840, scale=2, dock=dk)
+        slope("make_dock_step 4K (six-scope panel)", dstep, packed(2160, 3840))
     if "1080p2" in which:
         step = make_full_step(1080, 1920, cs=Colorspace.BT709, scale=2,
                               input_format="packed")

@@ -41,7 +41,10 @@ def soak(label: str, mode: str) -> float:
         os.environ["OCM_NO_FUSED_RENDER"] = "1"
     elif mode == "fused":
         os.environ["OCM_NO_STREAM_STEP"] = "1"
-    dock = Dock(DockConfig(), roi=ROIConfig(interleave=0, target_scale=2))
+    # pinned to the measured composition (all six scopes, no ROI band) —
+    # the DockConfig default is the reference's new-dock panel since r3
+    dock = Dock(DockConfig(show_roi=False, show_focuspeaking=True),
+                roi=ROIConfig(interleave=0, target_scale=2))
     # 8 distinct device-resident ramp frames, cycled (content varies, no
     # per-frame host upload)
     frames = [

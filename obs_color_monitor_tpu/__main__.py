@@ -209,7 +209,11 @@ def main(argv=None) -> int:
         sp.add_argument("--colorspace", type=int, choices=[0, 1, 2], default=0)
         sp.add_argument("--out", default="scope.png")
 
-    d = sub.add_parser("dock", help="all six scopes composited")
+    d = sub.add_parser(
+        "dock",
+        help="composited scope panel (reference new-dock default: ROI "
+        "preview + 5 scopes; toggle via --save/--load-settings)",
+    )
     add_io(d)
     d.add_argument("--interleave", type=int, default=1)
     d.add_argument("--roi", help="x0,y0,x1,y1 in scaled coordinates")

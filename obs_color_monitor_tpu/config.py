@@ -196,8 +196,13 @@ class HistogramConfig(CaptureConfig):
     level_mode: LevelMode = LevelMode.AUTO
     level_fixed_value: int = 1000  # 50..65535 px (reference src/histogram.c:263)
     level_ratio_value: float = 10.0  # 1..100 % (reference src/histogram.c:265)
-    graticule_vertical_lines: int = 5
-    graticule_horizontal_step: float = -1.0  # -1 = none
+    graticule_vertical_lines: int = 5  # combo {0,1,2,4,5,10} (src/histogram.c:274-281)
+    # The reference keeps TWO horizontal-step settings, one per level mode
+    # (px combo for PIXEL, % combo for RATIO — src/histogram.c:283-290),
+    # and applies whichever matches the active mode (src/histogram.c:137-151).
+    # Both combos offer "None" = -1.
+    graticule_horizontal_step_fixed: float = -1.0  # px
+    graticule_horizontal_step_ratio: float = -1.0  # %
 
     def __post_init__(self):
         super().__post_init__()
@@ -208,6 +213,22 @@ class HistogramConfig(CaptureConfig):
         # reference property ranges (src/histogram.c:263-265)
         self.level_fixed_value = _clamp(int(self.level_fixed_value), 50, 65535)
         self.level_ratio_value = _clamp(float(self.level_ratio_value), 1.0, 100.0)
+        # vertical-lines combo list (src/histogram.c:274-281, same set as the
+        # waveform's): snap other ints to the nearest member
+        allowed = (0, 1, 2, 4, 5, 10)
+        g = int(self.graticule_vertical_lines)
+        self.graticule_vertical_lines = min(allowed, key=lambda a: (abs(a - g), a))
+
+    @property
+    def graticule_horizontal_step(self) -> float:
+        """Effective horizontal step: the setting matching the level mode
+        (reference src/histogram.c:137-151; AUTO/log never load one, and
+        create_graticule_vbuf's y_max=0 then draws no horizontal lines)."""
+        if self.level_mode == LevelMode.PIXEL:
+            return float(self.graticule_horizontal_step_fixed)
+        if self.level_mode == LevelMode.RATIO:
+            return float(self.graticule_horizontal_step_ratio)
+        return -1.0
 
     @property
     def level_fixed(self) -> int:
@@ -320,14 +341,20 @@ class ROIConfig(CaptureConfig):
 @dataclasses.dataclass
 class DockConfig:
     """Composite view: which scopes are shown, stacked vertically
-    (reference src/scope-widget.cpp:99-175)."""
+    (reference src/scope-widget.cpp:99-175).
 
-    show_roi: bool = False
+    Defaults mirror ScopeWidget::default_properties (reference
+    src/scope-widget.cpp:496-506): every source's "-shown" defaults true
+    EXCEPT focus peaking, which the loop explicitly skips — a fresh dock
+    shows the ROI preview and five scopes, with focus peaking opt-in.
+    """
+
+    show_roi: bool = True
     show_vectorscope: bool = True
     show_waveform: bool = True
     show_histogram: bool = True
     show_zebra: bool = True
     show_falsecolor: bool = True
-    show_focuspeaking: bool = True
+    show_focuspeaking: bool = False
     width: int = 512
     height: int = 1536

@@ -17,6 +17,7 @@ def dock_frame(rng):
 def test_vectorscope_slot_is_square(dock_frame):
     """Vectorscope gets w = h = min(w, h) (scope-widget.cpp:137-139)."""
     cfg = DockConfig(
+        show_roi=False,
         show_vectorscope=True,
         show_waveform=False,
         show_histogram=False,
@@ -38,6 +39,7 @@ def test_vectorscope_slot_is_square(dock_frame):
 def test_overlay_scopes_keep_aspect(dock_frame):
     """Zebra/falsecolor keep the source aspect (scope-widget.cpp:129-136)."""
     cfg = DockConfig(
+        show_roi=False,
         show_vectorscope=False,
         show_waveform=False,
         show_histogram=False,
@@ -63,8 +65,9 @@ def test_vertical_stack_partition(dock_frame):
     dock.push_frame(dock_frame)
     img = dock.render(width=128, height=600)
     assert img.shape == (600, 128, 4)
-    # all six shown -> six slots of 100; waveform (slot 2) stretches full width
-    row_slot2 = img[150]
+    # default = ROI preview + five scopes -> six slots of 100; waveform
+    # (slot 2, after roi + vectorscope) stretches full width
+    row_slot2 = img[250]
     assert (row_slot2[..., 3] == 255).all()
 
 

@@ -148,7 +148,7 @@ def test_dynamic_dock_step_matches_static(frame):
     """The one-program dock with dynamic_roi: stats bit-exact AND the panel
     pixel-identical to the static roi_rect build at every rect, through ONE
     compiled program (trace-count assert over a 14-position drag)."""
-    dk = DockConfig(show_roi=False)
+    dk = DockConfig(show_roi=False, show_focuspeaking=True)
     dyn = make_dock_step(
         120, 160, scale=2, out_width=128, out_height=672, dock=dk,
         dynamic_roi=True,
@@ -182,7 +182,7 @@ def test_dynamic_dock_step_matches_static(frame):
 def test_dynamic_dock_step_actual_size_and_roi_row(frame):
     """actual_size focus peaking (1:1 crop) and the ROI preview row (full
     capture + drag shading) in the dynamic step."""
-    dk = DockConfig(show_roi=True)
+    dk = DockConfig(show_roi=True, show_focuspeaking=True)
     r = (10, 8, 50, 40)
     dyn = make_dock_step(
         120, 160, scale=2, out_width=128, out_height=784, dock=dk,
@@ -222,7 +222,7 @@ def test_dynamic_dock_key_legend(frame, placement):
     from obs_color_monitor_tpu.ops.graticule import falsecolor_key_overlay
 
     sk = ShowKey[placement]
-    dk = DockConfig(show_roi=False)
+    dk = DockConfig(show_roi=False, show_focuspeaking=True)
     kw = dict(scale=2, out_width=128, out_height=672, dock=dk)
     dyn_key = make_dock_step(
         120, 160, dynamic_roi=True,
@@ -303,7 +303,7 @@ def test_render_device_drag_no_recompile(frame):
     from obs_color_monitor_tpu.config import ROIConfig
 
     dock = Dock(
-        DockConfig(show_roi=True, width=128, height=784),
+        DockConfig(show_roi=True, show_focuspeaking=True, width=128, height=784),
         roi=ROIConfig(target_scale=2),
     )
     dock.hub.set_roi(10, 8, 50, 40)
@@ -331,7 +331,7 @@ def test_interactive_roi_to_render_device(frame):
     from obs_color_monitor_tpu.config import ROIConfig
 
     dock = Dock(
-        DockConfig(show_roi=True, width=128, height=784),
+        DockConfig(show_roi=True, show_focuspeaking=True, width=128, height=784),
         roi=ROIConfig(target_scale=2),
     )
     dock.push_frame(frame)  # sizes the preview for the interact state

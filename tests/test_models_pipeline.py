@@ -160,8 +160,10 @@ def test_dock_composite(frame):
     assert (img[..., 3] == 255).all()
     # something was drawn
     assert img[..., :3].sum() > 0
-    # default dock: 6 scopes shown (no ROI preview)
-    assert not dock.shown("roi") and dock.shown("vectorscope")
+    # default dock mirrors ScopeWidget::default_properties
+    # (scope-widget.cpp:496-506): ROI preview + 5 scopes, focus peaking off
+    assert dock.shown("roi") and dock.shown("vectorscope")
+    assert not dock.shown("focuspeaking")
 
 
 def test_dock_shared_capture_counts(frame):

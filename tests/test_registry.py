@@ -57,3 +57,40 @@ def test_created_source_works():
     f[..., 3] = 255
     his.push_frame(f)
     assert his.counts() is not None
+
+def test_dock_default_shown_flags():
+    """A fresh dock mirrors ScopeWidget::default_properties (reference
+    src/scope-widget.cpp:496-506): every source's "-shown" defaults true
+    EXCEPT focus peaking, which the loop explicitly skips."""
+    from obs_color_monitor_tpu.config import DockConfig
+
+    dk = DockConfig()
+    assert dk.show_roi
+    assert dk.show_vectorscope
+    assert dk.show_waveform
+    assert dk.show_histogram
+    assert dk.show_zebra
+    assert dk.show_falsecolor
+    assert not dk.show_focuspeaking
+
+
+def test_histogram_graticule_property_model():
+    """The histogram keeps TWO horizontal-step settings and applies the one
+    matching the level mode (reference src/histogram.c:137-151); the
+    vertical-lines combo offers {0,1,2,4,5,10} (src/histogram.c:274-281)."""
+    from obs_color_monitor_tpu.config import HistogramConfig, LevelMode
+
+    c = HistogramConfig(
+        level_mode=LevelMode.PIXEL,
+        graticule_horizontal_step_fixed=200.0,
+        graticule_horizontal_step_ratio=5.0,
+    )
+    assert c.graticule_horizontal_step == 200.0
+    c.level_mode = LevelMode.RATIO
+    assert c.graticule_horizontal_step == 5.0
+    c.level_mode = LevelMode.AUTO  # never loads a step -> no H lines
+    assert c.graticule_horizontal_step == -1.0
+    # combo snapping, same list as the waveform's graticule_lines
+    assert HistogramConfig(graticule_vertical_lines=3).graticule_vertical_lines in (2, 4)
+    assert HistogramConfig(graticule_vertical_lines=7).graticule_vertical_lines == 5
+    assert HistogramConfig(graticule_vertical_lines=100).graticule_vertical_lines == 10
