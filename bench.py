@@ -159,5 +159,33 @@ def main() -> None:
     )
 
 
+def _wait_for_backend(attempts: int = 5, delay_s: float = 60.0) -> None:
+    """The dev TPU rides a tunnel that occasionally refuses backend init
+    ("UNAVAILABLE: TPU backend setup/compile error") or hangs device
+    enumeration for minutes at a time (observed r3); probe in a bounded
+    SUBPROCESS (in-process init failures can be cached by jax) and retry
+    a few times so a transient outage doesn't cost the benchmark record."""
+    import subprocess
+
+    probe = "import jax; jax.devices(); print('ok')"
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=240)
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace").strip().splitlines()
+            err = err[-1] if err else "?"
+        except subprocess.TimeoutExpired:
+            err = "probe timed out (240s)"
+        if i == attempts - 1:
+            print(f"backend still unavailable: {err}", file=sys.stderr)
+            return  # let main() surface the real error
+        print(f"backend probe failed ({err}); retry {i + 1}/{attempts - 1} "
+              f"in {delay_s:.0f}s", file=sys.stderr)
+        time.sleep(delay_s)
+
+
 if __name__ == "__main__":
+    _wait_for_backend()
     main()

@@ -110,8 +110,12 @@ def main() -> None:
     )
     step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=2)
     bench("make_full_step 4K (all six)", frame4k, lambda f, i: step(f, i.astype(jnp.float32)), n=16)
-    dstep = make_dock_step(2160, 3840, scale=2)
-    bench("make_dock_step 4K (full panel)", frame4k, lambda f, i: dstep(f, i.astype(jnp.float32)), n=16)
+    # pinned to the measured six-scope composition (no ROI band) — the
+    # DockConfig DEFAULT is the reference's new-dock panel, a different program
+    from obs_color_monitor_tpu.config import DockConfig
+    dstep = make_dock_step(2160, 3840, scale=2,
+                           dock=DockConfig(show_roi=False, show_focuspeaking=True))
+    bench("make_dock_step 4K (six-scope panel)", frame4k, lambda f, i: dstep(f, i.astype(jnp.float32)), n=16)
 
 
 if __name__ == "__main__":

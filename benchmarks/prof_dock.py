@@ -1,4 +1,6 @@
-"""xprof op breakdown of make_dock_step (the reference-parity panel)."""
+"""xprof op breakdown of make_dock_step (the six-scope panel pinned in
+panel_slope.py / doc/performance.md — NOT the new-dock DockConfig default,
+which swaps focus peaking for the ROI preview band)."""
 import sys
 from pathlib import Path
 import numpy as np
@@ -12,8 +14,11 @@ def main():
     n = 16
     from obs_color_monitor_tpu.dock_step import make_dock_step
 
+    from obs_color_monitor_tpu.config import DockConfig
+
     H, W = 2160, 3840
-    step = make_dock_step(H, W, scale=2)
+    step = make_dock_step(H, W, scale=2,
+                          dock=DockConfig(show_roi=False, show_focuspeaking=True))
 
     def csum(out):
         total = jnp.int32(0)

@@ -85,7 +85,12 @@ def soak_raw_step() -> float:
     the tunnel's per-execution cost, absent on local hardware."""
     from obs_color_monitor_tpu.dock_step import make_dock_step
 
-    step = make_dock_step(H, W, scale=2, out_width=512, out_height=1536)
+    # same pinned composition as soak()'s modes (six scopes, no ROI band)
+    # so the raw-vs-stream delta compares the SAME program
+    step = make_dock_step(
+        H, W, scale=2, out_width=512, out_height=1536,
+        dock=DockConfig(show_roi=False, show_focuspeaking=True),
+    )
     frames = [
         jax.device_put(native.pattern("ramp", W, H, i)) for i in range(8)
     ]

@@ -95,21 +95,17 @@ def cmd_dock(args) -> int:
     return 0
 
 
-def _run_live(args, dock, src) -> int:
-    """Stream the dock at source rate to an MJPEG-over-HTTP viewer.
-
-    The reference's dock is live inside OBS's render loop
-    (src/scope-widget.cpp:99-175); this is the standalone equivalent: every
-    decoded frame goes through the shared capture and the fused one-program
-    render, and the composited panel is pushed to connected browsers.
-    """
+def _live_serve(args, src, produce, label, extra_stats=None) -> int:
+    """Paced MJPEG-over-HTTP serving loop shared by the dock view and the
+    per-scope projector view: decode, ``produce(frame) -> RGBA | None``,
+    publish, sleep to the source rate."""
     import numpy as np
 
     from .pipeline.live import MJPEGServer
 
     fps = args.fps or getattr(src, "fps", None) or 30.0
     server = MJPEGServer(host=args.host, port=args.port).start()
-    print(f"live dock at {server.url}  (source {fps:g} fps, ctrl-C stops)")
+    print(f"live {label} at {server.url}  (source {fps:g} fps, ctrl-C stops)")
     period = 1.0 / fps
     t0 = time.perf_counter()
     next_t = t0
@@ -118,8 +114,7 @@ def _run_live(args, dock, src) -> int:
     try:
         n_frames = None if args.frames <= 0 else args.frames
         for frame in src.frames(n_frames):
-            dock.push_frame(frame)
-            img = dock.render(width=args.out_width, height=args.out_height)
+            img = produce(frame)
             if img is not None:
                 server.publish(np.asarray(img))
             n += 1
@@ -134,14 +129,35 @@ def _run_live(args, dock, src) -> int:
     finally:
         dt = time.perf_counter() - t0
         rate = n / dt if dt > 0 else 0.0
+        extra = extra_stats() if extra_stats else ""
         print(
             f"live: {n} frames in {dt:.2f}s ({rate:.1f} fps, "
-            f"{n_late} late), processed {dock.hub.frames_processed}, "
-            f"interleave-skipped {dock.hub.frames_skipped}, "
-            f"published {server.n_published}"
+            f"{n_late} late), {extra}published {server.n_published}"
         )
         server.stop()
     return 0
+
+
+def _run_live(args, dock, src) -> int:
+    """Stream the dock at source rate to an MJPEG-over-HTTP viewer.
+
+    The reference's dock is live inside OBS's render loop
+    (src/scope-widget.cpp:99-175); this is the standalone equivalent: every
+    decoded frame goes through the shared capture and the fused one-program
+    render, and the composited panel is pushed to connected browsers.
+    """
+
+    def produce(frame):
+        dock.push_frame(frame)
+        return dock.render(width=args.out_width, height=args.out_height)
+
+    def stats():
+        return (
+            f"processed {dock.hub.frames_processed}, "
+            f"interleave-skipped {dock.hub.frames_skipped}, "
+        )
+
+    return _live_serve(args, src, produce, "dock", stats)
 
 
 def cmd_scope(args) -> int:
@@ -161,6 +177,15 @@ def cmd_scope(args) -> int:
     if args.lut and args.scope == "falsecolor":
         scope.update(use_lut=True, lut=load_lut(args.lut))
     src = _make_source(args)
+    if args.live:
+        # the reference's per-scope fullscreen "Open Projector" menu entry
+        # (src/scope-widget.cpp:467-471): one scope, served live
+        def produce(frame):
+            scope.push_frame(frame)
+            scope._hub.tick()
+            return scope.render()
+
+        return _live_serve(args, src, produce, args.scope)
     for frame in src.frames(args.frames):
         scope.push_frame(frame)
         scope._hub.tick()  # publish double buffers
@@ -247,6 +272,18 @@ def main(argv=None) -> int:
     )
     add_io(s)
     s.add_argument("--lut", help="false-color LUT image")
+    s.add_argument(
+        "--live",
+        action="store_true",
+        help="serve this one scope as a live MJPEG stream (the reference "
+        "dock's per-scope projector; --frames 0 = until the source ends)",
+    )
+    s.add_argument("--host", default="127.0.0.1", help="--live bind address")
+    s.add_argument("--port", type=int, default=8787, help="--live port")
+    s.add_argument(
+        "--fps", type=float, default=0.0,
+        help="--live pacing (0 = the source's own rate, else 30)",
+    )
     s.set_defaults(fn=cmd_scope)
 
     i = sub.add_parser("info", help="device/runtime info")

@@ -105,6 +105,16 @@ def _clamp(v, lo, hi):
     return max(lo, min(hi, v))
 
 
+# OBS combo properties accept only their listed values; snap arbitrary ints
+# to the nearest member (ties break toward the smaller value).
+_GRATICULE_LINES_COMBO = (0, 1, 2, 4, 5, 10)
+
+
+def _snap_combo(v: int, allowed: tuple[int, ...]) -> int:
+    g = int(v)
+    return min(allowed, key=lambda a: (abs(a - g), a))
+
+
 _FIELD_NAMES: dict[type, tuple[str, ...]] = {}
 
 
@@ -179,10 +189,8 @@ class WaveformConfig(CaptureConfig):
         self.components = Components(self.components)
         self.intensity = _clamp(int(self.intensity), 1, 255)
         # the reference offers a fixed list {0,1,2,4,5,10} (an OBS combo,
-        # src/waveform.c:160-168); snap other ints to the nearest member
-        allowed = (0, 1, 2, 4, 5, 10)
-        g = int(self.graticule_lines)
-        self.graticule_lines = min(allowed, key=lambda a: (abs(a - g), a))
+        # src/waveform.c:160-168)
+        self.graticule_lines = _snap_combo(self.graticule_lines, _GRATICULE_LINES_COMBO)
 
 
 @dataclasses.dataclass
@@ -214,10 +222,10 @@ class HistogramConfig(CaptureConfig):
         self.level_fixed_value = _clamp(int(self.level_fixed_value), 50, 65535)
         self.level_ratio_value = _clamp(float(self.level_ratio_value), 1.0, 100.0)
         # vertical-lines combo list (src/histogram.c:274-281, same set as the
-        # waveform's): snap other ints to the nearest member
-        allowed = (0, 1, 2, 4, 5, 10)
-        g = int(self.graticule_vertical_lines)
-        self.graticule_vertical_lines = min(allowed, key=lambda a: (abs(a - g), a))
+        # waveform's)
+        self.graticule_vertical_lines = _snap_combo(
+            self.graticule_vertical_lines, _GRATICULE_LINES_COMBO
+        )
 
     @property
     def graticule_horizontal_step(self) -> float:
@@ -229,6 +237,14 @@ class HistogramConfig(CaptureConfig):
         if self.level_mode == LevelMode.RATIO:
             return float(self.graticule_horizontal_step_ratio)
         return -1.0
+
+    @graticule_horizontal_step.setter
+    def graticule_horizontal_step(self, v: float) -> None:
+        """Legacy alias (pre-r3-final this was a single field applied in every
+        level mode): writes BOTH mode-paired settings so old call sites and
+        saved docks keep their horizontal graticule in whichever mode runs."""
+        self.graticule_horizontal_step_fixed = float(v)
+        self.graticule_horizontal_step_ratio = float(v)
 
     @property
     def level_fixed(self) -> int:

@@ -91,7 +91,14 @@ class Scope:
         for k, v in settings.items():
             if not hasattr(self.config, k):
                 raise KeyError(f"{type(self).__name__} has no setting {k!r}")
-            setattr(self.config, k, v)
+            try:
+                setattr(self.config, k, v)
+            except AttributeError as e:
+                # read-only derived properties (level_fixed, ...) are not
+                # settings; surface them on the same unknown-setting path
+                raise KeyError(
+                    f"{type(self).__name__} setting {k!r} is read-only"
+                ) from e
         self.config.__post_init__()
 
     @property

@@ -5,8 +5,9 @@ The reference dock creates an ROI source plus six scopes all targeting it,
 so one capture feeds everything (src/scope-widget.cpp:19-25,542-561); the
 draw callback stacks the shown scopes vertically with per-scope aspect
 rules (src/scope-widget.cpp:99-175).  Here the Dock owns a CaptureHub with
-the six scopes registered, and ``render`` composites their images with the
-same layout rules.
+the six scopes registered, and ``render`` composites the SHOWN ones with the
+same layout rules — by default the reference's new-dock panel (ROI preview
+band + five scopes; focus peaking opt-in, src/scope-widget.cpp:496-506).
 """
 
 from __future__ import annotations
@@ -196,7 +197,8 @@ class _RoiPreview(Scope):
 
 
 class Dock:
-    """All six scopes + shared capture + vertical-stack compositor."""
+    """Shared capture + all six scopes (shown per config; default = ROI
+    preview + five, reference new-dock) + vertical-stack compositor."""
 
     def __init__(
         self,

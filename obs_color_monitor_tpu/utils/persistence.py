@@ -38,7 +38,21 @@ def config_from_dict(cls, data: dict[str, Any]):
     kwargs = {k: v for k, v in data.items() if k in names}
     if "lut" in kwargs and kwargs["lut"] is not None:
         kwargs["lut"] = np.asarray(kwargs["lut"], dtype=np.uint8)
-    return cls(**kwargs)
+    cfg = cls(**kwargs)
+    # Legacy/renamed settings saved by older builds load through settable
+    # property aliases (e.g. the histogram's pre-split
+    # ``graticule_horizontal_step`` -> both mode-paired fields).
+    legacy = False
+    for k, v in data.items():
+        if k in names:
+            continue
+        prop = getattr(cls, k, None)
+        if isinstance(prop, property) and prop.fset is not None:
+            setattr(cfg, k, v)
+            legacy = True
+    if legacy:
+        cfg.__post_init__()  # re-apply reference clamping to aliased values
+    return cfg
 
 
 _SCOPE_CONFIGS = {

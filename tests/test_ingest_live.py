@@ -211,3 +211,19 @@ def test_cli_dock_live_smoke(capsys):
     assert "live dock at http://" in out
     assert "live: 3 frames" in out
     assert "published 3" in out
+
+def test_cli_scope_live_smoke(capsys):
+    """Per-scope projector analog (reference right-click "Open Projector",
+    src/scope-widget.cpp:467-471): one scope served live over MJPEG."""
+    from obs_color_monitor_tpu.__main__ import main
+
+    rc = main([
+        "scope", "histogram", "--pattern", "ramp", "--size", "64x48",
+        "--scale", "1", "--frames", "3", "--live", "--port", "0",
+        "--fps", "240",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "live histogram at http://" in out
+    assert "live: 3 frames" in out
+    assert "published 3" in out

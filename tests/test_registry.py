@@ -94,3 +94,34 @@ def test_histogram_graticule_property_model():
     assert HistogramConfig(graticule_vertical_lines=3).graticule_vertical_lines in (2, 4)
     assert HistogramConfig(graticule_vertical_lines=7).graticule_vertical_lines == 5
     assert HistogramConfig(graticule_vertical_lines=100).graticule_vertical_lines == 10
+
+
+def test_histogram_graticule_legacy_alias():
+    """The pre-split single ``graticule_horizontal_step`` name still works:
+    as a Scope.update setting and through saved-dock JSON (it writes BOTH
+    mode-paired fields); read-only derived properties raise the same
+    KeyError as unknown settings."""
+    import pytest
+
+    from obs_color_monitor_tpu.config import HistogramConfig, LevelMode
+    from obs_color_monitor_tpu.models import Histogram
+    from obs_color_monitor_tpu.utils.persistence import config_from_dict
+
+    h = Histogram(HistogramConfig(level_mode=LevelMode.PIXEL))
+    h.update(graticule_horizontal_step=100.0)
+    assert h.config.graticule_horizontal_step_fixed == 100.0
+    assert h.config.graticule_horizontal_step_ratio == 100.0
+    assert h.config.graticule_horizontal_step == 100.0
+
+    with pytest.raises(KeyError):
+        h.update(level_fixed=123)  # read-only derived property
+    with pytest.raises(KeyError):
+        h.update(no_such_setting=1)
+
+    # old saved dock JSON (pre-split field name) keeps its H graticule
+    c = config_from_dict(
+        HistogramConfig,
+        {"level_mode": int(LevelMode.RATIO), "graticule_horizontal_step": 20.0},
+    )
+    assert c.graticule_horizontal_step == 20.0
+    assert c.graticule_horizontal_step_fixed == 20.0

@@ -62,7 +62,14 @@ def main() -> int:
     # 2. dock panel: TPU vs CPU backends bit-identical
     frame = rng.integers(0, 256, (180, 320, 4), dtype=np.uint8)
     frame[..., 3] = 255
-    step = make_dock_step(180, 320, scale=2, out_width=200, out_height=1100)
+    # pinned six-scope composition: keeps focus peaking INSIDE the panel
+    # program (the DockConfig default swaps it for the ROI preview band, and
+    # this check must exercise the peaking resize/composite integration)
+    from obs_color_monitor_tpu.config import DockConfig
+
+    dk = DockConfig(show_roi=False, show_focuspeaking=True)
+    step = make_dock_step(180, 320, scale=2, out_width=200, out_height=1100,
+                          dock=dk)
     out = step(frame, np.float32(3.5))
     tpu_panel = np.asarray(out.panel)
     np.save("/tmp/_ocm_vh_frame.npy", frame)
@@ -71,8 +78,11 @@ def main() -> int:
         "import jax; jax.config.update('jax_platforms','cpu')\n"
         "import numpy as np\n"
         "from obs_color_monitor_tpu.dock_step import make_dock_step\n"
+        "from obs_color_monitor_tpu.config import DockConfig\n"
         "f = np.load('/tmp/_ocm_vh_frame.npy')\n"
-        "s = make_dock_step(180, 320, scale=2, out_width=200, out_height=1100)\n"
+        "dk = DockConfig(show_roi=False, show_focuspeaking=True)\n"
+        "s = make_dock_step(180, 320, scale=2, out_width=200, out_height=1100,\n"
+        "                   dock=dk)\n"
         "p = np.asarray(s(f, np.float32(3.5)).panel)\n"
         "assert (p == np.load('/tmp/_ocm_vh_panel.npy')).all()\n"
     )
