@@ -5,8 +5,10 @@ serves MANY streams by sharding the frame batch across chips
 (obs_color_monitor_tpu/parallel/mesh.py).  This example runs N synthetic
 streams through the batched fused analysis and prints per-stream summaries.
 
-Run (any host, uses CPU mesh when no multi-chip TPU is present):
+Run on real devices (one chip still works — a 1-device mesh):
     python examples/multistream_serving.py --streams 8 --size 640x360
+Demo the multi-device sharding anywhere with a virtual CPU mesh:
+    python examples/multistream_serving.py --streams 8 --cpu-mesh
 """
 
 import argparse
@@ -24,22 +26,29 @@ def main() -> None:
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--size", default="640x360")
     ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument(
+        "--cpu-mesh",
+        action="store_true",
+        help="use a virtual CPU mesh of --streams devices (must be chosen "
+        "BEFORE jax initializes a backend — device enumeration itself "
+        "initializes, so there is no reliable post-hoc fallback)",
+    )
     args = ap.parse_args()
 
     import jax
 
-    if len(jax.devices()) < args.streams:
-        try:
-            jax.config.update("jax_num_cpu_devices", args.streams)
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError:
-            pass
+    if args.cpu_mesh:
+        jax.config.update("jax_num_cpu_devices", args.streams)
+        jax.config.update("jax_platforms", "cpu")
 
     from obs_color_monitor_tpu.parallel import batch_analyze, make_mesh
     from obs_color_monitor_tpu.runtime import native
 
     w, h = (int(x) for x in args.size.split("x"))
+    # largest device count that divides the stream batch evenly
     n_dev = min(len(jax.devices()), args.streams)
+    while args.streams % n_dev:
+        n_dev -= 1
     mesh = make_mesh(n_dev)
     print(f"mesh: {n_dev} devices; {args.streams} streams {w}x{h}")
 
