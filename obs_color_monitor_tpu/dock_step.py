@@ -47,9 +47,11 @@ from .ops.stats import apply_channel_select, histogram_hi_max, histogram_levels
 
 class DockStepOutput(NamedTuple):
     panel: jax.Array  # (out_h, out_w, 4) u8 composited dock
-    vs_counts: jax.Array
-    wv_counts: jax.Array
-    hi_counts: jax.Array
+    # statistics as every route publishes them: RAW counts, channel
+    # selection deferred to read/render (reference src/histogram.c:396-418)
+    vs_counts: jax.Array  # (256, 256) u8 saturating
+    wv_counts: jax.Array  # (3, 256, sw) u8 saturating, pre-select
+    hi_counts: jax.Array  # (3, 256) u32, pre-select
 
 
 def _resize_nearest_rgba(img: jax.Array, oh: int, ow: int) -> jax.Array:
@@ -391,6 +393,71 @@ def make_dock_step(
         and pipeline_fits(height, width, scale, with_overlays=False)
     )
 
+    def _stat_renders(res, n_pixels, images):
+        """Vectorscope/waveform/histogram renders + the step's count
+        outputs — shared verbatim by the static and dynamic step bodies
+        (only the histogram's pixel count differs), so the dynamic
+        build's bit-parity with the static one cannot drift.
+
+        Returns RAW (pre-channel-select) waveform/histogram counts:
+        exactly the representation every other route publishes (the hub
+        fan-out and stream step publish raw and defer selection to
+        read/render time, models/histogram.py surface_cb / reference
+        src/histogram.c:396-418).  The drawn images apply the selection
+        here.
+        """
+        if need_vs:
+            vs_img = render_ops.render_vectorscope(
+                res.vs_counts,
+                intensity=vs_cfg.intensity,
+                cs=csi,
+                white=vs_cfg.color_type == VectorscopeColorType.WHITE,
+            )
+            if vs_grat is not None:
+                vs_img = render_ops.blend_overlay(vs_img, jnp.asarray(vs_grat))
+            images["vectorscope"] = render_ops.zoom_center(
+                vs_img, zoom=round(vs_cfg.zoom, 3)
+            )
+            vs_counts = res.vs_counts
+        else:
+            vs_counts = jnp.zeros((256, 256), jnp.uint8)
+        if need_wv:
+            wv_raw = res.wv_yuv if wv_yuv else res.wv_rgb
+            wv_img = render_ops.render_waveform(
+                apply_channel_select(wv_raw, wv_sel),
+                intensity=wv_cfg.intensity,
+                display=int(wv_cfg.display),
+                n_components=wv_n,
+                yuv_mode=wv_yuv,
+            )
+            if wv_grat is not None:
+                wv_img = render_ops.blend_overlay(wv_img, jnp.asarray(wv_grat))
+            images["waveform"] = wv_img
+        else:
+            wv_raw = jnp.zeros((3, 256, sw), jnp.uint8)
+        if need_hi:
+            hi_raw = (res.hi_yuv if hi_yuv else res.hi_rgb).astype(jnp.int32)
+            hi_counts = apply_channel_select(hi_raw, sel)
+            hi = histogram_hi_max(
+                hi_counts, sel, n_pixels, hi_cfg.level_fixed,
+                hi_cfg.level_ratio_permille,
+            )
+            levels, hi_eff = histogram_levels(hi_counts, hi, sel, hi_cfg.logscale)
+            hi_img = render_ops.render_histogram(
+                levels,
+                hi_eff,
+                level_height=hi_cfg.level_height,
+                display=int(hi_cfg.display),
+                n_components=hi_n,
+                yuv_mode=hi_yuv,
+            )
+            if hi_grat is not None:
+                hi_img = render_ops.blend_overlay(hi_img, jnp.asarray(hi_grat))
+            images["histogram"] = hi_img
+        else:
+            hi_raw = jnp.zeros((3, 256), jnp.int32)
+        return vs_counts, wv_raw, hi_raw
+
     if dynamic_roi:
         from .config import DisplayMode as _DM
         from .models.dock import _shaded_preview
@@ -431,63 +498,12 @@ def make_dock_step(
                 # full capture with the reference's selection shading
                 # (src/roi.c:207-265) — the rect moves without recompiling
                 images["roi"] = _shaded_preview(res.planes, rect_c)
-            if need_vs:
-                vs_img = render_ops.render_vectorscope(
-                    res.vs_counts,
-                    intensity=vs_cfg.intensity,
-                    cs=csi,
-                    white=vs_cfg.color_type == VectorscopeColorType.WHITE,
-                )
-                if vs_grat is not None:
-                    vs_img = render_ops.blend_overlay(vs_img, jnp.asarray(vs_grat))
-                images["vectorscope"] = render_ops.zoom_center(
-                    vs_img, zoom=round(vs_cfg.zoom, 3)
-                )
-                vs_counts = res.vs_counts
-            else:
-                vs_counts = jnp.zeros((256, 256), jnp.uint8)
-            if need_wv:
-                # full-width counts: out-of-rect columns are zero; the slot
-                # sampler below reads only [rx0, rx1)
-                wv_counts = apply_channel_select(
-                    res.wv_yuv if wv_yuv else res.wv_rgb, wv_sel
-                )
-                wv_img = render_ops.render_waveform(
-                    wv_counts,
-                    intensity=wv_cfg.intensity,
-                    display=int(wv_cfg.display),
-                    n_components=wv_n,
-                    yuv_mode=wv_yuv,
-                )
-                if wv_grat is not None:
-                    wv_img = render_ops.blend_overlay(wv_img, jnp.asarray(wv_grat))
-                images["waveform"] = wv_img
-            else:
-                wv_counts = jnp.zeros((3, 256, sw), jnp.uint8)
-            if need_hi:
-                hi_counts = apply_channel_select(
-                    (res.hi_yuv if hi_yuv else res.hi_rgb).astype(jnp.int32), sel
-                )
-                hi = histogram_hi_max(
-                    hi_counts, sel, rw * rh, hi_cfg.level_fixed,
-                    hi_cfg.level_ratio_permille,
-                )
-                levels, hi_eff = histogram_levels(
-                    hi_counts, hi, sel, hi_cfg.logscale
-                )
-                hi_img = render_ops.render_histogram(
-                    levels,
-                    hi_eff,
-                    level_height=hi_cfg.level_height,
-                    display=int(hi_cfg.display),
-                    n_components=hi_n,
-                    yuv_mode=hi_yuv,
-                )
-                if hi_grat is not None:
-                    hi_img = render_ops.blend_overlay(hi_img, jnp.asarray(hi_grat))
-                images["histogram"] = hi_img
-            else:
-                hi_counts = jnp.zeros((3, 256), jnp.int32)
+            # waveform counts stay full-width (out-of-rect columns are
+            # zero; the slot sampler below reads only [rx0, rx1)); the
+            # histogram's level thresholds use the RECT's pixel count
+            vs_counts, wv_counts, hi_counts = _stat_renders(
+                res, rw * rh, images
+            )
 
             # overlays on the FULL capture with rect-parity semantics (in-
             # rect pixels == the cropped capture's overlays; the slot
@@ -698,59 +714,7 @@ def make_dock_step(
         images = {}
         if "roi" in rects:
             images["roi"] = _planes_to_rgba(res.planes)
-        if need_vs:
-            vs_img = render_ops.render_vectorscope(
-                res.vs_counts,
-                intensity=vs_cfg.intensity,
-                cs=csi,
-                white=vs_cfg.color_type == VectorscopeColorType.WHITE,
-            )
-            if vs_grat is not None:
-                vs_img = render_ops.blend_overlay(vs_img, jnp.asarray(vs_grat))
-            images["vectorscope"] = render_ops.zoom_center(
-                vs_img, zoom=round(vs_cfg.zoom, 3)
-            )
-            vs_counts = res.vs_counts
-        else:
-            vs_counts = jnp.zeros((256, 256), jnp.uint8)
-        if need_wv:
-            wv_counts = apply_channel_select(
-                res.wv_yuv if wv_yuv else res.wv_rgb, wv_sel
-            )
-            wv_img = render_ops.render_waveform(
-                wv_counts,
-                intensity=wv_cfg.intensity,
-                display=int(wv_cfg.display),
-                n_components=wv_n,
-                yuv_mode=wv_yuv,
-            )
-            if wv_grat is not None:
-                wv_img = render_ops.blend_overlay(wv_img, jnp.asarray(wv_grat))
-            images["waveform"] = wv_img
-        else:
-            wv_counts = jnp.zeros((3, 256, sw), jnp.uint8)
-        if need_hi:
-            hi_counts = apply_channel_select(
-                (res.hi_yuv if hi_yuv else res.hi_rgb).astype(jnp.int32), sel
-            )
-            hi = histogram_hi_max(
-                hi_counts, sel, sw * sh, hi_cfg.level_fixed,
-                hi_cfg.level_ratio_permille,
-            )
-            levels, hi_eff = histogram_levels(hi_counts, hi, sel, hi_cfg.logscale)
-            hi_img = render_ops.render_histogram(
-                levels,
-                hi_eff,
-                level_height=hi_cfg.level_height,
-                display=int(hi_cfg.display),
-                n_components=hi_n,
-                yuv_mode=hi_yuv,
-            )
-            if hi_grat is not None:
-                hi_img = render_ops.blend_overlay(hi_img, jnp.asarray(hi_grat))
-            images["histogram"] = hi_img
-        else:
-            hi_counts = jnp.zeros((3, 256), jnp.int32)
+        vs_counts, wv_counts, hi_counts = _stat_renders(res, sw * sh, images)
         # overlays (planar; to RGBA via u32 compose)
         ov_src = res.planes if overlays_on_capture else planes
         fc = fp = None

@@ -303,17 +303,10 @@ class Dock:
         push-then-poll consumer that needs f's statistics before any
         render should call :meth:`flush` first (or drive hub.process
         directly, bypassing the stream route)."""
-        if self._pending is not None:
-            # a pushed frame was never rendered: flush it through the hub
-            # (under its own tick state, which is still current) so
-            # published statistics advance exactly like the legacy path
-            f, self._pending = self._pending, None
-            if self.hub.process(f) is not None:
-                # the rect the hub published those leaves under — tracked so
-                # the stream route can tell when its published leaves belong
-                # to a different rect than the live one (_consume_stream's
-                # resync)
-                self._leaves_rect = self.hub.published_rect
+        # a previously pushed frame that was never rendered flushes through
+        # the hub first (under its own tick state, which is still current)
+        # so published statistics advance exactly like the legacy path
+        self.flush()
         rendered = self._rendered_since_push
         self._rendered_since_push = False
         self.hub.tick()
@@ -791,9 +784,17 @@ class Dock:
             vsc._buf_cs[vsc._w_buf] = cs
             vsc._publish(out.vs_counts)
         if self.shown("histogram"):
-            # channel-selected counts: the render's own select is
-            # idempotent over them (disabled channels are already zero)
+            # RAW counts, like every other route: selection stays a
+            # read/render-time concern, so a components change between
+            # publish and read behaves identically on all routes
             self.histogram._publish((out.hi_counts, cw * ch))
+        # the waveform/overlay/preview published buffers and the hub's
+        # last_surface still describe the PRE-drag hub publication (their
+        # shapes are rect-sized and would retrace per rect); invalidate
+        # the surface so "frames_processed advanced => last_surface is
+        # fresh" can't misattribute stale analysis to this frame — the
+        # first settled frame resyncs through the hub and restores it
+        hub.last_surface = None
         hub.frames_processed += 1
         return out.panel
 

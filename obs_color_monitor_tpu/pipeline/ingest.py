@@ -88,13 +88,18 @@ class Y4MSource(FrameSource):
             elif tok.startswith("H"):
                 self.height = int(tok[1:])
             elif tok.startswith("C"):
+                # 8-bit tags only: the C420 SITING variants decode alike
+                # under nearest upsampling, but bit-depth variants
+                # (C420p10/C422p10/...) are 16-bit-per-sample planes that
+                # would silently misalign if read as 8-bit — reject them
                 base = tok[:4]
-                if base not in self._SUBSAMPLING or (
-                    len(tok) > 4 and not tok.startswith("C420")
+                if base not in self._SUBSAMPLING or tok not in (
+                    "C420", "C422", "C444",
+                    "C420jpeg", "C420paldv", "C420mpeg2",
                 ):
                     raise ValueError(
-                        f"{path}: unsupported chroma {tok} "
-                        f"(supported: C420*, C422, C444)"
+                        f"{path}: unsupported chroma {tok} (supported: "
+                        f"C420/C420jpeg/C420paldv/C420mpeg2, C422, C444)"
                     )
                 self.subsampling = self._SUBSAMPLING[base]
         if not self.width or not self.height:

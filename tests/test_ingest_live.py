@@ -227,3 +227,17 @@ def test_cli_scope_live_smoke(capsys):
     assert "live histogram at http://" in out
     assert "live: 3 frames" in out
     assert "published 3" in out
+
+def test_y4m_rejects_bit_depth_variants(tmp_path):
+    """ffmpeg emits C420p10/C422p10/... for >8-bit content — 16-bit LE
+    planes that would silently misalign if read as 8-bit; only the 8-bit
+    siting variants may pass the chroma guard."""
+    for tag in ("C420p10", "C420p12", "C420p16", "C422p10", "C444p16"):
+        p = tmp_path / f"bad_{tag}.y4m"
+        p.write_bytes(f"YUV4MPEG2 W4 H4 {tag}\nFRAME\n".encode() + b"\0" * 48)
+        with pytest.raises(ValueError, match="unsupported chroma"):
+            Y4MSource(str(p))
+    for tag in ("C420", "C420jpeg", "C420paldv", "C420mpeg2", "C422", "C444"):
+        p = tmp_path / f"ok_{tag}.y4m"
+        p.write_bytes(f"YUV4MPEG2 W4 H4 {tag}\n".encode())
+        Y4MSource(str(p))  # header accepted

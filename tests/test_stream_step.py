@@ -722,3 +722,38 @@ def test_direct_hub_process_crop_origin(rng):
     dock.hub.process(fs[2])
     dock.render(width=128, height=700)
     assert dock._roi_crop_origin == (40, 20)
+
+
+def test_dynamic_route_publishes_raw_and_invalidates_surface(rng):
+    """The dynamic-rect route publishes RAW histogram counts — channel
+    selection stays a read/render-time concern like every other route —
+    and invalidates hub.last_surface while its rect-sized published
+    buffers are stale (frames_processed still advances), restoring it on
+    the first settled frame."""
+    from obs_color_monitor_tpu.config import Components
+    from obs_color_monitor_tpu.golden import reference as golden
+
+    dock = _mk(show_roi=True)
+    dock.histogram.update(components=Components(0x05))  # R|B only
+    fs = _frames(6, rng)
+    for f in fs[:3]:
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    assert dock.hub.last_surface is not None
+    dock.hub.set_roi(10, 8, 60, 40)
+    dock.push_frame(fs[3])
+    dock.render(width=128, height=700)
+    assert dock._device_step_dynamic
+    assert dock.hub.last_surface is None  # stale pre-drag surface cleared
+    # RAW publication: enabling G AFTER the frame was analyzed reveals its
+    # real bins at the next read, exactly like the legacy hub route
+    dock.histogram.update(components=Components.RGB)
+    crop = golden.roi_crop(fs[3], 10, 8, 60, 40)
+    np.testing.assert_array_equal(
+        dock.histogram.counts(),
+        golden.histogram_counts(crop, None, Components.RGB),
+    )
+    # settled rect: the first settled frame resyncs through the hub
+    dock.push_frame(fs[4])
+    dock.render(width=128, height=700)
+    assert dock.hub.last_surface is not None
