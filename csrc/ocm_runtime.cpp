@@ -36,10 +36,12 @@ extern "C" {
 struct OcmQueue {
   std::mutex mu;
   std::condition_variable cv;
+  std::condition_variable cv_drain;  // destroy waits for pop waiters
   std::deque<std::vector<uint8_t>> items;
   size_t depth;
   size_t frame_bytes;
   bool closed = false;
+  int waiters = 0;  // threads inside ocm_queue_pop (under mu)
   std::atomic<uint64_t> pushed{0};
   std::atomic<uint64_t> dropped{0};
 };
@@ -51,7 +53,20 @@ OcmQueue* ocm_queue_create(int depth, size_t frame_bytes) {
   return q;
 }
 
-void ocm_queue_destroy(OcmQueue* q) { delete q; }
+// Safe against consumers blocked in ocm_queue_pop: closes the queue, wakes
+// them, and waits until every waiter has left before freeing.  Producers
+// (ocm_queue_push callers, e.g. a reader thread) must be stopped FIRST —
+// the Python wrapper enforces that ordering by keeping the queue object
+// alive for the reader's lifetime and joining the reader before destroy.
+void ocm_queue_destroy(OcmQueue* q) {
+  {
+    std::unique_lock<std::mutex> lk(q->mu);
+    q->closed = true;
+    q->cv.notify_all();
+    q->cv_drain.wait(lk, [q] { return q->waiters == 0; });
+  }
+  delete q;
+}
 
 // 1 = queued, 0 = dropped (queue full; reference src/common.c:260-268).
 int ocm_queue_push(OcmQueue* q, const uint8_t* data) {
@@ -71,16 +86,26 @@ int ocm_queue_push(OcmQueue* q, const uint8_t* data) {
 // 1 = popped into out, 0 = timeout or closed-and-empty.
 int ocm_queue_pop(OcmQueue* q, uint8_t* out, double timeout_s) {
   std::unique_lock<std::mutex> lk(q->mu);
+  ++q->waiters;
+  auto done = [q](int ret) {
+    if (--q->waiters == 0 && q->closed) q->cv_drain.notify_all();
+    return ret;
+  };
   auto deadline = std::chrono::steady_clock::now() +
                   std::chrono::duration_cast<std::chrono::steady_clock::duration>(
                       std::chrono::duration<double>(timeout_s));
   while (q->items.empty() && !q->closed) {
-    if (q->cv.wait_until(lk, deadline) == std::cv_status::timeout) return 0;
+    if (q->cv.wait_until(lk, deadline) == std::cv_status::timeout) {
+      // a push can land exactly at the deadline: timeout status does not
+      // mean the predicate is still false — re-check before failing
+      if (!q->items.empty()) break;
+      return done(0);
+    }
   }
-  if (q->items.empty()) return 0;
+  if (q->items.empty()) return done(0);
   std::memcpy(out, q->items.front().data(), q->frame_bytes);
   q->items.pop_front();
-  return 1;
+  return done(1);
 }
 
 void ocm_queue_close(OcmQueue* q) {

@@ -45,37 +45,54 @@ class PipelineDriver:
         native_queue_shape: Optional[tuple[int, ...]] = None,
     ):
         self.hub = hub
-        if native_queue_shape is not None:
+        self._queue_depth = queue_depth
+        self._native_queue_shape = native_queue_shape
+        self.queue = self._make_queue()
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+        self._lock = threading.Lock()
+        self._state_lock = threading.Lock()  # start/stop mutual exclusion
+        self._queue_closed = False
+        self._consumed = 0  # frames fully handled by the worker (see flush)
+        self.n_errors = 0
+
+    def _make_queue(self):
+        if self._native_queue_shape is not None:
             # fixed-shape ingest -> use the C++ queue (one memcpy, no GIL
             # contention with the consumer thread)
             from ..runtime import NativeFrameQueue
 
-            self.queue = NativeFrameQueue(queue_depth, native_queue_shape)
-        else:
-            self.queue = FrameQueue(queue_depth)
-        self._thread: Optional[threading.Thread] = None
-        self._running = False
-        self._lock = threading.Lock()
-        self.n_errors = 0
+            return NativeFrameQueue(self._queue_depth, self._native_queue_shape)
+        return FrameQueue(self._queue_depth)
 
     # -- lifecycle (reference start/stop_pipeline_thread) -------------------
     def start(self) -> None:
-        if self._running:
-            return
-        self._running = True
-        self._thread = threading.Thread(
-            target=self._loop, name="color-monitor", daemon=True
-        )
-        self._thread.start()
+        with self._state_lock:
+            if self._running:
+                return
+            if self._queue_closed:
+                # a closed queue rejects every push forever — a restarted
+                # driver needs a fresh one (queue counters restart with it,
+                # so the consumed counter restarts too to keep flush exact)
+                self.queue = self._make_queue()
+                self._queue_closed = False
+                self._consumed = 0
+            self._running = True
+            self._thread = threading.Thread(
+                target=self._loop, name="color-monitor", daemon=True
+            )
+            self._thread.start()
 
     def stop(self) -> None:
-        if not self._running:
-            return
-        self._running = False
-        self.queue.close()
-        if self._thread is not None:
-            self._thread.join()
-            self._thread = None
+        with self._state_lock:
+            if not self._running:
+                return
+            self._running = False
+            self.queue.close()
+            self._queue_closed = True
+            if self._thread is not None:
+                self._thread.join()
+                self._thread = None
 
     # -- producer ------------------------------------------------------------
     def push_frame(self, frame: np.ndarray | jax.Array) -> bool:
@@ -99,6 +116,13 @@ class PipelineDriver:
                 # the frame is dropped and counted
                 self.n_errors += 1
                 log.exception("pipeline frame failed (frame dropped)")
+            finally:
+                # counted only once the frame is fully handled — flush()
+                # compares this against the queue's accepted-push count,
+                # which a queue-length check can't do (a popped-but-not-
+                # yet-processed frame is invisible to both the length
+                # and the lock)
+                self._consumed += 1
         log.debug("leaving pipeline thread")
 
     # -- synchronous convenience ----------------------------------------------
@@ -109,11 +133,19 @@ class PipelineDriver:
             self.hub.process(frame)
 
     def flush(self, timeout: float = 10.0) -> None:
-        """Wait until the queue drains and in-flight work lands."""
+        """Wait until the queue drains and in-flight work lands.
+
+        "Landed" = the worker finished every frame the queue ACCEPTED
+        (``_consumed`` catches up to ``n_pushed``); then the last published
+        device results are synced."""
         import time
 
         t0 = time.monotonic()
-        while len(self.queue) and time.monotonic() - t0 < timeout:
+        while (
+            self._running
+            and self._consumed < self.queue.n_pushed
+            and time.monotonic() - t0 < timeout
+        ):
             time.sleep(0.001)
         with self._lock:
             s = self.hub.last_surface

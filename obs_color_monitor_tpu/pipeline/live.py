@@ -46,13 +46,23 @@ class MJPEGServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self._cond = threading.Condition()
         self._frame: Optional[bytes] = None
+        self._raw: Optional[np.ndarray] = None  # pre-encode panel (lazy)
+        self._quality = 80
         self._ctype = "image/jpeg"
         self._seq = 0
+        self._n_stream_clients = 0
         self.n_published = 0
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+
+            def setup(self):
+                super().setup()
+                # a viewer that stops reading (TCP zero window) must not
+                # pin its handler thread forever past stop(): stalled
+                # writes abort after this timeout
+                self.connection.settimeout(10.0)
 
             def log_message(self, *a):  # quiet
                 pass
@@ -85,6 +95,8 @@ class MJPEGServer:
                     )
                     self.end_headers()
                     seen = -1
+                    with outer._cond:
+                        outer._n_stream_clients += 1
                     try:
                         while True:
                             with outer._cond:
@@ -97,11 +109,8 @@ class MJPEGServer:
                                     return
                                 if outer._seq == seen:
                                     continue
-                                data, ctype, seen = (
-                                    outer._frame,
-                                    outer._ctype,
-                                    outer._seq,
-                                )
+                                data, ctype = outer._encode_locked()
+                                seen = outer._seq
                             if data is None:
                                 continue
                             self.wfile.write(
@@ -110,14 +119,18 @@ class MJPEGServer:
                                   f"Content-Length: {len(data)}\r\n\r\n".encode()
                                 + data + b"\r\n"
                             )
-                    except (BrokenPipeError, ConnectionResetError):
-                        return  # viewer went away
+                    except OSError:
+                        return  # viewer went away / stalled past timeout
+                    finally:
+                        with outer._cond:
+                            outer._n_stream_clients -= 1
                 else:
                     self.send_response(404)
                     self.send_header("Content-Length", "0")
                     self.end_headers()
 
         self._closed = False
+        self._started = False
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._httpd.daemon_threads = True
         self._thread = threading.Thread(
@@ -127,13 +140,17 @@ class MJPEGServer:
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> "MJPEGServer":
         self._thread.start()
+        self._started = True
         return self
 
     def stop(self) -> None:
         with self._cond:
             self._closed = True
             self._cond.notify_all()
-        self._httpd.shutdown()
+        if self._started:
+            # shutdown() waits on an event only serve_forever() sets —
+            # calling it on a never-started server would block forever
+            self._httpd.shutdown()
         self._httpd.server_close()
 
     @property
@@ -143,14 +160,35 @@ class MJPEGServer:
 
     # -- producer ------------------------------------------------------------
     def publish(self, rgba: np.ndarray, quality: int = 80) -> None:
-        """Encode and publish one (H, W, 3|4) u8 panel (non-blocking)."""
-        data, ctype = encode_frame(rgba, quality=quality)
+        """Publish one (H, W, 3|4) u8 panel (non-blocking).
+
+        JPEG encoding is skipped while no /stream client is connected (on
+        a 1-core host the encode would steal producer time for nobody);
+        the raw panel is kept and encoded lazily on first demand."""
         with self._cond:
-            self._frame, self._ctype = data, ctype
+            encode_now = self._n_stream_clients > 0
+        data = ctype = None
+        if encode_now:
+            data, ctype = encode_frame(rgba, quality=quality)
+        with self._cond:
+            self._raw, self._quality = rgba, quality
+            if encode_now:
+                self._frame, self._ctype = data, ctype
+            else:
+                self._frame = None  # stale encode; re-encode on demand
             self._seq += 1
             self.n_published += 1
             self._cond.notify_all()
 
+    def _encode_locked(self):
+        """Latest encoded frame; encodes the kept raw panel on demand.
+        Caller holds self._cond."""
+        if self._frame is None and self._raw is not None:
+            self._frame, self._ctype = encode_frame(
+                self._raw, quality=self._quality
+            )
+        return self._frame, self._ctype
+
     def _latest(self):
         with self._cond:
-            return self._frame, self._ctype
+            return self._encode_locked()

@@ -45,11 +45,13 @@ class FrameQueue:
             return True
 
     def pop(self, timeout: Optional[float] = None) -> Optional[Any]:
-        """Blocking dequeue; None on close or timeout."""
+        """Blocking dequeue; None on close or timeout.
+
+        ``timeout`` bounds the TOTAL wait (wait_for tracks one deadline; a
+        bare wait(timeout) in a loop would restart the full timeout on
+        every spurious/stolen wakeup)."""
         with self._cond:
-            while not self._q and not self._closed:
-                if not self._cond.wait(timeout):
-                    return None
+            self._cond.wait_for(lambda: self._q or self._closed, timeout)
             if self._q:
                 return self._q.popleft()
             return None

@@ -258,6 +258,13 @@ class NativeFrameQueue:
         if self._py is not None:
             return self._py.push(np.ascontiguousarray(frame, dtype=np.uint8))
         buf = np.ascontiguousarray(frame, dtype=np.uint8)
+        if buf.nbytes != self.frame_bytes:
+            # the C side copies frame_bytes unconditionally — an undersized
+            # buffer would be an out-of-bounds read across the ABI
+            raise ValueError(
+                f"frame has {buf.nbytes} bytes, queue expects "
+                f"{self.frame_bytes} (shape {self.frame_shape})"
+            )
         return bool(
             self._lib.ocm_queue_push(self._q, buf.ctypes.data_as(ctypes.c_char_p))
         )
@@ -330,6 +337,10 @@ class NativeFileReader:
         if tuple(queue.frame_shape) != (height, width, 4):
             raise ValueError("queue frame shape must be (height, width, 4)")
         self._lib = lib
+        # hold the queue OBJECT, not just its raw pointer: the C++ reader
+        # thread pushes into it, so the queue must outlive the reader —
+        # our __del__ joins the thread before the queue can be destroyed
+        self._queue = queue
         self._r = lib.ocm_reader_start(
             str(path).encode(), width, height, int(fmt), int(cs),
             queue._q, int(loop), float(fps),

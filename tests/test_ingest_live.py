@@ -241,3 +241,39 @@ def test_y4m_rejects_bit_depth_variants(tmp_path):
         p = tmp_path / f"ok_{tag}.y4m"
         p.write_bytes(f"YUV4MPEG2 W4 H4 {tag}\n".encode())
         Y4MSource(str(p))  # header accepted
+
+def test_mjpeg_stop_before_start_returns():
+    """stop() on a never-started server must not deadlock (socketserver's
+    shutdown() waits on an event only serve_forever() sets) and must close
+    the listening socket."""
+    import threading
+
+    from obs_color_monitor_tpu.pipeline.live import MJPEGServer
+
+    server = MJPEGServer(port=0)
+    t = threading.Thread(target=server.stop, daemon=True)
+    t.start()
+    t.join(timeout=5.0)
+    assert not t.is_alive(), "stop() deadlocked on a never-started server"
+    assert server._httpd.socket.fileno() == -1  # listening FD closed
+
+
+def test_mjpeg_publish_skips_encode_without_clients(rng):
+    """With no /stream client connected publish() must not JPEG-encode
+    (1-core host: the encode would steal producer time for nobody), yet
+    /frame still serves the latest panel via lazy encode."""
+    import urllib.request
+
+    from obs_color_monitor_tpu.pipeline.live import MJPEGServer
+
+    server = MJPEGServer(port=0).start()
+    try:
+        img = rng.integers(0, 256, (32, 48, 4), dtype=np.uint8)
+        server.publish(img)
+        assert server.n_published == 1
+        assert server._frame is None  # nothing encoded eagerly
+        with urllib.request.urlopen(server.url + "frame", timeout=5) as r:
+            assert r.status == 200
+            assert len(r.read()) > 0  # lazy encode on demand
+    finally:
+        server.stop()

@@ -270,3 +270,41 @@ def test_driver_survives_consumer_exception(frame, caplog):
         drv.stop()
     assert drv.n_errors >= 1
     assert bomb.calls >= 2  # thread kept going after the failure
+
+
+def test_pipeline_driver_restart(frame):
+    """stop() then start() must process frames again (a restarted driver
+    gets a fresh queue — the closed one rejects every push forever)."""
+    his = Histogram(HistogramConfig(target_scale=1))
+    drv = PipelineDriver(his._hub)
+    drv.start()
+    try:
+        assert drv.push_frame(frame)
+        drv.flush()
+        n1 = drv.hub.frames_processed
+        assert n1 >= 1
+        drv.stop()
+        assert not drv.push_frame(frame)  # closed queue drops
+        drv.start()
+        assert drv.push_frame(frame)  # fresh queue accepts again
+        drv.flush()
+        assert drv.hub.frames_processed > n1
+    finally:
+        drv.stop()
+
+
+def test_pipeline_driver_flush_counts_inflight(frame):
+    """flush() waits for frames the worker has POPPED but not yet finished
+    (the queue-length check alone can't see them)."""
+    his = Histogram(HistogramConfig(target_scale=1))
+    drv = PipelineDriver(his._hub)
+    drv.start()
+    try:
+        for _ in range(4):
+            drv.push_frame(frame)
+        drv.flush()
+        # every accepted push was fully consumed by flush-return time
+        assert drv._consumed == drv.queue.n_pushed
+        assert drv.hub.frames_processed + drv.hub.frames_skipped == drv._consumed
+    finally:
+        drv.stop()

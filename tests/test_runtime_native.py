@@ -205,3 +205,56 @@ def test_native_file_reader(tmp_path, rng):
     time.sleep(0.2)
     r3.stop()
     assert q3.n_dropped > 0 and len(q3) == 2
+
+
+def test_native_queue_push_size_validation():
+    """An undersized frame must be rejected in Python — the C side copies
+    frame_bytes unconditionally (OOB read across the ABI otherwise)."""
+    import pytest
+
+    from obs_color_monitor_tpu.runtime import NativeFrameQueue
+
+    q = NativeFrameQueue(2, (8, 8, 4))
+    if not q.is_native:
+        pytest.skip("native runtime unavailable")
+    with pytest.raises(ValueError, match="bytes"):
+        q.push(np.zeros((8, 8, 3), np.uint8))
+    assert q.push(np.zeros((8, 8, 4), np.uint8))
+
+
+def test_native_queue_destroy_with_blocked_consumer():
+    """ocm_queue_destroy while a consumer is blocked inside ocm_queue_pop
+    must wake it, wait for it to leave, and only then free (no
+    use-after-free).  The consumer calls the raw C function so the Python
+    wrapper object can really be destroyed mid-wait (ctypes releases the
+    GIL during the call)."""
+    import ctypes
+    import threading
+    import time as _t
+
+    from obs_color_monitor_tpu.runtime import NativeFrameQueue
+    from obs_color_monitor_tpu.runtime import native as native_mod
+
+    q = NativeFrameQueue(2, (4, 4, 4))
+    if not q.is_native:
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    lib, ptr = native_mod._load(), q._q
+    out = np.empty((4, 4, 4), np.uint8)
+    results = []
+
+    def consumer():
+        # blocked on the queue's cv inside the C call, holding NO Python
+        # reference to the wrapper
+        results.append(
+            lib.ocm_queue_pop(ptr, out.ctypes.data_as(ctypes.c_char_p), 30.0)
+        )
+
+    t = threading.Thread(target=consumer, daemon=True)
+    t.start()
+    _t.sleep(0.2)  # let the consumer block on the cv
+    del q  # __del__ -> ocm_queue_destroy: close, wake, drain waiters, free
+    t.join(timeout=5.0)
+    assert not t.is_alive()
+    assert results == [0]  # woken by close, no frame
