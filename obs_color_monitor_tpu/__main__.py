@@ -49,6 +49,27 @@ def _make_source(args):
     return PatternSource(w, h, args.pattern)
 
 
+def _make_sink(args, src):
+    """``--out-video`` sink (or None): records every rendered frame.
+
+    The file analog of the reference's live dock surface — OBS records
+    whatever its displays show; here the composited panel writes straight
+    to .y4m (native) or any ffmpeg-encodable container.
+    """
+    if not getattr(args, "out_video", None):
+        return None
+    from .pipeline.sinks import open_video_sink
+
+    fps = args.fps or getattr(src, "fps", None) or 30.0
+    return open_video_sink(
+        args.out_video,
+        args.out_width,
+        args.out_height,
+        fps=fps,
+        cs=args.colorspace or 2,
+    )
+
+
 def cmd_dock(args) -> int:
     import numpy as np
 
@@ -67,6 +88,7 @@ def cmd_dock(args) -> int:
     src = _make_source(args)
     if args.live:
         return _run_live(args, dock, src)
+    sink = _make_sink(args, src)
     t0 = time.perf_counter()
     n = 0
     img = None
@@ -77,11 +99,21 @@ def cmd_dock(args) -> int:
             )
         else:
             dock.push_frame(frame)
+            if sink is not None:
+                img = dock.render(width=args.out_width, height=args.out_height)
+        if sink is not None and img is not None:
+            sink.write(np.asarray(img))
         n += 1
-    if not args.one_program:
+    if not args.one_program and sink is None:
         img = dock.render(width=args.out_width, height=args.out_height)
     dt = time.perf_counter() - t0
-    write_png(args.out, img)
+    if sink is not None:
+        sink.close()
+        print(f"video: {sink.n_written} frames -> {args.out_video}")
+    if img is None:
+        print("no frames processed", file=sys.stderr)
+        return 1
+    write_png(args.out, np.asarray(img))
     if args.save_settings:
         save_dock(dock, args.save_settings)
     if args.one_program:
@@ -111,12 +143,23 @@ def _live_serve(args, src, produce, label, extra_stats=None) -> int:
     next_t = t0
     n = 0
     n_late = 0
+    sink = None
     try:
         n_frames = None if args.frames <= 0 else args.frames
         for frame in src.frames(n_frames):
             img = produce(frame)
             if img is not None:
-                server.publish(np.asarray(img))
+                img = np.asarray(img)
+                server.publish(img)
+                if getattr(args, "out_video", None):
+                    if sink is None:
+                        from .pipeline.sinks import open_video_sink
+
+                        sink = open_video_sink(
+                            args.out_video, img.shape[1], img.shape[0],
+                            fps=fps, cs=args.colorspace or 2,
+                        )
+                    sink.write(img)
             n += 1
             next_t += period
             now = time.perf_counter()
@@ -134,6 +177,9 @@ def _live_serve(args, src, produce, label, extra_stats=None) -> int:
             f"live: {n} frames in {dt:.2f}s ({rate:.1f} fps, "
             f"{n_late} late), {extra}published {server.n_published}"
         )
+        if sink is not None:
+            sink.close()
+            print(f"video: {sink.n_written} frames -> {args.out_video}")
         server.stop()
     return 0
 
@@ -186,15 +232,40 @@ def cmd_scope(args) -> int:
             return scope.render()
 
         return _live_serve(args, src, produce, args.scope)
+    import numpy as np
+
+    sink = None
+    img = None
     for frame in src.frames(args.frames):
         scope.push_frame(frame)
         scope._hub.tick()  # publish double buffers
-    img = scope.render()
+        if args.out_video:
+            img = scope.render()
+            if img is None:
+                continue
+            img = np.asarray(img)
+            if sink is None:
+                # scope images size themselves (e.g. waveform width follows
+                # the target) — open the sink on the first rendered frame
+                from .pipeline.sinks import open_video_sink
+
+                fps = args.fps or getattr(src, "fps", None) or 30.0
+                sink = open_video_sink(
+                    args.out_video, img.shape[1], img.shape[0],
+                    fps=fps, cs=args.colorspace or 2,
+                )
+            sink.write(img)
+    if sink is not None:
+        sink.close()
+        print(f"video: {sink.n_written} frames -> {args.out_video}")
+    if img is None:
+        img = scope.render()
     if img is None:
         print("no frames processed", file=sys.stderr)
         return 1
     from .utils.image_io import write_png as _wp
 
+    img = np.asarray(img)
     _wp(args.out, img)
     print(f"{args.scope}: {img.shape[1]}x{img.shape[0]} -> {args.out}")
     return 0
@@ -261,6 +332,12 @@ def main(argv=None) -> int:
         "--fps", type=float, default=0.0,
         help="--live pacing (0 = the source's own rate, else 30)",
     )
+    d.add_argument(
+        "--out-video",
+        help="also record every rendered panel to a video file "
+        "(.y4m written natively; other extensions encode via the system "
+        "ffmpeg)",
+    )
     d.add_argument("--save-settings", help="write dock settings JSON")
     d.add_argument("--load-settings", help="read dock settings JSON")
     d.set_defaults(fn=cmd_dock)
@@ -283,6 +360,12 @@ def main(argv=None) -> int:
     s.add_argument(
         "--fps", type=float, default=0.0,
         help="--live pacing (0 = the source's own rate, else 30)",
+    )
+    s.add_argument(
+        "--out-video",
+        help="also record every rendered scope image to a video file "
+        "(.y4m written natively; other extensions encode via the system "
+        "ffmpeg)",
     )
     s.set_defaults(fn=cmd_scope)
 
