@@ -60,7 +60,8 @@ class RawRGBASource(FrameSource):
 
 
 class Y4MSource(FrameSource):
-    """YUV4MPEG2 (.y4m) reader: C420* (all sitings), C422, C444.
+    """YUV4MPEG2 (.y4m) reader: C420* (all sitings), C422, C444, at 8-
+    or high bit depth (C420p10/C422p12/...).
 
     The standard raw-video interchange format (ffmpeg: ``-f yuv4mpegpipe``).
     4:2:0 planes are interleaved to NV12 and converted through the native
@@ -69,6 +70,13 @@ class Y4MSource(FrameSource):
     fixed-point math).  The C420 siting variants (jpeg/paldv/mpeg2) differ
     only in where the chroma samples sit, which a nearest upsample ignores
     — all are accepted and decoded alike.
+
+    High-bit-depth tags (p10/p12/p14/p16, 16-bit LE planes) round-shift
+    down to the 8-bit monitoring domain (``(v + half) >> (bits-8)``,
+    clipped) before the identical conversion — the analog of OBS
+    converting every source to its 8-bit BGRA canvas before the reference
+    plugin ever reads pixels (reference src/common.c:170-221 operates on
+    that canvas, never on source bit depth).
     """
 
     # chroma tag -> (x-subsample, y-subsample)
@@ -82,35 +90,50 @@ class Y4MSource(FrameSource):
             raise ValueError(f"{path}: not a YUV4MPEG2 stream")
         self.width = self.height = 0
         self.subsampling = self._SUBSAMPLING["C420"]  # y4m default
+        self.bits = 8
         for tok in header.split()[1:]:
             if tok.startswith("W"):
                 self.width = int(tok[1:])
             elif tok.startswith("H"):
                 self.height = int(tok[1:])
             elif tok.startswith("C"):
-                # 8-bit tags only: the C420 SITING variants decode alike
-                # under nearest upsampling, but bit-depth variants
-                # (C420p10/C422p10/...) are 16-bit-per-sample planes that
-                # would silently misalign if read as 8-bit — reject them
+                # siting variants (C420jpeg/paldv/mpeg2) decode alike under
+                # nearest upsampling; pN suffixes are 16-bit LE planes that
+                # round-shift to 8 bits (reading them AS 8-bit would
+                # silently misalign, hence the explicit tag parse)
                 base = tok[:4]
-                if base not in self._SUBSAMPLING or tok not in (
-                    "C420", "C422", "C444",
-                    "C420jpeg", "C420paldv", "C420mpeg2",
+                rest = tok[4:]
+                if base not in self._SUBSAMPLING or (
+                    rest not in ("", "jpeg", "paldv", "mpeg2", "p10",
+                                 "p12", "p14", "p16")
+                    or (rest in ("jpeg", "paldv", "mpeg2") and base != "C420")
                 ):
                     raise ValueError(
                         f"{path}: unsupported chroma {tok} (supported: "
-                        f"C420/C420jpeg/C420paldv/C420mpeg2, C422, C444)"
+                        f"C420/C420jpeg/C420paldv/C420mpeg2, C422, C444, "
+                        f"each also at p10/p12/p14/p16)"
                     )
                 self.subsampling = self._SUBSAMPLING[base]
+                if rest in ("p10", "p12", "p14", "p16"):
+                    self.bits = int(rest[1:])
         if not self.width or not self.height:
             raise ValueError(f"{path}: missing W/H in header")
         self._header_len = len(header.encode())
+
+    def _to8(self, plane: np.ndarray) -> np.ndarray:
+        """Round-shift a high-bit-depth plane to u8 (round half up, clip:
+        e.g. p10 1023 -> (1023+2)>>2 = 256 -> 255)."""
+        shift = self.bits - 8
+        v = (plane.astype(np.uint32) + (1 << (shift - 1))) >> shift
+        return np.minimum(v, 255).astype(np.uint8)
 
     def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
         w, h = self.width, self.height
         sx, sy = self.subsampling
         cw, ch = -(-w // sx), -(-h // sy)
         ysz, csz = w * h, cw * ch
+        dtype = np.dtype(np.uint8) if self.bits == 8 else np.dtype("<u2")
+        nbytes = dtype.itemsize
         count = 0
         with open(self.path, "rb") as f:
             f.seek(self._header_len)
@@ -118,12 +141,15 @@ class Y4MSource(FrameSource):
                 marker = f.readline()
                 if not marker.startswith(b"FRAME"):
                     return
-                buf = f.read(ysz + 2 * csz)
-                if len(buf) < ysz + 2 * csz:
+                buf = f.read((ysz + 2 * csz) * nbytes)
+                if len(buf) < (ysz + 2 * csz) * nbytes:
                     return
-                y = np.frombuffer(buf[:ysz], np.uint8).reshape(h, w)
-                u = np.frombuffer(buf[ysz : ysz + csz], np.uint8).reshape(ch, cw)
-                v = np.frombuffer(buf[ysz + csz :], np.uint8).reshape(ch, cw)
+                planes = np.frombuffer(buf, dtype)
+                y = planes[:ysz].reshape(h, w)
+                u = planes[ysz : ysz + csz].reshape(ch, cw)
+                v = planes[ysz + csz :].reshape(ch, cw)
+                if self.bits != 8:
+                    y, u, v = self._to8(y), self._to8(u), self._to8(v)
                 if (sx, sy) == (2, 2) and w % 2 == 0:
                     uv = np.empty((ch, w), np.uint8)
                     uv[:, 0::2] = u

@@ -228,16 +228,55 @@ def test_cli_scope_live_smoke(capsys):
     assert "live: 3 frames" in out
     assert "published 3" in out
 
-def test_y4m_rejects_bit_depth_variants(tmp_path):
-    """ffmpeg emits C420p10/C422p10/... for >8-bit content — 16-bit LE
-    planes that would silently misalign if read as 8-bit; only the 8-bit
-    siting variants may pass the chroma guard."""
-    for tag in ("C420p10", "C420p12", "C420p16", "C422p10", "C444p16"):
+@pytest.mark.parametrize("tag,bits,sx,sy", [
+    ("C420p10", 10, 2, 2),
+    ("C422p12", 12, 2, 1),
+    ("C444p16", 16, 1, 1),
+])
+def test_y4m_high_bit_depth(tmp_path, rng, tag, bits, sx, sy):
+    """ffmpeg emits C420p10/C422p12/... for >8-bit content — 16-bit LE
+    planes.  They round-shift to the 8-bit monitoring domain (the analog
+    of OBS converting every source to its 8-bit canvas before the
+    reference plugin reads pixels) and then decode exactly like the 8-bit
+    path."""
+    w, h = 16, 8
+    cw, ch = w // sx, h // sy
+    hi = 1 << bits
+    y = rng.integers(0, hi, (h, w)).astype("<u2")
+    u = rng.integers(0, hi, (ch, cw)).astype("<u2")
+    v = rng.integers(0, hi, (ch, cw)).astype("<u2")
+    # plant the rounding/clip boundary cases (p10: 513 -> 128, 514 -> 129,
+    # 1023 -> 255 after the round-up would hit 256)
+    y.flat[:3] = (hi - 1, hi // 2 + 1, hi // 2 + 2)
+    p = tmp_path / f"hbd_{tag}.y4m"
+    hdr = f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 {tag}\n".encode()
+    with open(p, "wb") as f:
+        f.write(hdr + b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes())
+    src = Y4MSource(str(p), cs=2)
+    assert src.bits == bits
+    (frame,) = src.frames()
+
+    def to8(a):
+        s = bits - 8
+        return np.minimum((a.astype(np.uint32) + (1 << (s - 1))) >> s, 255
+                          ).astype(np.uint8)
+
+    want = native.yuv_planes_to_rgba(to8(y), to8(u), to8(v), cs=2)
+    np.testing.assert_array_equal(frame, want)
+    assert to8(y).flat[0] == 255  # clip at the top of the range
+    assert to8(np.array([hi // 2 + 1])).item() == 128 if bits == 10 else True
+
+
+def test_y4m_rejects_unknown_chroma(tmp_path):
+    """Unknown subsampling/bit-depth tags must still fail loudly — a
+    misparsed plane layout would silently misalign every frame."""
+    for tag in ("C411", "Cmono", "C420p9", "C422jpeg", "C444p10x"):
         p = tmp_path / f"bad_{tag}.y4m"
         p.write_bytes(f"YUV4MPEG2 W4 H4 {tag}\nFRAME\n".encode() + b"\0" * 48)
         with pytest.raises(ValueError, match="unsupported chroma"):
             Y4MSource(str(p))
-    for tag in ("C420", "C420jpeg", "C420paldv", "C420mpeg2", "C422", "C444"):
+    for tag in ("C420", "C420jpeg", "C420paldv", "C420mpeg2", "C422", "C444",
+                "C420p10", "C422p12", "C444p16"):
         p = tmp_path / f"ok_{tag}.y4m"
         p.write_bytes(f"YUV4MPEG2 W4 H4 {tag}\n".encode())
         Y4MSource(str(p))  # header accepted
