@@ -41,6 +41,12 @@ def _make_source(args):
             return Y4MSource(args.input, cs=args.colorspace or 2)
         if args.input.endswith(".nv12"):
             return NV12Source(args.input, w, h, cs=args.colorspace or 2)
+        if args.input.endswith(".p010"):
+            # P010 = 10-bit NV12 layout, samples MSB-aligned in 16-bit LE
+            return NV12Source(
+                args.input, w, h, cs=args.colorspace or 2,
+                bits=10, msb_aligned=True,
+            )
         if args.input.endswith(".rgba"):
             return RawRGBASource(args.input, w, h)
         # anything else (mp4/mkv/webm/rtmp...) decodes through the system

@@ -253,29 +253,45 @@ class FFmpegSource(FrameSource):
 
 
 class NV12Source(FrameSource):
-    """Raw NV12 stream (Y plane + interleaved CbCr at half vertical res).
+    """Raw NV12 stream (Y plane + interleaved CbCr at half vertical res),
+    or its high-bit-depth layout (``bits=10`` = P010-style 16-bit LE
+    samples, also 12/14/16).
 
     Converted to RGBA through the native runtime's limited-range
-    BT.601/709 fixed-point kernel (csrc/ocm_runtime.cpp).
+    BT.601/709 fixed-point kernel (csrc/ocm_runtime.cpp); >8-bit samples
+    round-shift to the 8-bit monitoring domain first (same policy as
+    `Y4MSource`).  NOTE: real P010 stores the 10 significant bits in the
+    TOP of each 16-bit word; pass ``msb_aligned=True`` for that layout
+    (the shift then drops the zero-padded low bits instead).
     """
 
-    def __init__(self, path: str, width: int, height: int, cs: int = 2):
+    def __init__(self, path: str, width: int, height: int, cs: int = 2,
+                 bits: int = 8, msb_aligned: bool = False):
+        if bits not in (8, 10, 12, 14, 16):
+            raise ValueError(f"bits must be 8/10/12/14/16, got {bits}")
         self.path, self.width, self.height, self.cs = path, width, height, cs
-        self.frame_bytes = width * height * 3 // 2
+        self.bits, self.msb_aligned = bits, msb_aligned
+        self._nbytes = 1 if bits == 8 else 2
+        self.frame_bytes = width * height * 3 // 2 * self._nbytes
         self.n_frames = os.path.getsize(path) // self.frame_bytes
+
+    def _to8(self, plane: np.ndarray) -> np.ndarray:
+        shift = (8 if self.msb_aligned else self.bits - 8)
+        v = (plane.astype(np.uint32) + (1 << (shift - 1))) >> shift
+        return np.minimum(v, 255).astype(np.uint8)
 
     def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
         count = self.n_frames if n is None else min(n, self.n_frames)
         ysz = self.width * self.height
+        dtype = np.dtype(np.uint8) if self.bits == 8 else np.dtype("<u2")
         with open(self.path, "rb") as f:
             for _ in range(count):
                 buf = f.read(self.frame_bytes)
                 if len(buf) < self.frame_bytes:
                     return
-                y = np.frombuffer(buf[:ysz], np.uint8).reshape(
-                    self.height, self.width
-                )
-                uv = np.frombuffer(buf[ysz:], np.uint8).reshape(
-                    self.height // 2, self.width
-                )
+                samples = np.frombuffer(buf, dtype)
+                y = samples[:ysz].reshape(self.height, self.width)
+                uv = samples[ysz:].reshape(self.height // 2, self.width)
+                if self.bits != 8:
+                    y, uv = self._to8(y), self._to8(uv)
                 yield native.nv12_to_rgba(y, uv, cs=self.cs)

@@ -120,6 +120,45 @@ def test_frame_sources(tmp_path, rng):
     np.testing.assert_array_equal(got[0], native.nv12_to_rgba(y, uv, cs=1))
 
 
+def test_nv12_high_bit_depth(tmp_path, rng):
+    """10/12/16-bit NV12 layouts round-shift to the 8-bit monitoring
+    domain, in both alignments: LSB-justified (plain ``bits=N``) and
+    MSB-aligned 16-bit words (real P010)."""
+    from obs_color_monitor_tpu.pipeline.ingest import NV12Source
+
+    w, h = 8, 6
+
+    def to8(a, shift):
+        return np.minimum((a.astype(np.uint32) + (1 << (shift - 1))) >> shift,
+                          255).astype(np.uint8)
+
+    # LSB-justified 10-bit: value 513 -> 128, 514 -> 129, 1023 -> 255 (clip)
+    y = rng.integers(0, 1 << 10, (h, w)).astype("<u2")
+    uv = rng.integers(0, 1 << 10, (h // 2, w)).astype("<u2")
+    y.flat[:3] = (513, 514, 1023)
+    p = tmp_path / "c.yuv10"
+    p.write_bytes(y.tobytes() + uv.tobytes())
+    (frame,) = NV12Source(str(p), w, h, cs=2, bits=10).frames()
+    want8 = to8(y, 2)
+    assert (want8.flat[0], want8.flat[1], want8.flat[2]) == (128, 129, 255)
+    np.testing.assert_array_equal(
+        frame, native.nv12_to_rgba(want8, to8(uv, 2), cs=2)
+    )
+
+    # MSB-aligned P010: the same 10-bit values shifted into the word top;
+    # both alignments must decode identically
+    p2 = tmp_path / "c.p010"
+    p2.write_bytes((y << 6).astype("<u2").tobytes()
+                   + (uv << 6).astype("<u2").tobytes())
+    (frame2,) = NV12Source(
+        str(p2), w, h, cs=2, bits=10, msb_aligned=True
+    ).frames()
+    np.testing.assert_array_equal(frame2, frame)
+
+    with pytest.raises(ValueError, match="bits"):
+        NV12Source(str(p), w, h, bits=9)
+
+
 @pytest.mark.parametrize("cs", [1, 2])
 def test_nv12_device_matches_native(rng, cs):
     """Device-side NV12 ingest is bit-identical to the C++ kernel."""
