@@ -173,6 +173,20 @@ def test_cli_dock_out_video(tmp_path):
     assert out.exists()
 
 
+def test_cli_dock_out_video_one_program(tmp_path):
+    """--out-video also records on the one-program (make_dock_step)
+    route, where a panel is rendered per frame anyway."""
+    vid = tmp_path / "dock1p.y4m"
+    rc = main([
+        "dock", "--pattern", "ramp", "--size", "192x108",
+        "--frames", "3", "--one-program",
+        "--out", str(tmp_path / "d.png"), "--out-video", str(vid),
+        "--out-width", "128", "--out-height", "384",
+    ])
+    assert rc == 0
+    assert len(list(Y4MSource(str(vid), cs=2).frames())) == 3
+
+
 def test_cli_scope_out_video(tmp_path):
     vid = tmp_path / "vs.y4m"
     rc = main([
