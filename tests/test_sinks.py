@@ -187,6 +187,22 @@ def test_cli_dock_out_video_one_program(tmp_path):
     assert len(list(Y4MSource(str(vid), cs=2).frames())) == 3
 
 
+def test_cli_live_out_video_tee(tmp_path, capsys):
+    """--out-video on the --live route records what the MJPEG server
+    publishes (the recording tee, both for dock and per-scope views)."""
+    vid = tmp_path / "live.y4m"
+    rc = main([
+        "scope", "zebra", "--pattern", "bars", "--size", "64x48",
+        "--frames", "3", "--live", "--port", "0", "--fps", "240",
+        "--out", str(tmp_path / "z.png"), "--out-video", str(vid),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "published 3" in out
+    assert "video: 3 frames" in out
+    assert len(list(Y4MSource(str(vid), cs=2).frames())) == 3
+
+
 def test_cli_scope_out_video(tmp_path):
     vid = tmp_path / "vs.y4m"
     rc = main([
