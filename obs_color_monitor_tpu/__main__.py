@@ -55,8 +55,9 @@ def _make_source(args):
     return PatternSource(w, h, args.pattern)
 
 
-def _make_sink(args, src):
-    """``--out-video`` sink (or None): records every rendered frame.
+def _make_tee(args, src):
+    """``--out-video`` recording tee (or None): records every rendered
+    frame.
 
     The file analog of the reference's live dock surface — OBS records
     whatever its displays show; here the composited panel writes straight
@@ -64,16 +65,9 @@ def _make_sink(args, src):
     """
     if not getattr(args, "out_video", None):
         return None
-    from .pipeline.sinks import open_video_sink
+    from .pipeline.sinks import RecordingTee
 
-    fps = args.fps or getattr(src, "fps", None) or 30.0
-    return open_video_sink(
-        args.out_video,
-        args.out_width,
-        args.out_height,
-        fps=fps,
-        cs=args.colorspace or 2,
-    )
+    return RecordingTee(args.out_video, args.fps, src, cs=args.colorspace or 2)
 
 
 def cmd_dock(args) -> int:
@@ -94,28 +88,33 @@ def cmd_dock(args) -> int:
     src = _make_source(args)
     if args.live:
         return _run_live(args, dock, src)
-    sink = _make_sink(args, src)
+    tee = _make_tee(args, src)
     t0 = time.perf_counter()
     n = 0
     img = None
-    for frame in src.frames(args.frames):
-        if args.one_program:
-            img = dock.render_device(
-                frame, tm=n / 15.0, width=args.out_width, height=args.out_height
-            )
-        else:
-            dock.push_frame(frame)
-            if sink is not None:
-                img = dock.render(width=args.out_width, height=args.out_height)
-        if sink is not None and img is not None:
-            sink.write(np.asarray(img))
-        n += 1
-    if not args.one_program and sink is None:
+    ok = False
+    try:
+        for frame in src.frames(args.frames):
+            if args.one_program:
+                img = dock.render_device(
+                    frame, tm=n / 15.0, width=args.out_width, height=args.out_height
+                )
+            else:
+                dock.push_frame(frame)
+                if tee is not None:
+                    img = dock.render(width=args.out_width, height=args.out_height)
+            if tee is not None and img is not None:
+                tee.write(img)
+            n += 1
+        ok = True
+    finally:
+        # a failing close (ffmpeg nonzero exit) surfaces only when it is
+        # the sole error — raising from finally would mask the loop's own
+        if tee is not None:
+            tee.close(raise_errors=ok)
+    if not args.one_program and tee is None:
         img = dock.render(width=args.out_width, height=args.out_height)
     dt = time.perf_counter() - t0
-    if sink is not None:
-        sink.close()
-        print(f"video: {sink.n_written} frames -> {args.out_video}")
     if img is None:
         print("no frames processed", file=sys.stderr)
         return 1
@@ -141,7 +140,10 @@ def _live_serve(args, src, produce, label, extra_stats=None) -> int:
 
     from .pipeline.live import MJPEGServer
 
-    fps = args.fps or getattr(src, "fps", None) or 30.0
+    tee = _make_tee(args, src)
+    fps = tee.fps if tee is not None else (
+        args.fps or getattr(src, "fps", None) or 30.0
+    )
     server = MJPEGServer(host=args.host, port=args.port).start()
     print(f"live {label} at {server.url}  (source {fps:g} fps, ctrl-C stops)")
     period = 1.0 / fps
@@ -149,7 +151,7 @@ def _live_serve(args, src, produce, label, extra_stats=None) -> int:
     next_t = t0
     n = 0
     n_late = 0
-    sink = None
+    ok = False
     try:
         n_frames = None if args.frames <= 0 else args.frames
         for frame in src.frames(n_frames):
@@ -157,15 +159,8 @@ def _live_serve(args, src, produce, label, extra_stats=None) -> int:
             if img is not None:
                 img = np.asarray(img)
                 server.publish(img)
-                if getattr(args, "out_video", None):
-                    if sink is None:
-                        from .pipeline.sinks import open_video_sink
-
-                        sink = open_video_sink(
-                            args.out_video, img.shape[1], img.shape[0],
-                            fps=fps, cs=args.colorspace or 2,
-                        )
-                    sink.write(img)
+                if tee is not None:
+                    tee.write(img)
             n += 1
             next_t += period
             now = time.perf_counter()
@@ -173,8 +168,9 @@ def _live_serve(args, src, produce, label, extra_stats=None) -> int:
                 time.sleep(next_t - now)
             else:
                 n_late += 1
+        ok = True
     except KeyboardInterrupt:
-        pass
+        ok = True  # a clean stop: a failing encode should still surface
     finally:
         dt = time.perf_counter() - t0
         rate = n / dt if dt > 0 else 0.0
@@ -183,10 +179,11 @@ def _live_serve(args, src, produce, label, extra_stats=None) -> int:
             f"live: {n} frames in {dt:.2f}s ({rate:.1f} fps, "
             f"{n_late} late), {extra}published {server.n_published}"
         )
-        if sink is not None:
-            sink.close()
-            print(f"video: {sink.n_written} frames -> {args.out_video}")
-        server.stop()
+        try:
+            if tee is not None:
+                tee.close(raise_errors=ok)
+        finally:
+            server.stop()  # runs even when the tee close raises
     return 0
 
 
@@ -240,30 +237,21 @@ def cmd_scope(args) -> int:
         return _live_serve(args, src, produce, args.scope)
     import numpy as np
 
-    sink = None
+    tee = _make_tee(args, src)
     img = None
-    for frame in src.frames(args.frames):
-        scope.push_frame(frame)
-        scope._hub.tick()  # publish double buffers
-        if args.out_video:
-            img = scope.render()
-            if img is None:
-                continue
-            img = np.asarray(img)
-            if sink is None:
-                # scope images size themselves (e.g. waveform width follows
-                # the target) — open the sink on the first rendered frame
-                from .pipeline.sinks import open_video_sink
-
-                fps = args.fps or getattr(src, "fps", None) or 30.0
-                sink = open_video_sink(
-                    args.out_video, img.shape[1], img.shape[0],
-                    fps=fps, cs=args.colorspace or 2,
-                )
-            sink.write(img)
-    if sink is not None:
-        sink.close()
-        print(f"video: {sink.n_written} frames -> {args.out_video}")
+    ok = False
+    try:
+        for frame in src.frames(args.frames):
+            scope.push_frame(frame)
+            scope._hub.tick()  # publish double buffers
+            if tee is not None:
+                img = scope.render()
+                if img is not None:
+                    img = tee.write(img)
+        ok = True
+    finally:
+        if tee is not None:
+            tee.close(raise_errors=ok)
     if img is None:
         img = scope.render()
     if img is None:

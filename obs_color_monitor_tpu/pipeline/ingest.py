@@ -91,11 +91,21 @@ class Y4MSource(FrameSource):
         self.width = self.height = 0
         self.subsampling = self._SUBSAMPLING["C420"]  # y4m default
         self.bits = 8
+        self.fps: Optional[float] = None  # recording tees pace/label by it
         for tok in header.split()[1:]:
             if tok.startswith("W"):
                 self.width = int(tok[1:])
             elif tok.startswith("H"):
                 self.height = int(tok[1:])
+            elif tok.startswith("F"):
+                # frame rate "F<num>:<den>" — carried so --out-video tees
+                # label the recording at the source rate, not a 30fps guess
+                try:
+                    num, den = tok[1:].split(":")
+                    if int(den) > 0 and int(num) > 0:
+                        self.fps = int(num) / int(den)
+                except ValueError:
+                    pass  # malformed rate: leave unset, callers default
             elif tok.startswith("C"):
                 # siting variants (C420jpeg/paldv/mpeg2) decode alike under
                 # nearest upsampling; pN suffixes are 16-bit LE planes that

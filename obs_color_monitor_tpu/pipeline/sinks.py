@@ -19,7 +19,7 @@ ffmpeg supports (gated on the binary, mirroring `ingest.FFmpegSource`).
 from __future__ import annotations
 
 from fractions import Fraction
-from typing import Optional, TextIO
+from typing import Optional
 
 import numpy as np
 
@@ -141,18 +141,55 @@ class Y4MSink(VideoSink):
             self._f.close()
 
 
+# ffmpeg names for the two colorspaces (metadata tags + the swscale
+# RGB->YUV matrix the encoder conversion should use)
+_FFMPEG_CS = {1: "smpte170m", 2: "bt709"}
+
+
+def ffmpeg_sink_cmd(path: str, width: int, height: int, fps: float,
+                    ffmpeg: str = "ffmpeg", cs: int = 2,
+                    extra_args: Optional[list] = None) -> list:
+    """The FFmpegSink command line (factored out so tests can check the
+    encode options without an ffmpeg binary present).
+
+    Output options pin what ffmpeg would otherwise guess from the rgba
+    input: ``-pix_fmt yuv420p`` (libx264 defaults to yuv444p for rgba —
+    a High 4:4:4 profile most players and hardware decoders refuse; 4:2:0
+    needs even dimensions, so odd-sized scope images stay 4:4:4) and the
+    colorimetry both as stream metadata and as the actual swscale
+    conversion matrix/range.  ``extra_args`` come AFTER the defaults, so
+    callers can override any of them (ffmpeg lets the last flag win).
+    """
+    cs_name = _FFMPEG_CS.get(int(cs), "bt709")
+    out_opts = [
+        "-vf", f"scale=out_color_matrix={cs_name}:out_range=tv",
+        "-colorspace", cs_name,
+        "-color_primaries", cs_name,
+        "-color_trc", cs_name,
+    ]
+    if width % 2 == 0 and height % 2 == 0:
+        out_opts += ["-pix_fmt", "yuv420p"]
+    return [
+        ffmpeg, "-v", "error", "-y",
+        "-f", "rawvideo", "-pix_fmt", "rgba",
+        "-s", f"{width}x{height}", "-r", f"{fps:g}",
+        "-i", "pipe:0",
+    ] + out_opts + (extra_args or []) + [path]
+
+
 class FFmpegSink(VideoSink):
     """Encode to any container/codec via the system ffmpeg (mp4, mkv,
     webm, ...), raw RGBA piped over stdin.
 
     GATED on the binary being present — nothing is vendored or linked
     (same policy as `ingest.FFmpegSource`).  Extra encoder args (codec,
-    crf, ...) pass through `extra_args`.
+    crf, ...) pass through `extra_args`; see `ffmpeg_sink_cmd` for the
+    pinned defaults (yuv420p, colorimetry matching ``cs``).
     """
 
     def __init__(self, path: str, width: int, height: int,
                  fps: float = 30.0, ffmpeg: str = "ffmpeg",
-                 extra_args: Optional[list] = None):
+                 cs: int = 2, extra_args: Optional[list] = None):
         import shutil
         import subprocess
 
@@ -164,12 +201,8 @@ class FFmpegSink(VideoSink):
         if width <= 0 or height <= 0:
             raise ValueError(f"bad geometry {width}x{height}")
         self.path, self.width, self.height = path, width, height
-        cmd = [
-            ffmpeg, "-v", "error", "-y",
-            "-f", "rawvideo", "-pix_fmt", "rgba",
-            "-s", f"{width}x{height}", "-r", f"{fps:g}",
-            "-i", "pipe:0",
-        ] + (extra_args or []) + [path]
+        cmd = ffmpeg_sink_cmd(path, width, height, fps, ffmpeg=ffmpeg,
+                              cs=cs, extra_args=extra_args)
         self._proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
         self.n_written = 0
 
@@ -193,7 +226,57 @@ class FFmpegSink(VideoSink):
 def open_video_sink(path: str, width: int, height: int,
                     fps: float = 30.0, cs: int = 2) -> VideoSink:
     """Dispatch on extension: ``.y4m`` is written natively, anything else
-    encodes through the system ffmpeg."""
+    encodes through the system ffmpeg (with matching colorimetry)."""
     if path.endswith(".y4m"):
         return Y4MSink(path, width, height, fps=fps, cs=cs)
-    return FFmpegSink(path, width, height, fps=fps)
+    return FFmpegSink(path, width, height, fps=fps, cs=cs)
+
+
+class RecordingTee:
+    """Record every rendered frame alongside the primary CLI output.
+
+    Shared by all three recording routes (``dock``, ``dock --live`` /
+    ``scope --live``, ``scope``): resolves the frame rate once
+    (explicit ``--fps`` > the source's own probed/parsed rate > 30),
+    opens the sink lazily on the first frame (scope images size
+    themselves — e.g. the waveform width follows the target), and
+    reports the frame count on close.
+
+    ``close(raise_errors=False)`` downgrades sink-close failures (e.g.
+    FFmpegSink's nonzero-exit RuntimeError) to a stderr message — for
+    ``finally`` blocks where raising would mask the in-flight exception.
+    """
+
+    def __init__(self, path: str, fps_arg: float, src, cs: int = 2):
+        self.path, self.cs = path, cs
+        self.fps = fps_arg or getattr(src, "fps", None) or 30.0
+        self._sink: Optional[VideoSink] = None
+
+    @property
+    def n_written(self) -> int:
+        return self._sink.n_written if self._sink is not None else 0
+
+    def write(self, img: np.ndarray) -> np.ndarray:
+        img = np.asarray(img)
+        if self._sink is None:
+            self._sink = open_video_sink(
+                self.path, img.shape[1], img.shape[0],
+                fps=self.fps, cs=self.cs,
+            )
+        self._sink.write(img)
+        return img
+
+    def close(self, raise_errors: bool = True) -> None:
+        if self._sink is None:
+            return
+        sink, self._sink = self._sink, None
+        try:
+            sink.close()
+        except Exception as e:
+            if raise_errors:
+                raise
+            import sys
+
+            print(f"video sink close failed: {e}", file=sys.stderr)
+            return
+        print(f"video: {sink.n_written} frames -> {self.path}")

@@ -16,7 +16,9 @@ from obs_color_monitor_tpu.pipeline.ingest import Y4MSource
 from obs_color_monitor_tpu.pipeline.sinks import (
     _FWD,
     FFmpegSink,
+    RecordingTee,
     Y4MSink,
+    ffmpeg_sink_cmd,
     open_video_sink,
     rgb_to_yuv_limited,
 )
@@ -147,6 +149,87 @@ def test_ffmpeg_sink_encodes(tmp_path, rng):
         for _ in range(4):
             sink.write(rng.integers(0, 256, (16, 32, 4), np.uint8))
     assert p.stat().st_size > 0
+
+
+def test_ffmpeg_cmd_pins_output_format():
+    """For rgba input libx264 would pick yuv444p (High 4:4:4 — refused by
+    most players/hardware decoders); the sink pins yuv420p on even dims
+    and tags/conerts with the cs the caller asked for."""
+    cmd = ffmpeg_sink_cmd("o.mp4", 128, 64, 30.0, cs=2)
+    assert cmd[cmd.index("-pix_fmt", cmd.index("pipe:0")) + 1] == "yuv420p"
+    assert cmd[cmd.index("-colorspace") + 1] == "bt709"
+    assert "scale=out_color_matrix=bt709:out_range=tv" in cmd
+    # BT.601 tags
+    cmd601 = ffmpeg_sink_cmd("o.mp4", 128, 64, 30.0, cs=1)
+    assert cmd601[cmd601.index("-colorspace") + 1] == "smpte170m"
+    # odd dims can't be 4:2:0 — no output pix_fmt forced
+    codd = ffmpeg_sink_cmd("o.mp4", 33, 17, 30.0)
+    assert "-pix_fmt" not in codd[codd.index("pipe:0") :]
+    # caller overrides come last so they win
+    cx = ffmpeg_sink_cmd("o.mp4", 128, 64, 30.0, extra_args=["-pix_fmt", "yuv422p"])
+    last = max(i for i, a in enumerate(cx) if a == "-pix_fmt")
+    assert cx[last + 1] == "yuv422p"
+
+
+# ---------------------------------------------------------------------------
+# recording tee
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_source_parses_fps(tmp_path):
+    p = tmp_path / "r.y4m"
+    Y4MSink(str(p), 8, 4, fps=60.0).close()
+    assert Y4MSource(str(p), cs=2).fps == 60.0
+
+
+def test_recording_tee_source_rate(tmp_path, capsys):
+    """The tee labels the recording at the SOURCE's rate (a 60 fps input
+    must not come back labeled 30 fps), unless --fps overrides."""
+    src_p = tmp_path / "in.y4m"
+    Y4MSink(str(src_p), 8, 4, fps=60.0).close()
+    src = Y4MSource(str(src_p), cs=2)
+
+    rec = tmp_path / "rec.y4m"
+    tee = RecordingTee(str(rec), 0.0, src, cs=2)
+    assert tee.fps == 60.0
+    tee.write(np.zeros((4, 8, 4), np.uint8))
+    tee.close()
+    assert "video: 1 frames" in capsys.readouterr().out
+    assert Y4MSource(str(rec), cs=2).fps == 60.0
+    # explicit --fps wins over the source rate
+    assert RecordingTee(str(rec), 24.0, src, cs=2).fps == 24.0
+    # sources without a rate fall back to 30
+    assert RecordingTee(str(rec), 0.0, object(), cs=2).fps == 30.0
+
+
+def test_recording_tee_close_error_modes(tmp_path, monkeypatch, capsys):
+    """close(raise_errors=False) downgrades a failing sink close to a
+    stderr note (finally-block semantics: never mask the loop's own
+    exception); raise_errors=True propagates it."""
+    from obs_color_monitor_tpu.pipeline import sinks as sinks_mod
+
+    class BoomSink:
+        n_written = 0
+
+        def write(self, img):
+            self.n_written += 1
+
+        def close(self):
+            raise RuntimeError("ffmpeg exited with status 1")
+
+    monkeypatch.setattr(
+        sinks_mod, "open_video_sink", lambda *a, **k: BoomSink()
+    )
+    tee = RecordingTee(str(tmp_path / "x.mp4"), 30.0, None, cs=2)
+    tee.write(np.zeros((4, 8, 4), np.uint8))
+    tee.close(raise_errors=False)  # must not raise
+    assert "video sink close failed" in capsys.readouterr().err
+    tee2 = RecordingTee(str(tmp_path / "y.mp4"), 30.0, None, cs=2)
+    tee2.write(np.zeros((4, 8, 4), np.uint8))
+    with pytest.raises(RuntimeError, match="ffmpeg exited"):
+        tee2.close()
+    # closing an never-opened tee is a no-op
+    RecordingTee(str(tmp_path / "z.mp4"), 30.0, None, cs=2).close()
 
 
 # ---------------------------------------------------------------------------
