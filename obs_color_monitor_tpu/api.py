@@ -129,10 +129,18 @@ def make_full_step(
         on_pipeline = use_pipeline and default_backend() == "pallas"
         planes = packed = None
         if input_format == "nv12":
-            from .ops.convert import nv12_to_planes
-
             y, uv = frame
-            planes = nv12_to_planes(y, uv, cs=cs)
+            if on_pipeline:
+                # decode straight to the packed u32 view so NV12 input
+                # rides the fused band kernel like rgba/packed input
+                # (the planar decode would forfeit the fast path)
+                from .ops.convert import nv12_to_packed
+
+                packed = nv12_to_packed(y, uv, cs=cs)
+            else:
+                from .ops.convert import nv12_to_planes
+
+                planes = nv12_to_planes(y, uv, cs=cs)
         elif input_format == "planar":
             planes = frame
         elif input_format == "packed":

@@ -331,6 +331,23 @@ class CaptureHub:
         self.frames_processed += 1
         return surface
 
+    def process_nv12(self, y, uv, cs: Optional[int] = None):
+        """NV12 frame in: decode ON DEVICE to the packed u32 RGBA view,
+        then the normal :meth:`process` fan-out.
+
+        Uploads 1.5 B/px (y + interleaved uv) instead of a host-decoded
+        4 B/px RGBA frame, and the fixed-point decode (bit-exact twin of
+        the native csrc decoder) runs on the accelerator.  ``cs`` is the
+        DECODE colorimetry (the stream's own, like ``ingest.*Source(cs=)``);
+        it defaults to the hub's analysis colorspace.
+        """
+        from ..ops.convert import nv12_to_packed
+
+        cs_i = int(cs) if cs is not None else int(self.colorspace)
+        return self.process(nv12_to_packed(
+            jax.numpy.asarray(y), jax.numpy.asarray(uv), cs=cs_i
+        ))
+
     def set_roi(self, x0: int, y0: int, x1: int, y1: int) -> None:
         """Select a sub-rect in scaled coordinates (replaces the reference's
         interactive drag state machine, src/roi.c:343-521)."""
@@ -358,3 +375,8 @@ class StandaloneScopeMixin:
     def push_frame(self, frame) -> None:
         self._hub.tick()
         self._hub.process(frame)
+
+    def push_nv12(self, y, uv, cs: Optional[int] = None) -> None:
+        """NV12 frame in, decoded on device (CaptureHub.process_nv12)."""
+        self._hub.tick()
+        self._hub.process_nv12(y, uv, cs=cs)

@@ -316,6 +316,22 @@ class Dock:
             if self.hub.process(frame) is not None:
                 self._leaves_rect = self.hub.published_rect
 
+    def push_nv12(self, y, uv, cs: Optional[int] = None) -> None:
+        """NV12 frame in: decode ON DEVICE to the packed u32 view, then
+        the normal push path (including the one-program stream deferral —
+        the packed frame is the stream step's zero-copy input form).
+
+        Uploads 1.5 B/px instead of a host-decoded 4 B/px RGBA frame; see
+        CaptureHub.process_nv12.  ``cs`` is the decode colorimetry
+        (defaults to the hub's analysis colorspace).
+        """
+        from ..ops.convert import nv12_to_packed
+
+        cs_i = int(cs) if cs is not None else int(self.hub.colorspace)
+        self.push_frame(nv12_to_packed(
+            jax.numpy.asarray(y), jax.numpy.asarray(uv), cs=cs_i
+        ))
+
     def flush(self) -> None:
         """Analyze any deferred frame NOW through the hub fan-out, so
         host-side scope reads reflect the latest pushed frame without a

@@ -10,6 +10,8 @@ from .convert import (
     interleave,
     luma_fixed,
     luma_planes,
+    nv12_to_packed,
+    nv12_to_planes,
     planarize,
     rgb_to_yuv_planes,
     rgb_to_yuv_u8,
@@ -37,6 +39,8 @@ __all__ = [
     "downscale_planes",
     "roi_crop",
     "roi_crop_planes",
+    "nv12_to_planes",
+    "nv12_to_packed",
     "histogram_counts",
     "histogram_hi_max",
     "histogram_levels",

@@ -172,6 +172,55 @@ def test_nv12_device_matches_native(rng, cs):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("cs", [1, 2])
+def test_nv12_packed_matches_native(rng, cs):
+    """The packed-u32 device decode (the zero-copy ingest form every
+    route consumes) carries the same bytes as the C++ kernel's RGBA."""
+    from obs_color_monitor_tpu.ops.convert import nv12_to_packed
+
+    h, w = 24, 64
+    y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    uv = rng.integers(0, 256, (h // 2, w), dtype=np.uint8)
+    want = native.nv12_to_rgba(y, uv, cs=cs).view(np.uint32).reshape(h, w)
+    got = np.asarray(nv12_to_packed(y, uv, cs=cs))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_push_nv12_routes_match_host_decode(rng):
+    """Dock.push_nv12 / scope.push_nv12 publish the same statistics as
+    pushing the host-decoded RGBA frame (the decode moved on device, the
+    numbers must not)."""
+    from obs_color_monitor_tpu.models import Dock, Histogram
+
+    h, w = 32, 48
+    y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    uv = rng.integers(0, 256, (h // 2, w), dtype=np.uint8)
+    rgba = native.nv12_to_rgba(y, uv, cs=2)
+
+    d_host, d_dev = Dock(), Dock()
+    d_host.push_frame(rgba)
+    d_host.flush()
+    d_dev.push_nv12(y, uv)
+    d_dev.flush()
+    np.testing.assert_array_equal(
+        np.asarray(d_host.scopes["histogram"].counts()),
+        np.asarray(d_dev.scopes["histogram"].counts()),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(d_host.hub.last_surface.result.vs_counts),
+        np.asarray(d_dev.hub.last_surface.result.vs_counts),
+    )
+
+    s_host, s_dev = Histogram(), Histogram()
+    s_host.push_frame(rgba)
+    s_host._hub.tick()
+    s_dev.push_nv12(y, uv)
+    s_dev._hub.tick()
+    np.testing.assert_array_equal(
+        np.asarray(s_host.counts()), np.asarray(s_dev.counts())
+    )
+
+
 def test_y4m_source(tmp_path, rng):
     from obs_color_monitor_tpu.pipeline.ingest import Y4MSource
 
