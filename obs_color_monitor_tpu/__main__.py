@@ -89,18 +89,27 @@ def cmd_dock(args) -> int:
     if args.live:
         return _run_live(args, dock, src)
     tee = _make_tee(args, src)
+    # NV12-layout sources stream raw (y, uv) planes and decode ON DEVICE
+    # (1.5 B/px uploads, no host color conversion) — bit-identical output
+    use_nv12 = not args.one_program and getattr(src, "can_stream_nv12", False)
+    frames_it = (
+        src.frames_nv12(args.frames) if use_nv12 else src.frames(args.frames)
+    )
     t0 = time.perf_counter()
     n = 0
     img = None
     ok = False
     try:
-        for frame in src.frames(args.frames):
+        for frame in frames_it:
             if args.one_program:
                 img = dock.render_device(
                     frame, tm=n / 15.0, width=args.out_width, height=args.out_height
                 )
             else:
-                dock.push_frame(frame)
+                if use_nv12:
+                    dock.push_nv12(*frame, cs=getattr(src, "cs", None))
+                else:
+                    dock.push_frame(frame)
                 if tee is not None:
                     img = dock.render(width=args.out_width, height=args.out_height)
             if tee is not None and img is not None:
@@ -154,7 +163,13 @@ def _live_serve(args, src, produce, label, extra_stats=None) -> int:
     ok = False
     try:
         n_frames = None if args.frames <= 0 else args.frames
-        for frame in src.frames(n_frames):
+        # NV12-layout sources stream raw planes; produce() device-decodes
+        frames_fn = (
+            src.frames_nv12
+            if getattr(src, "can_stream_nv12", False)
+            else src.frames
+        )
+        for frame in frames_fn(n_frames):
             img = produce(frame)
             if img is not None:
                 img = np.asarray(img)
@@ -196,8 +211,13 @@ def _run_live(args, dock, src) -> int:
     render, and the composited panel is pushed to connected browsers.
     """
 
+    use_nv12 = getattr(src, "can_stream_nv12", False)
+
     def produce(frame):
-        dock.push_frame(frame)
+        if use_nv12:
+            dock.push_nv12(*frame, cs=getattr(src, "cs", None))
+        else:
+            dock.push_frame(frame)
         return dock.render(width=args.out_width, height=args.out_height)
 
     def stats():
@@ -226,12 +246,20 @@ def cmd_scope(args) -> int:
     if args.lut and args.scope == "falsecolor":
         scope.update(use_lut=True, lut=load_lut(args.lut))
     src = _make_source(args)
+    use_nv12 = getattr(src, "can_stream_nv12", False)
+
+    def push(frame):
+        if use_nv12:
+            scope.push_nv12(*frame, cs=getattr(src, "cs", None))
+        else:
+            scope.push_frame(frame)
+        scope._hub.tick()  # publish double buffers
+
     if args.live:
         # the reference's per-scope fullscreen "Open Projector" menu entry
         # (src/scope-widget.cpp:467-471): one scope, served live
         def produce(frame):
-            scope.push_frame(frame)
-            scope._hub.tick()
+            push(frame)
             return scope.render()
 
         return _live_serve(args, src, produce, args.scope)
@@ -241,9 +269,11 @@ def cmd_scope(args) -> int:
     img = None
     ok = False
     try:
-        for frame in src.frames(args.frames):
-            scope.push_frame(frame)
-            scope._hub.tick()  # publish double buffers
+        frames_it = (
+            src.frames_nv12(args.frames) if use_nv12 else src.frames(args.frames)
+        )
+        for frame in frames_it:
+            push(frame)
             if tee is not None:
                 img = scope.render()
                 if img is not None:

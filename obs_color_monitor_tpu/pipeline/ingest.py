@@ -17,12 +17,25 @@ from ..runtime import native
 
 
 class FrameSource:
-    """Iterable of (H, W, 4) uint8 frames."""
+    """Iterable of (H, W, 4) uint8 frames.
+
+    Sources whose backing data is NV12-layout additionally set
+    ``can_stream_nv12`` and yield raw (y, uv) u8 plane pairs from
+    :meth:`frames_nv12` — consumers can then decode ON DEVICE
+    (``ops.nv12_to_packed`` / ``Dock.push_nv12``): 1.5 B/px uploads and
+    no host-side color conversion on this 1-core host.
+    """
 
     width: int
     height: int
+    can_stream_nv12: bool = False
 
     def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
+        raise NotImplementedError
+
+    def frames_nv12(self, n: Optional[int] = None):
+        """Yield (y (H,W) u8, uv (H/2,W) u8) pairs; only when
+        ``can_stream_nv12``."""
         raise NotImplementedError
 
 
@@ -137,7 +150,18 @@ class Y4MSource(FrameSource):
         v = (plane.astype(np.uint32) + (1 << (shift - 1))) >> shift
         return np.minimum(v, 255).astype(np.uint8)
 
-    def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
+    @property
+    def can_stream_nv12(self) -> bool:  # type: ignore[override]
+        # even dims: the NV12 interleave (and the device decode kernel's
+        # 2x2 chroma upsample) needs whole sample pairs on both axes
+        return (
+            self.subsampling == (2, 2)
+            and self.width % 2 == 0
+            and self.height % 2 == 0
+        )
+
+    def _raw_planes(self, n: Optional[int]):
+        """Yield decoded-to-8-bit (y, u, v) planes per frame."""
         w, h = self.width, self.height
         sx, sy = self.subsampling
         cw, ch = -(-w // sx), -(-h // sy)
@@ -160,20 +184,38 @@ class Y4MSource(FrameSource):
                 v = planes[ysz + csz :].reshape(ch, cw)
                 if self.bits != 8:
                     y, u, v = self._to8(y), self._to8(u), self._to8(v)
-                if (sx, sy) == (2, 2) and w % 2 == 0:
-                    uv = np.empty((ch, w), np.uint8)
-                    uv[:, 0::2] = u
-                    uv[:, 1::2] = v
-                    yield native.nv12_to_rgba(y, uv, cs=self.cs)
-                elif (sx, sy) == (2, 2):
-                    # odd width: the NV12 interleave needs an even column
-                    # count (ceil-sized chroma rows don't fit u/v slots);
-                    # the planar path applies the identical fixed-point
-                    # math with a nearest upsample
-                    yield native.yuv_planes_to_rgba(y, u, v, cs=self.cs)
-                else:
-                    yield native.yuv_planes_to_rgba(y, u, v, cs=self.cs)
+                yield y, u, v
                 count += 1
+
+    def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
+        sxy = self.subsampling
+        w = self.width
+        for y, u, v in self._raw_planes(n):
+            if sxy == (2, 2) and w % 2 == 0:
+                uv = np.empty((u.shape[0], w), np.uint8)
+                uv[:, 0::2] = u
+                uv[:, 1::2] = v
+                yield native.nv12_to_rgba(y, uv, cs=self.cs)
+            else:
+                # odd width / 422 / 444: the NV12 interleave needs an even
+                # column count; the planar path applies the identical
+                # fixed-point math with a nearest upsample
+                yield native.yuv_planes_to_rgba(y, u, v, cs=self.cs)
+
+    def frames_nv12(self, n: Optional[int] = None):
+        """(y, uv) pairs for device-side decode (can_stream_nv12 only)."""
+        if not self.can_stream_nv12:
+            raise ValueError(
+                f"{self.path}: not NV12-streamable (needs C420 with even "
+                f"dimensions, got C{self.subsampling} {self.width}x"
+                f"{self.height})"
+            )
+        w = self.width
+        for y, u, v in self._raw_planes(n):
+            uv = np.empty((u.shape[0], w), np.uint8)
+            uv[:, 0::2] = u
+            uv[:, 1::2] = v
+            yield y, uv
 
 
 class FFmpegSource(FrameSource):
@@ -290,7 +332,13 @@ class NV12Source(FrameSource):
         v = (plane.astype(np.uint32) + (1 << (shift - 1))) >> shift
         return np.minimum(v, 255).astype(np.uint8)
 
-    def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
+    @property
+    def can_stream_nv12(self) -> bool:  # type: ignore[override]
+        return self.width % 2 == 0 and self.height % 2 == 0
+
+    def frames_nv12(self, n: Optional[int] = None):
+        """(y, uv) u8 pairs for device-side decode (>8-bit layouts
+        round-shift on host — a few ops/px vs the full conversion)."""
         count = self.n_frames if n is None else min(n, self.n_frames)
         ysz = self.width * self.height
         dtype = np.dtype(np.uint8) if self.bits == 8 else np.dtype("<u2")
@@ -304,4 +352,8 @@ class NV12Source(FrameSource):
                 uv = samples[ysz:].reshape(self.height // 2, self.width)
                 if self.bits != 8:
                     y, uv = self._to8(y), self._to8(uv)
-                yield native.nv12_to_rgba(y, uv, cs=self.cs)
+                yield y, uv
+
+    def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
+        for y, uv in self.frames_nv12(n):
+            yield native.nv12_to_rgba(y, uv, cs=self.cs)

@@ -65,6 +65,77 @@ def test_y4m_c420_matches_nv12_kernel(tmp_path, rng):
     np.testing.assert_array_equal(frame, native.nv12_to_rgba(y, uv, cs=1))
 
 
+def test_sources_stream_nv12_planes(tmp_path, rng):
+    """NV12-layout sources expose raw (y, uv) plane streaming for the
+    device-decode route; decode of the streamed planes equals frames()."""
+    from obs_color_monitor_tpu.pipeline.ingest import NV12Source
+
+    w, h = 16, 8
+    y = rng.integers(0, 256, (h, w), np.uint8)
+    u = rng.integers(0, 256, (h // 2, w // 2), np.uint8)
+    v = rng.integers(0, 256, (h // 2, w // 2), np.uint8)
+    p = tmp_path / "t.y4m"
+    _write_y4m(p, w, h, "C420", y, u, v)
+    src = Y4MSource(str(p), cs=2)
+    assert src.can_stream_nv12
+    ((ys, uvs),) = src.frames_nv12()
+    (rgba,) = src.frames()
+    np.testing.assert_array_equal(native.nv12_to_rgba(ys, uvs, cs=2), rgba)
+
+    # odd width: not NV12-streamable, and frames_nv12 says so
+    p2 = tmp_path / "odd.y4m"
+    _write_y4m(p2, 13, 8, "C420",
+               rng.integers(0, 256, (8, 13), np.uint8),
+               rng.integers(0, 256, (4, 7), np.uint8),
+               rng.integers(0, 256, (4, 7), np.uint8))
+    src2 = Y4MSource(str(p2), cs=2)
+    assert not src2.can_stream_nv12
+    with pytest.raises(ValueError, match="NV12-streamable"):
+        next(src2.frames_nv12())
+
+    # raw .nv12 file
+    uv = np.empty((h // 2, w), np.uint8)
+    uv[:, 0::2] = u
+    uv[:, 1::2] = v
+    p3 = tmp_path / "t.nv12"
+    p3.write_bytes(y.tobytes() + uv.tobytes())
+    src3 = NV12Source(str(p3), w, h, cs=1)
+    assert src3.can_stream_nv12
+    ((y3, uv3),) = src3.frames_nv12()
+    np.testing.assert_array_equal(y3, y)
+    np.testing.assert_array_equal(uv3, uv)
+
+
+def test_cli_nv12_device_decode_route(tmp_path, rng, monkeypatch):
+    """The dock CLI decodes NV12-layout input on device; its published
+    statistics match the host-decode route bit-for-bit."""
+    from obs_color_monitor_tpu.__main__ import main
+
+    w, h = 32, 16
+    y = rng.integers(0, 256, (h, w), np.uint8)
+    uv = rng.integers(0, 256, (h // 2, w), np.uint8)
+    p = tmp_path / "c.nv12"
+    p.write_bytes((y.tobytes() + uv.tobytes()) * 2)
+
+    outs = {}
+    for label, force_host in (("device", False), ("host", True)):
+        if force_host:
+            from obs_color_monitor_tpu.pipeline import ingest
+
+            monkeypatch.setattr(
+                ingest.NV12Source, "can_stream_nv12", property(lambda s: False)
+            )
+        png = tmp_path / f"{label}.png"
+        rc = main([
+            "dock", "--input", str(p), "--size", f"{w}x{h}",
+            "--frames", "2", "--interleave", "0", "--colorspace", "2",
+            "--out", str(png), "--out-width", "64", "--out-height", "256",
+        ])
+        assert rc == 0
+        outs[label] = png.read_bytes()  # same writer: equal pixels = equal bytes
+    assert outs["device"] == outs["host"]
+
+
 def test_y4m_c420_odd_dims(tmp_path, rng):
     """Odd-width/height C420 (ceil-sized chroma planes, e.g. 101x53): the
     NV12 interleave needs an even column count, so odd widths take the
