@@ -43,6 +43,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    _apply_forced_platform(jax)
+
     # persistent compile cache (no-op on the axon dev plugin, which never
     # serializes executables — the observed repeat-run speedups come from
     # the tunnel's own server-side cache, an LRU that other compiles can
@@ -164,26 +166,62 @@ def _wait_for_backend(attempts: int = 5, delay_s: float = 60.0) -> None:
     ("UNAVAILABLE: TPU backend setup/compile error") or hangs device
     enumeration for minutes at a time (observed r3); probe in a bounded
     SUBPROCESS (in-process init failures can be cached by jax) and retry
-    a few times so a transient outage doesn't cost the benchmark record."""
+    a few times so a transient outage doesn't cost the benchmark record.
+
+    When the AMBIENT client is broken but an alternate platform name still
+    reaches the chip (observed late r3: the 'axon' plugin refusing init —
+    "not in the list of known backends" — while plain 'tpu' enumerates the
+    same TPU v5e fine), the working alternate is exported via
+    OCM_FORCE_PLATFORM for `_apply_forced_platform` to apply after import.
+    """
+    import os
     import subprocess
 
-    probe = "import jax; jax.devices(); print('ok')"
-    for i in range(attempts):
+    def probe(platform=None):
+        force = (
+            f"jax.config.update('jax_platforms', '{platform}'); "
+            if platform else ""
+        )
+        code = f"import jax; {force}jax.devices(); print('ok')"
         try:
-            r = subprocess.run([sys.executable, "-c", probe],
+            r = subprocess.run([sys.executable, "-c", code],
                                capture_output=True, timeout=240)
             if r.returncode == 0:
-                return
+                return True, ""
             err = r.stderr.decode(errors="replace").strip().splitlines()
-            err = err[-1] if err else "?"
+            return False, (err[-1] if err else "?")
         except subprocess.TimeoutExpired:
-            err = "probe timed out (240s)"
+            return False, "probe timed out (240s)"
+
+    for i in range(attempts):
+        ok, err = probe()
+        if ok:
+            return
+        for alt in ("tpu",):
+            if probe(alt)[0]:
+                os.environ["OCM_FORCE_PLATFORM"] = alt
+                print(f"ambient backend broken ({err}); switching to "
+                      f"jax_platforms={alt}", file=sys.stderr)
+                return
         if i == attempts - 1:
             print(f"backend still unavailable: {err}", file=sys.stderr)
             return  # let main() surface the real error
         print(f"backend probe failed ({err}); retry {i + 1}/{attempts - 1} "
               f"in {delay_s:.0f}s", file=sys.stderr)
         time.sleep(delay_s)
+
+
+def _apply_forced_platform(jax) -> None:
+    """Apply _wait_for_backend's alternate-client choice; must run right
+    after `import jax`, BEFORE any backend init (jax.devices())."""
+    import os
+
+    alt = os.environ.get("OCM_FORCE_PLATFORM")
+    if alt:
+        try:
+            jax.config.update("jax_platforms", alt)
+        except Exception:
+            pass  # backend already initialized; ambient must have worked
 
 
 if __name__ == "__main__":

@@ -26,8 +26,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> int:
+    # survive an ambient-client outage (late r3: 'axon' refusing init while
+    # plain 'tpu' reaches the chip) — same fallback as bench.py
+    from bench import _apply_forced_platform, _wait_for_backend
+
+    _wait_for_backend(attempts=2, delay_s=30.0)
     import jax
 
+    _apply_forced_platform(jax)
     assert jax.default_backend() != "cpu", "run this on a TPU host"
 
     from obs_color_monitor_tpu import golden
