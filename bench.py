@@ -197,12 +197,17 @@ def _wait_for_backend(attempts: int = 5, delay_s: float = 60.0) -> None:
         ok, err = probe()
         if ok:
             return
-        for alt in ("tpu",):
-            if probe(alt)[0]:
-                os.environ["OCM_FORCE_PLATFORM"] = alt
-                print(f"ambient backend broken ({err}); switching to "
-                      f"jax_platforms={alt}", file=sys.stderr)
-                return
+        # only adopt an alternate PJRT client after 2+ consecutive ambient
+        # failures: the retry loop exists to wait out transient tunnel
+        # outages, and switching clients on the first glitch could silently
+        # change benchmark comparability
+        if i >= 1:
+            for alt in ("tpu",):
+                if probe(alt)[0]:
+                    os.environ["OCM_FORCE_PLATFORM"] = alt
+                    print(f"ambient backend broken ({err}); switching to "
+                          f"jax_platforms={alt}", file=sys.stderr)
+                    return
         if i == attempts - 1:
             print(f"backend still unavailable: {err}", file=sys.stderr)
             return  # let main() surface the real error
@@ -220,8 +225,12 @@ def _apply_forced_platform(jax) -> None:
     if alt:
         try:
             jax.config.update("jax_platforms", alt)
-        except Exception:
-            pass  # backend already initialized; ambient must have worked
+        except Exception as e:
+            # usually "backend already initialized" (ambient worked after
+            # all) — but say so: a silently ignored failure here could mean
+            # the run proceeds on an unintended backend
+            print(f"note: jax_platforms={alt!r} not applied ({e})",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -14,6 +14,13 @@ fixed point as the native decoder (csrc/ocm_runtime.cpp
 reproduces the input to within quantization.  C444 keeps the sink
 spatially lossless.  `FFmpegSink` encodes to any container the system
 ffmpeg supports (gated on the binary, mirroring `ingest.FFmpegSource`).
+
+Recording is 8-bit BY DESIGN (even though ingest reads p10..p16 sources):
+what these sinks record are rendered scope PANELS, which are 8-bit RGBA
+end to end — the monitoring domain itself is 8-bit (the reference reads
+pixels from OBS's 8-bit BGRA canvas, src/common.c:170-221, and records
+nothing at all).  High-bit-depth SOURCES round-shift to that domain at
+ingest; there is no >8-bit data anywhere downstream to preserve.
 """
 
 from __future__ import annotations
@@ -154,21 +161,28 @@ def ffmpeg_sink_cmd(path: str, width: int, height: int, fps: float,
 
     Output options pin what ffmpeg would otherwise guess from the rgba
     input: ``-pix_fmt yuv420p`` (libx264 defaults to yuv444p for rgba —
-    a High 4:4:4 profile most players and hardware decoders refuse; 4:2:0
-    needs even dimensions, so odd-sized scope images stay 4:4:4) and the
-    colorimetry both as stream metadata and as the actual swscale
-    conversion matrix/range.  ``extra_args`` come AFTER the defaults, so
-    callers can override any of them (ffmpeg lets the last flag win).
+    a High 4:4:4 profile most players and hardware decoders refuse; odd
+    dimensions are padded to even in the filter chain so 4:2:0 is always
+    possible) and the colorimetry both as stream metadata and as the
+    actual swscale conversion matrix/range.  ``extra_args`` come AFTER
+    the defaults, so callers can override any of them (ffmpeg lets the
+    last flag win).
     """
     cs_name = _FFMPEG_CS.get(int(cs), "bt709")
+    vf = f"scale=out_color_matrix={cs_name}:out_range=tv"
+    if width % 2 or height % 2:
+        # odd dims can't be 4:2:0; pad to even (one black row/column) so
+        # yuv420p can always be pinned — odd-sized scope panels are common
+        # (waveform width follows the target) and a High 4:4:4 fallback is
+        # refused by most players/hardware decoders
+        vf += ",pad=ceil(iw/2)*2:ceil(ih/2)*2"
     out_opts = [
-        "-vf", f"scale=out_color_matrix={cs_name}:out_range=tv",
+        "-vf", vf,
         "-colorspace", cs_name,
         "-color_primaries", cs_name,
         "-color_trc", cs_name,
+        "-pix_fmt", "yuv420p",
     ]
-    if width % 2 == 0 and height % 2 == 0:
-        out_opts += ["-pix_fmt", "yuv420p"]
     return [
         ffmpeg, "-v", "error", "-y",
         "-f", "rawvideo", "-pix_fmt", "rgba",
@@ -203,7 +217,14 @@ class FFmpegSink(VideoSink):
         self.path, self.width, self.height = path, width, height
         cmd = ffmpeg_sink_cmd(path, width, height, fps, ffmpeg=ffmpeg,
                               cs=cs, extra_args=extra_args)
-        self._proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+        # own session: an interactive Ctrl-C delivers SIGINT to the whole
+        # foreground process group — without isolation ffmpeg dies with a
+        # nonzero status on every interactive stop and close() raises on
+        # an otherwise-clean recording.  ffmpeg still finalizes normally
+        # when close() shuts its stdin.
+        self._proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, start_new_session=True
+        )
         self.n_written = 0
 
     def write(self, frame: np.ndarray) -> None:

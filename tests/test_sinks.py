@@ -153,18 +153,22 @@ def test_ffmpeg_sink_encodes(tmp_path, rng):
 
 def test_ffmpeg_cmd_pins_output_format():
     """For rgba input libx264 would pick yuv444p (High 4:4:4 — refused by
-    most players/hardware decoders); the sink pins yuv420p on even dims
-    and tags/conerts with the cs the caller asked for."""
+    most players/hardware decoders); the sink always pins yuv420p (odd
+    dims are padded to even in the filter chain) and tags/converts with
+    the cs the caller asked for."""
     cmd = ffmpeg_sink_cmd("o.mp4", 128, 64, 30.0, cs=2)
     assert cmd[cmd.index("-pix_fmt", cmd.index("pipe:0")) + 1] == "yuv420p"
     assert cmd[cmd.index("-colorspace") + 1] == "bt709"
     assert "scale=out_color_matrix=bt709:out_range=tv" in cmd
+    # even dims: no pad stage in the filter chain
+    assert "pad=" not in cmd[cmd.index("-vf") + 1]
     # BT.601 tags
     cmd601 = ffmpeg_sink_cmd("o.mp4", 128, 64, 30.0, cs=1)
     assert cmd601[cmd601.index("-colorspace") + 1] == "smpte170m"
-    # odd dims can't be 4:2:0 — no output pix_fmt forced
+    # odd dims: padded to even so yuv420p is still pinned
     codd = ffmpeg_sink_cmd("o.mp4", 33, 17, 30.0)
-    assert "-pix_fmt" not in codd[codd.index("pipe:0") :]
+    assert codd[codd.index("-pix_fmt", codd.index("pipe:0")) + 1] == "yuv420p"
+    assert "pad=ceil(iw/2)*2:ceil(ih/2)*2" in codd[codd.index("-vf") + 1]
     # caller overrides come last so they win
     cx = ffmpeg_sink_cmd("o.mp4", 128, 64, 30.0, extra_args=["-pix_fmt", "yuv422p"])
     last = max(i for i, a in enumerate(cx) if a == "-pix_fmt")
