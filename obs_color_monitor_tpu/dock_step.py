@@ -52,6 +52,12 @@ class DockStepOutput(NamedTuple):
     vs_counts: jax.Array  # (256, 256) u8 saturating
     wv_counts: jax.Array  # (3, 256, sw) u8 saturating, pre-select
     hi_counts: jax.Array  # (3, 256) u32, pre-select
+    # dynamic_roi builds also return the analyzed full-capture planes
+    # (4, sh, sw) u8 so the streaming route can publish FRESH preview/
+    # overlay buffers mid-drag (the reference pushes the crop to every
+    # consumer every tick, src/roi.c:478-520); None on static builds
+    # (those publish through the hub fan-out already)
+    planes: Optional[jax.Array] = None
 
 
 def _resize_nearest_rgba(img: jax.Array, oh: int, ow: int) -> jax.Array:
@@ -230,8 +236,19 @@ def make_dock_step(
     overlays_on_capture: bool = True,
     roi_rect: Optional[tuple[int, int, int, int]] = None,
     dynamic_roi: bool = False,
+    input_format: str = "rgba",
+    nv12_cs: Optional[int] = None,
 ):
     """Build the jitted dock step for a fixed frame shape.
+
+    input_format="rgba" (the default) accepts (H, W, 4) u8 frames or their
+    zero-copy (H, W) u32 packed view; "nv12" accepts a (y (H, W) u8,
+    uv (H/2, W) u8) plane pair decoded IN-PROGRAM to the packed view
+    (``ops.nv12_to_packed``, bit-exact twin of the native csrc decoder) —
+    the wire-format capture route stays ONE device program per frame, like
+    ``api.make_full_step(input_format="nv12")``.  ``nv12_cs`` is the decode
+    colorimetry (defaults to ``cs``) — the analog of OBS converting the
+    source to its canvas before the reference reads pixels.
 
     overlays_on_capture=True matches the reference dock, whose overlay
     scopes consume the shared ROI capture at its target_scale (the dock
@@ -265,6 +282,9 @@ def make_dock_step(
     from .colorspace import calc_colorspace
 
     csi = int(calc_colorspace(cs))
+    if input_format not in ("rgba", "nv12"):
+        raise ValueError(f"unknown input_format {input_format!r}")
+    dec_cs = csi if nv12_cs is None else int(calc_colorspace(nv12_cs))
     # Overlay scopes select their draw technique by their OWN colorspace
     # property even when hub-fed (reference zbs_render uses
     # src->cm.colorspace, src/zebra.c:620); stats scopes inherit the hub's
@@ -475,7 +495,11 @@ def make_dock_step(
             rect_c = jnp.stack([rx0, ry0, rx1, ry1])
             rw, rh = rx1 - rx0, ry1 - ry0
             rw1, rh1 = jnp.maximum(rw, 1), jnp.maximum(rh, 1)
-            if frame.ndim == 2:  # already the packed u32 view (zero copies)
+            if input_format == "nv12":
+                from .ops.convert import nv12_to_packed
+
+                src = nv12_to_packed(frame[0], frame[1], cs=dec_cs)
+            elif frame.ndim == 2:  # already the packed u32 view (zero copies)
                 src = frame
             else:
                 src = jax.lax.bitcast_convert_type(frame, jnp.uint32)
@@ -666,6 +690,7 @@ def make_dock_step(
                 vs_counts=vs_counts,
                 wv_counts=wv_counts,
                 hi_counts=hi_counts.astype(jnp.uint32),
+                planes=res.planes,
             )
 
         step_dyn.pipeline_static_ok = (
@@ -684,7 +709,15 @@ def make_dock_step(
         # by analyze — hand it the packed u32 view so the pipeline kernel
         # extracts bytes itself (no planarize pass); otherwise the overlay
         # scopes need full-res planes
-        if overlays_on_capture:
+        if input_format == "nv12":
+            from .ops.convert import nv12_to_packed, planarize_packed
+
+            packed = nv12_to_packed(frame[0], frame[1], cs=dec_cs)
+            if overlays_on_capture:
+                src, planes = packed, None
+            else:
+                src = planes = planarize_packed(packed)
+        elif overlays_on_capture:
             if frame.ndim == 2:  # already the packed u32 view (zero copies)
                 src = frame
             else:

@@ -51,6 +51,14 @@ class SurfaceData:
     # applied): the preview row must render it plainly rather than
     # re-resolving the rect against the crop's own dimensions
     cropped: bool = False
+    # Set by the dock's dynamic-rect streaming route (mid-drag frames,
+    # models/dock.py _consume_dynamic): the (x0, y0, x1, y1) rect the
+    # statistics were computed WITHIN.  ``result.planes`` is then the FULL
+    # scaled capture (width/height are its dims, cropped=False) and the
+    # waveform counts are full-width with out-of-rect columns zero — the
+    # recompile-free representation of the reference's per-tick crop push
+    # during a drag (src/roi.c:478-520).  None on every other route.
+    dynamic_rect: Optional[tuple[int, int, int, int]] = None
 
 
 @dataclasses.dataclass

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import numpy as np
@@ -63,6 +63,18 @@ def _composite(cy: int, cx: int, spec: tuple, images: tuple):
             patch = _resize_nearest_rgba(img, h, w)
         patches.append((x0, y0, patch))
     return compose_vstack(patches, cx, cy)
+
+
+class _NV12Pending(NamedTuple):
+    """A deferred NV12 frame on the streaming route: raw (y, uv) planes +
+    decode colorimetry.  The decode folds INTO the cached stream / dynamic
+    dock step (ops.nv12_to_packed traced in-program), so the wire-format
+    capture route stays one device program — and 1.5 B/px of host->HBM
+    traffic — per frame."""
+
+    y: object
+    uv: object
+    cs: int
 
 
 # the reference draws up to 4 border edges + 4 handles x 3 lines each
@@ -317,20 +329,38 @@ class Dock:
                 self._leaves_rect = self.hub.published_rect
 
     def push_nv12(self, y, uv, cs: Optional[int] = None) -> None:
-        """NV12 frame in: decode ON DEVICE to the packed u32 view, then
-        the normal push path (including the one-program stream deferral —
-        the packed frame is the stream step's zero-copy input form).
+        """NV12 frame in: the raw (y, uv) planes upload as-is (1.5 B/px
+        instead of a host-decoded 4 B/px RGBA frame) and the fixed-point
+        decode (bit-exact twin of the native csrc decoder) runs ON DEVICE.
 
-        Uploads 1.5 B/px instead of a host-decoded 4 B/px RGBA frame; see
-        CaptureHub.process_nv12.  ``cs`` is the decode colorimetry
-        (defaults to the hub's analysis colorspace).
+        On the steady-state streaming route the decode folds INTO the
+        one-program stream step — NV12 frames, like rgba/packed ones, cost
+        exactly one device program per frame (the reference's pipeline is
+        one path regardless of source format, src/common.c:223-333).
+        Other routes decode via CaptureHub.process_nv12 (one extra
+        dispatch).  ``cs`` is the decode colorimetry (defaults to the
+        hub's analysis colorspace).
         """
-        from ..ops.convert import nv12_to_packed
-
         cs_i = int(cs) if cs is not None else int(self.hub.colorspace)
-        self.push_frame(nv12_to_packed(
-            jax.numpy.asarray(y), jax.numpy.asarray(uv), cs=cs_i
-        ))
+        self.flush()
+        rendered = self._rendered_since_push
+        self._rendered_since_push = False
+        self.hub.tick()
+        pending = _NV12Pending(
+            jax.numpy.asarray(y), jax.numpy.asarray(uv), cs_i
+        )
+        if rendered and self._stream_ok():
+            self._pending = pending
+        else:
+            if self._hub_process(pending) is not None:
+                self._leaves_rect = self.hub.published_rect
+
+    def _hub_process(self, frame):
+        """hub.process, dispatching deferred-NV12 frames through the
+        device decode (the legacy fan-out's extra dispatch)."""
+        if isinstance(frame, _NV12Pending):
+            return self.hub.process_nv12(frame.y, frame.uv, cs=frame.cs)
+        return self.hub.process(frame)
 
     def flush(self) -> None:
         """Analyze any deferred frame NOW through the hub fan-out, so
@@ -338,7 +368,7 @@ class Dock:
         render (see push_frame on deferral)."""
         if self._pending is not None:
             f, self._pending = self._pending, None
-            if self.hub.process(f) is not None:
+            if self._hub_process(f) is not None:
                 self._leaves_rect = self.hub.published_rect
 
     def render(
@@ -568,15 +598,22 @@ class Dock:
         if hub._i_interleave != 0 and hub.config.interleave > 0:
             hub.frames_skipped += 1
             return None  # skipped: panel re-renders the published buffers
-        # mirror hub.process's free host-side u8 -> packed u32 view
-        from ..ops.convert import host_packed_view
-
-        frame = host_packed_view(frame)
-        is_packed = getattr(frame, "ndim", 3) == 2
-        if is_packed:
-            h, w = frame.shape[-2], frame.shape[-1]
+        nv12 = isinstance(frame, _NV12Pending)
+        if nv12:
+            # raw (y, uv) planes: the stream program decodes in-program to
+            # the packed view (one dispatch AND 1.5 B/px uploads)
+            is_packed = True
+            h, w = frame.y.shape[-2], frame.y.shape[-1]
         else:
-            h, w = frame.shape[-3], frame.shape[-2]
+            # mirror hub.process's free host-side u8 -> packed u32 view
+            from ..ops.convert import host_packed_view
+
+            frame = host_packed_view(frame)
+            is_packed = getattr(frame, "ndim", 3) == 2
+            if is_packed:
+                h, w = frame.shape[-2], frame.shape[-1]
+            else:
+                h, w = frame.shape[-3], frame.shape[-2]
         scale = hub.config.target_scale
         sw, sh = w // scale, h // scale
         if sw <= 0 or sh <= 0:
@@ -605,32 +642,34 @@ class Dock:
             )
             self._last_stream_rect = rect
             if drag or changed:
-                panel = self._consume_dynamic(frame, cx, cy, cw, ch)
+                panel = self._consume_dynamic(frame, cx, cy, rect)
                 if panel is not None:
                     return panel
         else:
             self._last_stream_rect = rect
         if self._leaves_rect != rect:
             # the published leaves belong to a different rect (warmup, a
-            # just-settled drag — the dynamic step publishes only stats —
-            # or a programmatic rect change): one hub-fan-out frame
-            # republishes every leaf at THIS rect, so the stream/fused
-            # programs below are always built from rect-consistent specs
-            hub.process(frame)
+            # just-settled drag — the dynamic route publishes full-capture
+            # leaves — or a programmatic rect change): one hub-fan-out
+            # frame republishes every leaf at THIS rect, so the stream/
+            # fused programs below are always built from rect-consistent
+            # specs
+            self._hub_process(frame)
             self._leaves_rect = rect
             return None
         wv = self.waveform
         wv_prev = wv._buf[wv._r_buf]
         entries = [(n, self.scopes[n].render_leaves()) for n in shown]
         if wv_prev is None or any(lv is None for _, lv in entries):
-            hub.process(frame)  # warmup state missing: legacy fan-out
+            self._hub_process(frame)  # warmup state missing: legacy fan-out
             return None
         fkey = self._fused_key(cy, cx, entries)
         skey = (
             fkey,
             is_packed,
-            tuple(frame.shape),
-            frame.dtype,
+            ("nv12", tuple(frame.y.shape), tuple(frame.uv.shape), frame.cs)
+            if nv12
+            else (tuple(frame.shape), frame.dtype),
             scale,
             int(hub.colorspace),
             rect,
@@ -640,11 +679,12 @@ class Dock:
             fentry = self._fused_render_fns.get(fkey)
             spec = self._fused_specs.get(fkey)
             if fentry is None or spec is None:
-                hub.process(frame)  # layout unknown for this state: legacy
+                self._hub_process(frame)  # layout unknown: legacy route
                 return None
             entry = self._build_stream_fn(
                 cx, cy, spec, fentry[1], fentry[2],
                 is_packed, scale, rect, full, cw, ch,
+                nv12_cs=frame.cs if nv12 else None,
             )
             if len(self._stream_fns) > 8:
                 self._stream_fns.clear()
@@ -654,7 +694,9 @@ class Dock:
         self._roi_shows_crop = not full
         self._roi_crop_origin = (rect[0], rect[1]) if not full else (0, 0)
         tm = np.float32(self.zebra.tm)
-        panel, vs_c, wv_c, hi_c, planes = fn(frame, tm, wv_prev)
+        panel, vs_c, wv_c, hi_c, planes = fn(
+            (frame.y, frame.uv) if nv12 else frame, tm, wv_prev
+        )
         # publish-back: exactly what each scope's surface_cb stores
         cs = hub.colorspace
         for n in ("zebra", "falsecolor", "focuspeaking"):
@@ -669,6 +711,7 @@ class Dock:
         vsc._buf_cs[vsc._w_buf] = cs
         vsc._publish(vs_c)
         wv._buf_width[wv._w_buf] = cw
+        wv._buf_rect[wv._w_buf] = None
         wv._publish(wv_c)
         self.histogram._publish((hi_c, cw * ch))
         from ..ops.fused import AnalysisResult
@@ -693,10 +736,12 @@ class Dock:
 
     def _build_stream_fn(
         self, cx, cy, spec, rects, included,
-        is_packed, scale, rect, full, cw, ch,
+        is_packed, scale, rect, full, cw, ch, nv12_cs=None,
     ):
         """Build the jitted stream-step program for one (layout, frame
-        shape, hub config) state."""
+        shape, hub config) state.  With ``nv12_cs`` the program takes raw
+        (y, uv) planes and decodes them in-program (one dispatch for the
+        wire-format route too)."""
         from ..ops.fused import analyze
         from .base import SurfaceData
 
@@ -714,6 +759,10 @@ class Dock:
         def _stream(frame, tm, wv_prev):
             # trace-time only: replay the hub fan-out + scope renders on
             # the traced analysis, then restore the host-side buffers
+            if nv12_cs is not None:
+                from ..ops.convert import nv12_to_packed
+
+                frame = nv12_to_packed(frame[0], frame[1], cs=nv12_cs)
             res = analyze(
                 frame,
                 cs=int(cs),
@@ -760,7 +809,7 @@ class Dock:
 
         return jax.jit(_stream), dict(rects), wv_fam_yuv, hi_fam_yuv
 
-    def _consume_dynamic(self, frame, cx, cy, cw, ch):
+    def _consume_dynamic(self, frame, cx, cy, rect):
         """Serve a mid-drag / just-changed-rect streamed frame from the
         dynamic-rect one-program step (make_dock_step(dynamic_roi=True)):
         ONE cached program serves EVERY rect, so interactive drags run at
@@ -770,11 +819,19 @@ class Dock:
 
         Panel semantics follow the dynamic dock step (the preview row
         shows the FULL capture with drag shading; overlay slots fit the
-        rect inside static bands).  Exact vectorscope/histogram statistics
-        are published back; the waveform/overlay/preview published buffers
-        keep their last hub-published crop (their shapes are rect-sized
-        and would retrace per rect) and catch up on the first settled
-        frame.  Returns the device panel, or None to fall back."""
+        rect inside static bands).  EVERY consumer is published fresh —
+        the reference pushes the changed crop to all consumers every tick
+        (roi_send_range, src/roi.c:478-520) — in the recompile-free
+        representation (SurfaceData.dynamic_rect): exact rect statistics
+        for vectorscope/histogram, full-width waveform counts whose rect
+        slice is exact (Waveform.counts() returns that slice), and the
+        FULL scaled capture as the preview/overlay planes (in-rect overlay
+        pixels bit-match the crop's, tests/test_dynamic_roi.py rect-parity;
+        rect-sized crops would retrace per rect).  ``hub.last_surface`` is
+        the same fresh surface, marked with ``dynamic_rect``.  Stats
+        scopes hidden in the dock config keep their last publication (the
+        dynamic step only computes shown statistics).  Returns the device
+        panel, or None to fall back."""
         hub = self.hub
         try:
             out = self._device_step_out(frame, float(self.zebra.tm), cx, cy)
@@ -795,22 +852,36 @@ class Dock:
         self._roi_shows_crop = False  # dynamic preview = full capture
         self._roi_crop_origin = (0, 0)
         cs = hub.colorspace
-        if self.shown("vectorscope"):
-            vsc = self.vectorscope
-            vsc._buf_cs[vsc._w_buf] = cs
-            vsc._publish(out.vs_counts)
-        if self.shown("histogram"):
-            # RAW counts, like every other route: selection stays a
-            # read/render-time concern, so a components change between
-            # publish and read behaves identically on all routes
-            self.histogram._publish((out.hi_counts, cw * ch))
-        # the waveform/overlay/preview published buffers and the hub's
-        # last_surface still describe the PRE-drag hub publication (their
-        # shapes are rect-sized and would retrace per rect); invalidate
-        # the surface so "frames_processed advanced => last_surface is
-        # fresh" can't misattribute stale analysis to this frame — the
-        # first settled frame resyncs through the hub and restores it
-        hub.last_surface = None
+        scap_w, scap_h = hub.capture_size
+        # RAW counts, like every other route: channel selection stays a
+        # read/render-time concern, so a components change between publish
+        # and read behaves identically on all routes
+        wv_fam_yuv = self.waveform.config.components.is_yuv
+        hi_fam_yuv = self.histogram.config.components.is_yuv
+        wv_c = out.wv_counts if self.shown("waveform") else None
+        hi_c = out.hi_counts if self.shown("histogram") else None
+        from ..ops.fused import AnalysisResult
+        from .base import SurfaceData
+
+        surface = SurfaceData(
+            result=AnalysisResult(
+                yuv_planes=None,
+                vs_counts=out.vs_counts if self.shown("vectorscope") else None,
+                wv_rgb=None if wv_fam_yuv else wv_c,
+                wv_yuv=wv_c if wv_fam_yuv else None,
+                hi_rgb=None if hi_fam_yuv else hi_c,
+                hi_yuv=hi_c if hi_fam_yuv else None,
+                planes=out.planes,
+            ),
+            width=scap_w,
+            height=scap_h,
+            colorspace=cs,
+            cropped=False,
+            dynamic_rect=tuple(rect),
+        )
+        for k in SCOPE_ORDER:
+            self.scopes[k].surface_cb(surface)
+        hub.last_surface = surface
         hub.frames_processed += 1
         return out.panel
 
@@ -861,19 +932,25 @@ class Dock:
         from ..dock_step import make_dock_step
 
         # (H, W, 4) u8 or the zero-copy (H, W) u32 packed view; host u8
-        # frames are re-viewed as u32 for free (see CaptureHub.process)
-        from ..ops.convert import host_packed_view
-
-        frame = host_packed_view(frame)
-        if getattr(frame, "ndim", 3) == 2:
-            h, w = frame.shape[-2], frame.shape[-1]
+        # frames are re-viewed as u32 for free (see CaptureHub.process).
+        # _NV12Pending frames build an nv12-input step (decode in-program)
+        nv12_cs = None
+        if isinstance(frame, _NV12Pending):
+            h, w = frame.y.shape[-2], frame.y.shape[-1]
+            nv12_cs = frame.cs
         else:
-            h, w = frame.shape[-3], frame.shape[-2]
+            from ..ops.convert import host_packed_view
+
+            frame = host_packed_view(frame)
+            if getattr(frame, "ndim", 3) == 2:
+                h, w = frame.shape[-2], frame.shape[-1]
+            else:
+                h, w = frame.shape[-3], frame.shape[-2]
         scale = self.hub.config.target_scale
         self.hub.capture_size = (w // scale, h // scale)
         rect = self.hub.config.resolve_rect(w // scale, h // scale)
         full = rect == (0, 0, w // scale, h // scale)
-        key = (h, w, cx, cy, full, self._device_confkey(full))
+        key = (h, w, cx, cy, full, nv12_cs, self._device_confkey(full))
         rebuild = getattr(self, "_device_step_key", None) != key or (
             getattr(self, "_device_step_rect", None) is not None
             and self._device_step_rect != rect
@@ -892,6 +969,8 @@ class Dock:
                 falsecolor=self.falsecolor.config,
                 focuspeaking=self.focuspeaking.config,
             )
+            if nv12_cs is not None:
+                kwargs.update(input_format="nv12", nv12_cs=nv12_cs)
             self._device_step_rect = None
             if full:
                 self._device_step = make_dock_step(h, w, **kwargs)
@@ -911,12 +990,13 @@ class Dock:
                     self._device_step_dynamic = False
                     self._device_step_rect = rect
             self._device_step_key = key
+        arg = (frame.y, frame.uv) if nv12_cs is not None else frame
         if self._device_step_dynamic:
             out = self._device_step(
-                frame, np.float32(tm), np.asarray(rect, np.int32)
+                arg, np.float32(tm), np.asarray(rect, np.int32)
             )
         else:
-            out = self._device_step(frame, np.float32(tm))
+            out = self._device_step(arg, np.float32(tm))
         return out
 
     # -- mouse routing (reference src/scope-widget.cpp:241-428) --------------

@@ -65,7 +65,13 @@ class Histogram(Scope, StandaloneScopeMixin):
         # remote TPU dominated the streaming soak, doc/performance.md).
         # n_pixels enters the render program as a TRACED scalar leaf: an
         # ROI resize changes it without rebuilding the program.
-        self._publish((counts, surface.width * surface.height))
+        r = surface.dynamic_rect
+        n_px = (
+            surface.width * surface.height
+            if r is None
+            else (r[2] - r[0]) * (r[3] - r[1])
+        )
+        self._publish((counts, n_px))
 
     def counts(self) -> Optional[np.ndarray]:
         """Channel-selected u32 bin counts of the published buffer (the

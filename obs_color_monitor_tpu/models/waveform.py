@@ -32,6 +32,10 @@ class Waveform(Scope, StandaloneScopeMixin):
         super().__init__(config)
         self._r_buf = 0  # published on tick (reference wvs_tick, waveform.c:394-400)
         self._buf_width = [0, 0]
+        # (x0, x1) column range of valid data when the published buffer is
+        # FULL-width with out-of-rect columns zero (the dock's dynamic-rect
+        # mid-drag publication); None = the buffer is exactly its own rect
+        self._buf_rect = [None, None]
         self._update_flags()
         self.attach_private_hub(config)
 
@@ -63,18 +67,34 @@ class Waveform(Scope, StandaloneScopeMixin):
         # doc/performance.md).  Selection is config-static, so it rides the
         # (cached) render program for free.
         self._buf_width[self._w_buf] = surface.width
+        if surface.dynamic_rect is not None:
+            # full-width counts valid within the rect's columns (dock
+            # dynamic-rect route; see SurfaceData.dynamic_rect)
+            self._buf_rect[self._w_buf] = (
+                surface.dynamic_rect[0], surface.dynamic_rect[2]
+            )
+        else:
+            self._buf_rect[self._w_buf] = None
         self._publish(counts)
 
     def counts(self) -> Optional[np.ndarray]:
         """Channel-selected u8 counts of the published buffer (the value
         the reference's dbuf holds after its zero-first accumulate,
-        src/waveform.c:220-257); for tests/tools."""
+        src/waveform.c:220-257); for tests/tools.
+
+        When the buffer came from the dock's dynamic-rect route (mid-drag
+        frames) it is full-capture-width with only the rect's columns
+        populated; the rect slice is returned so host reads track the live
+        rect exactly, like the reference's per-tick crop push
+        (src/roi.c:478-520)."""
         v = self._read()
         if v is None:
             return None
-        return np.asarray(
+        out = np.asarray(
             apply_channel_select(v, self.config.components.channel_select())
         )
+        rect = self._buf_rect[self._w_buf ^ 1]
+        return out if rect is None else out[:, :, rect[0] : rect[1]]
 
     def tick(self, seconds: float = 1.0 / 60.0) -> None:
         # the read buffer only advances on tick (reference waveform.c:394-400)
@@ -120,7 +140,8 @@ class Waveform(Scope, StandaloneScopeMixin):
 
     @property
     def width(self) -> int:
-        w = self._buf_width[self._r_buf]
+        rect = self._buf_rect[self._r_buf]
+        w = self._buf_width[self._r_buf] if rect is None else rect[1] - rect[0]
         if self.config.display == DisplayMode.PARADE:
             return w * self.config.components.n_components
         return w

@@ -724,12 +724,108 @@ def test_direct_hub_process_crop_origin(rng):
     assert dock._roi_crop_origin == (40, 20)
 
 
-def test_dynamic_route_publishes_raw_and_invalidates_surface(rng):
+def _nv12_frames(n, rng, shape=(48, 96)):
+    h, w = shape
+    return [
+        (
+            rng.integers(0, 256, (h, w), dtype=np.uint8),
+            rng.integers(0, 256, (h // 2, w), dtype=np.uint8),
+        )
+        for _ in range(n)
+    ]
+
+
+def test_nv12_stream_one_program(rng, monkeypatch):
+    """push_nv12 steady state: the device decode folds INTO the stream
+    program — ONE device program per frame with ZERO eager nv12_to_packed
+    dispatches (the reference's pipeline is one path regardless of source
+    format, src/common.c:223-333) — panel + published stats identical to
+    the legacy route (hub.process_nv12, which decodes separately)."""
+    from obs_color_monitor_tpu.ops import convert as conv
+
+    stream, legacy = _mk(show_roi=True), _mk(stream=False, show_roi=True)
+    fs = _nv12_frames(8, rng)
+    for i, (y, uv) in enumerate(fs[:4]):
+        stream.push_nv12(y, uv)
+        legacy.push_nv12(y, uv)
+        a = stream.render(width=128, height=700)
+        b = legacy.render(width=128, height=700)
+        np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
+        _assert_scope_state_equal(stream, legacy, f"frame {i}")
+    assert len(stream._stream_fns) == 1
+    # dispatch-count assert: steady state issues NO separate decode — the
+    # only nv12_to_packed call sites left are trace-time (program builds)
+    calls = []
+    orig = conv.nv12_to_packed
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(conv, "nv12_to_packed", counting)
+    for y, uv in fs[4:]:
+        stream.push_nv12(y, uv)
+        stream.render(width=128, height=700)
+    assert calls == []
+    assert len(stream._stream_fns) == 1
+    assert stream.hub.frames_processed == 8
+
+
+def test_nv12_live_drag_dynamic_step(rng):
+    """A rect drag during NV12 streaming rides the dynamic-rect step with
+    the decode in-program: exact published stats per rect, one compiled
+    program across the drag."""
+    from obs_color_monitor_tpu.config import Components
+    from obs_color_monitor_tpu.golden import reference as golden
+    from obs_color_monitor_tpu.runtime import native
+
+    dock = _mk(show_roi=True)
+    fs = _nv12_frames(10, rng)
+    for y, uv in fs[:3]:
+        dock.push_nv12(y, uv)
+        dock.render(width=128, height=700)
+    cs = dock.hub.colorspace
+    for i, (y, uv) in enumerate(fs[3:8]):
+        dock.hub.set_roi(5 + 2 * i, 4 + i, 70 + 2 * i, 40 + i)
+        r = dock.hub.config.resolve_rect(96, 48)
+        dock.push_nv12(y, uv)
+        dock.render(width=128, height=700)
+        assert dock._device_step_dynamic, f"frame {i}"
+        rgba = native.nv12_to_rgba(y, uv, cs=int(cs))
+        crop = golden.roi_crop(rgba, *r)
+        np.testing.assert_array_equal(
+            np.asarray(dock.vectorscope._read()),
+            golden.vectorscope_counts(golden.rgb_to_yuv_u8(crop, cs)),
+            err_msg=f"frame {i}",
+        )
+        np.testing.assert_array_equal(
+            dock.waveform.counts(),
+            golden.waveform_counts(crop, None, Components.RGB),
+            err_msg=f"frame {i}",
+        )
+    assert dock._device_step._cache_size() == 1
+    # settle: the exact per-rect stream path resumes, still nv12-input
+    final = dock.hub.config.resolve_rect(96, 48)
+    legacy = _mk(stream=False, show_roi=True)
+    legacy.hub.set_roi(*final)
+    for i, (y, uv) in enumerate(fs[8:]):
+        dock.push_nv12(y, uv)
+        legacy.push_nv12(y, uv)
+        a = dock.render(width=128, height=700)
+        b = legacy.render(width=128, height=700)
+        if i >= 1:
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"settled {i}"
+            )
+    _assert_scope_state_equal(dock, legacy)
+
+
+def test_dynamic_route_publishes_raw_and_marks_surface(rng):
     """The dynamic-rect route publishes RAW histogram counts — channel
     selection stays a read/render-time concern like every other route —
-    and invalidates hub.last_surface while its rect-sized published
-    buffers are stale (frames_processed still advances), restoring it on
-    the first settled frame."""
+    and hub.last_surface is FRESH (this frame's analysis), marked with
+    ``dynamic_rect`` and carrying the full scaled capture as planes; the
+    first settled frame resyncs to an unmarked crop surface."""
     from obs_color_monitor_tpu.config import Components
     from obs_color_monitor_tpu.golden import reference as golden
 
@@ -740,11 +836,21 @@ def test_dynamic_route_publishes_raw_and_invalidates_surface(rng):
         dock.push_frame(f)
         dock.render(width=128, height=700)
     assert dock.hub.last_surface is not None
+    assert dock.hub.last_surface.dynamic_rect is None
     dock.hub.set_roi(10, 8, 60, 40)
     dock.push_frame(fs[3])
     dock.render(width=128, height=700)
     assert dock._device_step_dynamic
-    assert dock.hub.last_surface is None  # stale pre-drag surface cleared
+    # fresh mid-drag surface: explicit dynamic marker + full-capture planes
+    surf = dock.hub.last_surface
+    assert surf is not None
+    assert surf.dynamic_rect == (10, 8, 60, 40)
+    assert not surf.cropped
+    assert surf.result.planes.shape == (4, 48, 96)
+    np.testing.assert_array_equal(
+        np.asarray(surf.result.planes),
+        np.moveaxis(fs[3], -1, 0),  # target_scale=1: the capture itself
+    )
     # RAW publication: enabling G AFTER the frame was analyzed reveals its
     # real bins at the next read, exactly like the legacy hub route
     dock.histogram.update(components=Components.RGB)
@@ -757,3 +863,79 @@ def test_dynamic_route_publishes_raw_and_invalidates_surface(rng):
     dock.push_frame(fs[4])
     dock.render(width=128, height=700)
     assert dock.hub.last_surface is not None
+    assert dock.hub.last_surface.dynamic_rect is None
+    assert dock.hub.last_surface.cropped
+
+
+def test_mid_drag_publishes_every_consumer(rng):
+    """Mid-drag frames on the streaming route publish EVERY consumer fresh
+    (the reference pushes the changed crop to all consumers every tick,
+    roi_send_range src/roi.c:478-520): a 10-rect drag's host reads of
+    vectorscope/waveform/histogram track each rect bit-exactly vs golden,
+    and the preview/overlay scopes hold THIS frame's full capture."""
+    from obs_color_monitor_tpu.config import Components
+    from obs_color_monitor_tpu.golden import reference as golden
+    from obs_color_monitor_tpu.models.roi_interact import DRAG_MOVE
+
+    dock = _mk(show_roi=True)
+    fs = _frames(14, rng)
+    for f in fs[:3]:  # warm the full-rect stream route
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+    dock.hub.set_roi(10, 8, 60, 40)
+    dock.push_frame(fs[3])
+    dock.render(width=128, height=700)
+    assert dock._device_step_dynamic
+    x0b, y0b, wb, hb, ws, hs = dock._rects["roi"]
+
+    def to_panel(sx, sy):
+        return x0b + -(-sx * wb // ws), y0b + -(-sy * hb // hs)
+
+    dock.mouse_move(*to_panel(30, 20))
+    dock.mouse_down(*to_panel(30, 20))
+    assert dock.roi_interact.flags & DRAG_MOVE
+    cs = dock.hub.colorspace
+    rects_seen = set()
+    for i, f in enumerate(fs[4:14]):
+        dock.mouse_move(*to_panel(30 + 2 * (i + 1), 20 + (i % 3)))
+        r = dock.hub.config.resolve_rect(96, 48)
+        rects_seen.add(r)
+        dock.push_frame(f)
+        dock.render(width=128, height=700)
+        crop = golden.roi_crop(f, *r)
+        yuv = golden.rgb_to_yuv_u8(crop, cs)
+        # vectorscope: exact rect counts
+        np.testing.assert_array_equal(
+            np.asarray(dock.vectorscope._read()),
+            golden.vectorscope_counts(yuv), err_msg=f"vs rect {r}",
+        )
+        # histogram: exact rect counts + rect pixel count
+        np.testing.assert_array_equal(
+            dock.histogram.counts(),
+            golden.histogram_counts(crop, None, Components.RGB),
+            err_msg=f"hi rect {r}",
+        )
+        assert dock.histogram._read()[1] == (r[2] - r[0]) * (r[3] - r[1])
+        # waveform: counts() returns the exact rect slice of the
+        # full-width publication, width reports the rect width
+        np.testing.assert_array_equal(
+            dock.waveform.counts(),
+            golden.waveform_counts(crop, None, Components.RGB),
+            err_msg=f"wv rect {r}",
+        )
+        # overlay/preview scopes hold THIS frame's full capture
+        zp, _zcs = dock.zebra._read()
+        np.testing.assert_array_equal(
+            np.asarray(zp), np.moveaxis(f, -1, 0), err_msg=f"zb rect {r}"
+        )
+        assert dock.zebra._size == (96, 48)
+        np.testing.assert_array_equal(
+            np.asarray(dock.roi_preview._read()), np.moveaxis(f, -1, 0)
+        )
+        assert dock.hub.last_surface.dynamic_rect == r
+    assert len(rects_seen) == 10
+    # the waveform read buffer is tick-gated (one-frame latency): after
+    # one more tick its host width reports the LAST drag rect's width
+    dock.mouse_up(*to_panel(52, 22))
+    dock.push_frame(fs[0])
+    assert dock.waveform.width == 50
