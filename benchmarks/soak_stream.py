@@ -21,6 +21,10 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax
 
+if os.environ.get("OCM_PLATFORM"):
+    # the axon plugin overrides JAX_PLATFORMS; force explicitly (CLAUDE.md)
+    jax.config.update("jax_platforms", os.environ["OCM_PLATFORM"])
+
 from obs_color_monitor_tpu.config import DockConfig, ROIConfig
 from obs_color_monitor_tpu.models import Dock
 from obs_color_monitor_tpu.runtime import native
@@ -34,7 +38,10 @@ W, H = (
 
 def soak(label: str, mode: str) -> float:
     """mode: 'legacy' (per-scope dispatches), 'fused' (analyze + one
-    render program = 2/frame), 'stream' (ONE program per frame)."""
+    render program = 2/frame), 'stream' (ONE program per frame, frames
+    device-resident), 'stream-host' (same + per-frame host->HBM upload of
+    the 4 B/px packed frame), 'stream-nv12' (per-frame host->HBM upload
+    of raw 1.5 B/px NV12 planes, decode folded into the stream program)."""
     os.environ.pop("OCM_NO_FUSED_RENDER", None)
     os.environ.pop("OCM_NO_STREAM_STEP", None)
     if mode == "legacy":
@@ -45,15 +52,27 @@ def soak(label: str, mode: str) -> float:
     # the DockConfig default is the reference's new-dock panel since r3
     dock = Dock(DockConfig(show_roi=False, show_focuspeaking=True),
                 roi=ROIConfig(interleave=0, target_scale=2))
-    # 8 distinct device-resident ramp frames, cycled (content varies, no
-    # per-frame host upload)
-    frames = [
-        jax.device_put(native.pattern("ramp", W, H, i)) for i in range(8)
-    ]
+    # 8 distinct ramp frames, cycled (content varies); device-resident
+    # except in the host-upload variants
+    if mode == "stream-nv12":
+        rng = np.random.default_rng(0)
+        frames = [
+            (
+                rng.integers(0, 256, (H, W), np.uint8),
+                rng.integers(0, 256, (H // 2, W), np.uint8),
+            )
+            for _ in range(8)
+        ]
+        push = lambda f: dock.push_nv12(*f)
+    else:
+        frames = [native.pattern("ramp", W, H, i) for i in range(8)]
+        if mode != "stream-host":
+            frames = [jax.device_put(f) for f in frames]
+        push = dock.push_frame
     # warmup: compiles (legacy per-scope programs; + the fused program on
     # the fused route) land outside the timed region
     for i in range(3):
-        dock.push_frame(frames[i])
+        push(frames[i])
         dock.render()
     # the loop uses render_async: dispatch-only, the device panel stays
     # resident (a real sink fetches/encodes downstream).  A per-frame
@@ -62,7 +81,7 @@ def soak(label: str, mode: str) -> float:
     t0 = time.perf_counter()
     img = None
     for i in range(N):
-        dock.push_frame(frames[i & 7])
+        push(frames[i & 7])
         img = dock.render_async()
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
@@ -107,13 +126,59 @@ def soak_raw_step() -> float:
     return ms
 
 
+def soak_host_stub() -> float:
+    """Pure host residual of the stream route: warm the one-program path,
+    then replace the cached device program with a canned-output stub and
+    run the same loop — what remains is the per-frame Python (cache
+    revalidation, leaf collection, publish-back) on this 1-core host.
+    r3 measured ~0.23 ms/frame; r4's config-generation memoization is
+    aimed squarely at this number."""
+    os.environ.pop("OCM_NO_FUSED_RENDER", None)
+    os.environ.pop("OCM_NO_STREAM_STEP", None)
+    dock = Dock(DockConfig(show_roi=False, show_focuspeaking=True),
+                roi=ROIConfig(interleave=0, target_scale=2))
+    frames = [
+        jax.device_put(native.pattern("ramp", W, H, i)) for i in range(8)
+    ]
+    for i in range(4):
+        dock.push_frame(frames[i])
+        dock.render_async()
+    assert len(dock._stream_fns) == 1, "stream route not warmed"
+    (skey,) = dock._stream_fns
+    fn, rects, wy, hy = dock._stream_fns[skey]
+    canned = fn(
+        frames[0], np.float32(0.0),
+        dock.waveform._buf[dock.waveform._r_buf],
+    )
+    jax.block_until_ready(canned)
+    dock._stream_fns[skey] = (lambda *a: canned, rects, wy, hy)
+    t0 = time.perf_counter()
+    for i in range(N):
+        dock.push_frame(frames[i & 7])
+        dock.render_async()
+    ms = (time.perf_counter() - t0) / N * 1e3
+    print(f"{'host residual (device stubbed)':34s} {ms:7.3f} ms/frame",
+          flush=True)
+    return ms
+
+
 if __name__ == "__main__":
-    print(f"soak: {N} frames {W}x{H}, device-resident, backend="
-          f"{jax.default_backend()}")
-    legacy = soak("legacy per-scope route", "legacy")
-    fused = soak("fused render (2 programs/frame)", "fused")
+    # extra argv flags: "uploads" adds the host-upload + nv12 rows;
+    # "quick" runs only the stream rows (production-shape sweeps, where
+    # the legacy route's per-scope dispatches would dominate the budget)
+    flags = set(sys.argv[3:])
+    print(f"soak: {N} frames {W}x{H}, backend={jax.default_backend()}")
+    if "quick" not in flags:
+        legacy = soak("legacy per-scope route", "legacy")
+        fused = soak("fused render (2 programs/frame)", "fused")
     stream = soak("stream step (1 program/frame)", "stream")
+    if "uploads" in flags:
+        soak("stream + host upload (4 B/px)", "stream-host")
+        soak("stream + NV12 upload (1.5 B/px)", "stream-nv12")
     raw = soak_raw_step()
-    print(f"speedup: fused {legacy / fused:.2f}x  stream "
-          f"{legacy / stream:.2f}x  (stream overhead vs raw step: "
-          f"{(stream / raw - 1) * 100:.0f}%)", flush=True)
+    host = soak_host_stub()
+    if "quick" not in flags:
+        print(f"speedup: fused {legacy / fused:.2f}x  stream "
+              f"{legacy / stream:.2f}x  (stream overhead vs raw step: "
+              f"{(stream / raw - 1) * 100:.0f}%; host residual "
+              f"{host:.3f} ms/frame)", flush=True)

@@ -117,6 +117,31 @@ def _snap_combo(v: int, allowed: tuple[int, ...]) -> int:
 
 _FIELD_NAMES: dict[type, tuple[str, ...]] = {}
 
+# monotonically increasing config generation (see _TrackedConfig)
+_GEN = 0
+
+
+class _TrackedConfig:
+    """Base for config dataclasses: every FIELD assignment bumps a global
+    generation counter into ``_gen``, giving the dock's per-frame cache
+    revalidation an O(1) value-identity check — ``config_key`` memoizes
+    its derived tuple per generation instead of re-walking every dataclass
+    field each streamed frame (that derivation was ~a third of the
+    stream route's host residual on this 1-core host, doc/performance.md).
+
+    Caveat (documented contract): only FIELD ASSIGNMENT is tracked.
+    Mutating a mutable field value in place (e.g. writing into a
+    false-color LUT array) must be followed by reassigning the field
+    (``cfg.lut = lut``, or ``scope.update(lut=lut)``) to invalidate.
+    """
+
+    def __setattr__(self, name, value):
+        object.__setattr__(self, name, value)
+        if not name.startswith("_"):
+            global _GEN
+            _GEN += 1
+            object.__setattr__(self, "_gen", _GEN)
+
 
 def config_key(cfg, skip: tuple[str, ...] = ()) -> tuple:
     """Hashable value-identity of a config: (class name, field values).
@@ -125,22 +150,36 @@ def config_key(cfg, skip: tuple[str, ...] = ()) -> tuple:
     fields collide, a mutated field changes the key) but ~10x cheaper —
     the dock's fused/stream render caches revalidate every scope's key
     every frame, and string formatting dominated that host path
-    (benchmarks/soak_stream.py).  ``skip`` drops unhashable fields the
-    caller fingerprints separately (e.g. a false-color LUT array).
+    (benchmarks/soak_stream.py).  Memoized per config GENERATION (see
+    _TrackedConfig), so the steady-state revalidation is two dict probes.
+    ``skip`` drops unhashable fields the caller fingerprints separately
+    (e.g. a false-color LUT array).
     """
+    d = cfg.__dict__
+    gen = d.get("_gen")
+    cache = None
+    if gen is not None:  # untracked configs always re-derive
+        cache = d.get("_ck_cache")
+        if cache is not None and cache[0] == gen:
+            hit = cache[1].get(skip)
+            if hit is not None:
+                return hit
+        else:
+            cache = (gen, {})
+            object.__setattr__(cfg, "_ck_cache", cache)
     cls = type(cfg)
     names = _FIELD_NAMES.get(cls)
     if names is None:
         names = tuple(f.name for f in dataclasses.fields(cfg))
         _FIELD_NAMES[cls] = names
-    d = cfg.__dict__
-    return (cls.__name__,) + tuple(
-        d[n] for n in names if n not in skip
-    )
+    key = (cls.__name__,) + tuple(d[n] for n in names if n not in skip)
+    if cache is not None:
+        cache[1][skip] = key
+    return key
 
 
 @dataclasses.dataclass
-class CaptureConfig:
+class CaptureConfig(_TrackedConfig):
     """Shared capture settings (the reference's ``cm`` properties,
     reference src/common.c:114-128)."""
 
@@ -355,7 +394,7 @@ class ROIConfig(CaptureConfig):
 
 
 @dataclasses.dataclass
-class DockConfig:
+class DockConfig(_TrackedConfig):
     """Composite view: which scopes are shown, stacked vertically
     (reference src/scope-widget.cpp:99-175).
 

@@ -910,8 +910,6 @@ class Dock:
         runtime input, so dragging must not rebuild."""
         from ..config import config_key
 
-        fc = self.falsecolor.config
-        fp = None if fc.lut is None else self.falsecolor._lut_fingerprint(fc.lut)
         return (
             config_key(
                 self.hub.config,
@@ -922,7 +920,8 @@ class Dock:
             config_key(self.waveform.config),
             config_key(self.histogram.config),
             config_key(self.zebra.config),
-            (config_key(fc, skip=("lut",)), fp),
+            # (config_key sans lut, LUT fingerprint) — generation-memoized
+            self.falsecolor.render_trace_key(),
             config_key(self.focuspeaking.config),
         )
 

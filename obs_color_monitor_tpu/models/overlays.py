@@ -144,12 +144,22 @@ class FalseColor(_OverlayScope):
     def __init__(self, config: Optional[FalseColorConfig] = None):
         super().__init__(config or FalseColorConfig())
 
+    _rtk_cache = None  # (config generation, key): crc'ing the LUT per
+    # streamed frame is host work the 1-core box can't spare
+
     def render_trace_key(self):
         from ..config import config_key
 
+        gen = self.config.__dict__.get("_gen")
+        c = self._rtk_cache
+        if c is not None and gen is not None and c[0] == gen:
+            return c[1]
         lut = self.config.lut
         fp = None if lut is None else self._lut_fingerprint(lut)
-        return (config_key(self.config, skip=("lut",)), fp)
+        key = (config_key(self.config, skip=("lut",)), fp)
+        if gen is not None:
+            self._rtk_cache = (gen, key)
+        return key
 
     def apply(self, frame, cs=None):
         cs = calc_colorspace(self.config.colorspace if cs is None else cs)

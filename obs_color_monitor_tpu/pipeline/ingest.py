@@ -9,11 +9,25 @@ in the native C++ runtime when available.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Iterator, Optional
 
 import numpy as np
 
 from ..runtime import native
+
+
+def _warn_trailing(path: str, got: int, want: int, count: int) -> None:
+    """A PARTIAL trailing frame means a truncated/corrupt stream, not a
+    clean end — say so (the reference logs every capture failure path,
+    src/util.c:9-11, common.c:507-526; silence here hides real damage)."""
+    if 0 < got < want:
+        warnings.warn(
+            f"{path}: truncated stream — trailing partial frame after "
+            f"{count} whole frames ({got} of {want} bytes)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 class FrameSource:
@@ -58,7 +72,10 @@ class RawRGBASource(FrameSource):
     def __init__(self, path: str, width: int, height: int):
         self.path, self.width, self.height = path, width, height
         self.frame_bytes = width * height * 4
-        self.n_frames = os.path.getsize(path) // self.frame_bytes
+        size = os.path.getsize(path)
+        self.n_frames = size // self.frame_bytes
+        _warn_trailing(path, size % self.frame_bytes, self.frame_bytes,
+                       self.n_frames)
 
     def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
         count = self.n_frames if n is None else min(n, self.n_frames)
@@ -174,9 +191,19 @@ class Y4MSource(FrameSource):
             while n is None or count < n:
                 marker = f.readline()
                 if not marker.startswith(b"FRAME"):
+                    if marker.strip():
+                        warnings.warn(
+                            f"{self.path}: corrupt frame marker "
+                            f"{marker[:32]!r} after {count} frames",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
                     return
                 buf = f.read((ysz + 2 * csz) * nbytes)
                 if len(buf) < (ysz + 2 * csz) * nbytes:
+                    _warn_trailing(
+                        self.path, len(buf), (ysz + 2 * csz) * nbytes, count
+                    )
                     return
                 planes = np.frombuffer(buf, dtype)
                 y = planes[:ysz].reshape(h, w)
@@ -279,29 +306,65 @@ class FFmpegSource(FrameSource):
         )
 
     def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
+        """Decoded RGBA frames.  A mid-stream decoder failure is NOT a
+        silent end-of-stream: when ffmpeg exits nonzero before the pipe
+        runs dry on its own terms, a RuntimeError carries the tail of its
+        stderr (the reference logs every capture failure path,
+        src/util.c:9-11, common.c:507-526).  Stopping the iterator early
+        (or after the requested ``n``) terminates ffmpeg quietly."""
         import subprocess
+        import threading
+        from collections import deque
 
         cmd = [
             self._ffmpeg, "-v", "error", "-i", self.path,
             "-f", "rawvideo", "-pix_fmt", "rgba", "pipe:1",
         ]
         proc = subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE
         )
+        tail: deque = deque(maxlen=40)
+
+        def _drain():  # keep ffmpeg from blocking on a full stderr pipe
+            for line in proc.stderr:
+                tail.append(line)
+            proc.stderr.close()
+
+        drainer = threading.Thread(target=_drain, daemon=True)
+        drainer.start()
         count = 0
+        eof = False
+        last = b""
         try:
             while n is None or count < n:
                 buf = proc.stdout.read(self.frame_bytes)
                 if buf is None or len(buf) < self.frame_bytes:
-                    return
+                    eof = True
+                    last = buf or b""
+                    break
                 yield np.frombuffer(buf, np.uint8).reshape(
                     self.height, self.width, 4
                 )
                 count += 1
         finally:
             proc.stdout.close()
-            proc.terminate()
-            proc.wait()
+            if not eof:
+                # consumer stopped early / got its n frames: a SIGTERM'd
+                # ffmpeg exits nonzero by design — not a failure
+                proc.terminate()
+            rc = proc.wait()
+            drainer.join(timeout=3)
+            if eof:
+                if rc != 0:
+                    msg = (
+                        b"".join(tail).decode(errors="replace").strip()
+                    )[-2000:]
+                    raise RuntimeError(
+                        f"{self.path}: ffmpeg exited with status {rc} "
+                        f"after {count} frames"
+                        + (f"\n{msg}" if msg else "")
+                    )
+                _warn_trailing(self.path, len(last), self.frame_bytes, count)
 
 
 class NV12Source(FrameSource):
@@ -325,7 +388,12 @@ class NV12Source(FrameSource):
         self.bits, self.msb_aligned = bits, msb_aligned
         self._nbytes = 1 if bits == 8 else 2
         self.frame_bytes = width * height * 3 // 2 * self._nbytes
-        self.n_frames = os.path.getsize(path) // self.frame_bytes
+        size = os.path.getsize(path)
+        self.n_frames = size // self.frame_bytes
+        # raw streams have no framing: a partial trailing frame means the
+        # geometry/bits are wrong or the file is truncated — say so
+        _warn_trailing(path, size % self.frame_bytes, self.frame_bytes,
+                       self.n_frames)
 
     def _to8(self, plane: np.ndarray) -> np.ndarray:
         shift = (8 if self.msb_aligned else self.bits - 8)
@@ -343,9 +411,10 @@ class NV12Source(FrameSource):
         ysz = self.width * self.height
         dtype = np.dtype(np.uint8) if self.bits == 8 else np.dtype("<u2")
         with open(self.path, "rb") as f:
-            for _ in range(count):
+            for i in range(count):
                 buf = f.read(self.frame_bytes)
                 if len(buf) < self.frame_bytes:
+                    _warn_trailing(self.path, len(buf), self.frame_bytes, i)
                     return
                 samples = np.frombuffer(buf, dtype)
                 y = samples[:ysz].reshape(self.height, self.width)

@@ -241,9 +241,8 @@ def test_dynamic_dock_key_legend(frame, placement):
     x0s, y0s, ws, hs = rects["falsecolor"]
     base_w = ws * 10 // 11 if sk == ShowKey.OUTSIDE else ws
     base_h = hs * 10 // 12 if sk == ShowKey.BELOW else hs
-    key_tex = falsecolor_key_overlay(
-        sk, base_w, base_h, calc_colorspace(FalseColorConfig().colorspace)
-    )
+    fc_cs_resolved = calc_colorspace(FalseColorConfig().colorspace)
+    key_tex = falsecolor_key_overlay(sk, base_w, base_h, fc_cs_resolved)
 
     for r in RECTS[:3]:
         out_k = np.asarray(
@@ -280,12 +279,35 @@ def test_dynamic_dock_key_legend(frame, placement):
             ) // 255
             np.testing.assert_array_equal(band_k[..., :3], exp_rgb)
         else:
-            # extended canvas: the legend strip must carry the gradient
-            # (nonblack where its texture is opaque) and the panel outside
-            # the falsecolor band is untouched
-            lit = (a[..., 0] > 200) & (lg[..., :3].sum(-1) > 60)
-            assert lit.any()
-            assert (band_k[..., :3][lit].sum(-1) > 0).any()
+            # extended canvas (OUTSIDE/BELOW): full numpy twin of the
+            # extended-canvas fit — base = falsecolor of the rect sampled
+            # through the canvas mapping (only in-rect pixels are read),
+            # opaque black outside the fit box, legend integer-blended
+            # over the box.  Byte-exact, like the LEFT case.
+            from obs_color_monitor_tpu.golden import reference as golden
+
+            cap = golden.downscale(frame, 2)
+            crop = cap[r[1] : r[3], r[0] : r[2]]
+            fc_img = golden.falsecolor(crop, fc_cs_resolved)
+            sy = np.clip(ii * ch_c // fh, 0, rh - 1)
+            sx = np.clip((jj - dxo) * cw_c // fw, 0, rw - 1)
+            samp = fc_img[
+                np.broadcast_to(sy, (hs, ws)), np.broadcast_to(sx, (hs, ws))
+            ]
+            valid = ((ii < fh) & (ii * ch_c // fh < rh)) & (
+                (jj >= dxo) & (jj < dxo + fw)
+                & ((jj - dxo) * cw_c // fw < rw)
+            )
+            black = np.array([0, 0, 0, 255], np.uint8)
+            base = np.where(valid[..., None], samp, black)
+            exp_rgb = (
+                lg[..., :3].astype(np.int64) * a
+                + base[..., :3].astype(np.int64) * (255 - a) + 127
+            ) // 255
+            expected = np.concatenate(
+                [exp_rgb.astype(np.uint8), base[..., 3:]], axis=-1
+            )
+            np.testing.assert_array_equal(band_k, expected)
         out_k2 = out_k.copy()
         out_k2[y0s : y0s + hs] = out_p[y0s : y0s + hs]
         np.testing.assert_array_equal(out_k2, out_p)

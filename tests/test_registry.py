@@ -125,3 +125,29 @@ def test_histogram_graticule_legacy_alias():
     )
     assert c.graticule_horizontal_step == 20.0
     assert c.graticule_horizontal_step_fixed == 20.0
+
+
+def test_config_key_generation_memoization():
+    """config_key is memoized per config GENERATION: steady-state stream
+    revalidation is O(1) dict probes, while any field assignment (update()
+    or direct attribute set) bumps the generation and re-derives."""
+    import dataclasses
+
+    from obs_color_monitor_tpu.config import WaveformConfig, config_key
+
+    c = WaveformConfig()
+    k1 = config_key(c)
+    assert config_key(c) is k1  # cache hit returns the same tuple object
+    c.intensity = 99  # direct field assignment bumps the generation
+    k2 = config_key(c)
+    assert k2 is not k1 and k2 != k1
+    assert config_key(c) is k2
+    # skip variants cache independently under one generation
+    ks = config_key(c, skip=("intensity",))
+    assert ks != k2
+    assert config_key(c, skip=("intensity",)) is ks
+    # value identity: an equal-valued fresh config derives an equal key
+    assert config_key(WaveformConfig(intensity=99)) == k2
+    # bookkeeping attributes are not dataclass fields (persistence walks
+    # dataclasses.fields and must never see them)
+    assert "_gen" not in {f.name for f in dataclasses.fields(c)}
