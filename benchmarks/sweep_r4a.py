@@ -15,8 +15,8 @@ has — narrower one-hots and packing several bins per MAC:
   B. bf16 two-bin pack: B[j,k] = [u==2j] + 4096*[u==2j+1] (bf16-exact
      values), A = one_hot(v) bf16; the f32 accumulator carries
      f0 + 4096*f1 exactly while each per-bin count stays <= 4095
-     (4095*4097 = 2^24 - 1, the f32 integer-exact limit), so the unpack
-     window is 31 rows (3968 px).  Halves the MACs — but bf16 MXU
+     (4095*4097 = 2^24 - 1, the f32 integer-exact limit), so the flat row
+     lane-splits into (4, 2048) unpack windows.  Halves the MACs — but bf16 MXU
      throughput is HALF of int8 (197 vs 394 T on v5e), a mathematical
      break-even before the per-window mod/div unpack is paid.
      Expectation: >= baseline + unpack.
@@ -116,8 +116,11 @@ def vs_coarse_fine(u_s, v_s):
 # --------------------------------------------------------------------------
 
 _SEP = 4096          # field separation: 4095 * (4096 + 1) == 2^24 - 1
-_WIN_ROWS = 31       # unpack window: 31 * 128 = 3968 px <= 4095 per bin
-_WIN = _WIN_ROWS * 128
+_WIN = 2048          # unpack window: counts per bin <= 2048 <= 4095
+# (A lane-axis SLICE of the 8192-lane flat row — even 128-aligned — hands
+# the sublane-broadcast an offset {0,128} layout Mosaic rejects on real
+# hardware; a lane-SPLIT reshape to (4, 2048) windows compiles.  Interpret
+# mode accepted the slice form; always probe candidates on the chip.)
 
 
 def _vs_pack2_kernel(u_ref, v_ref, out_ref):
@@ -128,19 +131,14 @@ def _vs_pack2_kernel(u_ref, v_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    u = u_ref[0, 0].astype(jnp.int32)  # (1, LANES)
-    v = v_ref[0, 0].astype(jnp.int32)
-    n_win = -(-_LANES // _WIN)
-    for wi in range(n_win):
-        lo = wi * _WIN
-        hi = min(lo + _WIN, _LANES)
-        k = hi - lo
-        # 128-multiple boundaries: physically a sublane slice of the
-        # 64x128-register flat row
-        uw, vw = u[:, lo:hi], v[:, lo:hi]
-        iota_v = jax.lax.broadcasted_iota(jnp.int32, (N_BINS, k), 0)
+    u = u_ref[0, 0].astype(jnp.int32).reshape(_LANES // _WIN, _WIN)
+    v = v_ref[0, 0].astype(jnp.int32).reshape(_LANES // _WIN, _WIN)
+    for wi in range(_LANES // _WIN):
+        uw = u[wi : wi + 1]  # (1, WIN): sublane slice, lane axis intact
+        vw = v[wi : wi + 1]
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (N_BINS, _WIN), 0)
         a = (iota_v == vw).astype(jnp.bfloat16)
-        iota_j = jax.lax.broadcasted_iota(jnp.int32, (N_BINS // 2, k), 0)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (N_BINS // 2, _WIN), 0)
         b = (
             (iota_j * 2 == uw).astype(jnp.bfloat16)
             + (iota_j * 2 + 1 == uw).astype(jnp.bfloat16) * jnp.bfloat16(_SEP)
@@ -153,13 +151,17 @@ def _vs_pack2_kernel(u_ref, v_ref, out_ref):
         pi = packed.astype(jnp.int32)
         f1 = pi // _SEP
         f0 = pi - f1 * _SEP
-        # interleave fields back to (256, 256): even cols f0, odd f1
-        out_ref[:] += jnp.stack([f0, f1], axis=-1).reshape(N_BINS, N_BINS)
+        # field-split accumulator: cols [0,128) hold even u bins, [128,256)
+        # odd ones — both register-aligned lane halves.  (The natural
+        # (256,128,2)->(256,256) interleave reshape is an unsupported
+        # Mosaic shape cast on real hardware — interpret mode accepts it.)
+        out_ref[:, : N_BINS // 2] += f0
+        out_ref[:, N_BINS // 2 :] += f1
 
 
 def vs_pack2(u_s, v_s):
     s, rf = u_s.shape[0], u_s.shape[1]
-    return pl.pallas_call(
+    split = pl.pallas_call(
         _vs_pack2_kernel,
         grid=(s, rf),
         in_specs=[_in4(), _in4()],
@@ -169,6 +171,10 @@ def vs_pack2(u_s, v_s):
         out_shape=jax.ShapeDtypeStruct((N_BINS, N_BINS), jnp.int32),
         interpret=INTERPRET,
     )(u_s, v_s)
+    # de-interleave the field-split halves once per frame (256 KB, XLA)
+    return jnp.stack(
+        [split[:, : N_BINS // 2], split[:, N_BINS // 2 :]], axis=-1
+    ).reshape(N_BINS, N_BINS)
 
 
 # --------------------------------------------------------------------------
@@ -210,26 +216,36 @@ def main():
                 np.testing.assert_array_equal(got, ref, err_msg=name)
             print(f"check ok: {name}", flush=True)
 
+    def build_loop(fn, k):
+        @jax.jit
+        def run(us, vs):
+            def body(i, acc):
+                us2 = jnp.bitwise_xor(us, (i % 2).astype(jnp.uint8))
+                return acc + fn(us2, vs)[0, 0]
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return run
+
     if which in ("measure", "both") and not INTERPRET:
         from _util import slope_ms
 
-        def build_loop(fn):
-            def build(k):
-                @jax.jit
-                def run(us, vs):
-                    def body(i, acc):
-                        us2 = jnp.bitwise_xor(us, (i % 2).astype(jnp.uint8))
-                        return acc + fn(us2, vs)[0, 0]
+        for name, fn in cands:
+            ms = slope_ms(lambda k, fn=fn: build_loop(fn, k), (u_s, v_s), 16)
+            print(f"{name:32s} {ms:7.3f} ms/frame", flush=True)
 
-                    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-
-                return run
-
-            return build
+    if which == "profile" and not INTERPRET:
+        from _util import op_profile_rows
 
         for name, fn in cands:
-            ms = slope_ms(build_loop(fn), (u_s, v_s), 16)
-            print(f"{name:32s} {ms:7.3f} ms/frame", flush=True)
+            rows = op_profile_rows(
+                lambda us, vs: build_loop(fn, 16)(us, vs), (u_s, v_s), 16,
+                f"/tmp/tr_r4a_{name[:1]}",
+            )
+            print(f"-- {name} (op-sum {sum(t for t, _ in rows):.3f} ms) --")
+            for t, op in rows:
+                if t > 0.02:
+                    print(f"  {t:8.4f} ms  {op[:100]}", flush=True)
 
 
 if __name__ == "__main__":
