@@ -144,7 +144,16 @@ def cmd_dock(args) -> int:
 def _live_serve(args, src, produce, label, extra_stats=None) -> int:
     """Paced MJPEG-over-HTTP serving loop shared by the dock view and the
     per-scope projector view: decode, ``produce(frame) -> RGBA | None``,
-    publish, sleep to the source rate."""
+    publish, sleep to the source rate.
+
+    Readback is PIPELINED one frame deep, exactly the reference's staging
+    pattern (gs_stagesurface: each tick maps the texture staged on the
+    PREVIOUS tick, src/common.c:223-333): when ``produce`` returns a
+    device-resident panel, its host copy is started asynchronously and the
+    PREVIOUS frame's (now ready) panel is published — the device→host
+    transfer overlaps the next frame's decode + device work instead of
+    serializing after it.  Frames display one frame late, like the
+    reference."""
     import numpy as np
 
     from .pipeline.live import MJPEGServer
@@ -161,6 +170,14 @@ def _live_serve(args, src, produce, label, extra_stats=None) -> int:
     n = 0
     n_late = 0
     ok = False
+    staged = None  # device panel whose host copy is in flight
+
+    def _publish(img):
+        img = np.asarray(img)
+        server.publish(img)
+        if tee is not None:
+            tee.write(img)
+
     try:
         n_frames = None if args.frames <= 0 else args.frames
         # NV12-layout sources stream raw planes; produce() device-decodes
@@ -171,11 +188,11 @@ def _live_serve(args, src, produce, label, extra_stats=None) -> int:
         )
         for frame in frames_fn(n_frames):
             img = produce(frame)
+            if img is not None and hasattr(img, "copy_to_host_async"):
+                img.copy_to_host_async()
+                img, staged = staged, img  # publish the PREVIOUS panel
             if img is not None:
-                img = np.asarray(img)
-                server.publish(img)
-                if tee is not None:
-                    tee.write(img)
+                _publish(img)
             n += 1
             next_t += period
             now = time.perf_counter()
@@ -183,6 +200,9 @@ def _live_serve(args, src, produce, label, extra_stats=None) -> int:
                 time.sleep(next_t - now)
             else:
                 n_late += 1
+        if staged is not None:  # flush the last staged panel
+            _publish(staged)
+            staged = None
         ok = True
     except KeyboardInterrupt:
         ok = True  # a clean stop: a failing encode should still surface
@@ -218,7 +238,9 @@ def _run_live(args, dock, src) -> int:
             dock.push_nv12(*frame, cs=getattr(src, "cs", None))
         else:
             dock.push_frame(frame)
-        return dock.render(width=args.out_width, height=args.out_height)
+        # device-resident panel: _live_serve pipelines the host readback
+        # one frame deep (the reference's stagesurface pattern)
+        return dock.render_async(width=args.out_width, height=args.out_height)
 
     def stats():
         return (
@@ -257,10 +279,11 @@ def cmd_scope(args) -> int:
 
     if args.live:
         # the reference's per-scope fullscreen "Open Projector" menu entry
-        # (src/scope-widget.cpp:467-471): one scope, served live
+        # (src/scope-widget.cpp:467-471): one scope, served live;
+        # device-resident image — _live_serve pipelines the readback
         def produce(frame):
             push(frame)
-            return scope.render()
+            return scope.render_image()
 
         return _live_serve(args, src, produce, args.scope)
     import numpy as np

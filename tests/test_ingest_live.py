@@ -500,3 +500,39 @@ def test_real_ffmpeg_error_path(tmp_path):
     src = FFmpegSource(str(p), width=20, height=12)
     with pytest.raises(RuntimeError, match="ffmpeg exited"):
         list(src.frames())
+
+
+def test_live_pipelined_readback_order(monkeypatch):
+    """The live loop stages device panels one frame deep (the reference's
+    gs_stagesurface pattern: each tick maps the PREVIOUS tick's staged
+    texture, src/common.c:223-333).  Every produced frame must still be
+    published, exactly once, in order — including the final staged panel
+    flushed after the source ends."""
+    from obs_color_monitor_tpu.__main__ import main
+    from obs_color_monitor_tpu.config import ROIConfig
+    from obs_color_monitor_tpu.models import Dock
+    from obs_color_monitor_tpu.pipeline import live as live_mod
+    from obs_color_monitor_tpu.runtime import native
+
+    published = []
+    orig = live_mod.MJPEGServer.publish
+
+    def record(self, img):
+        published.append(np.asarray(img).copy())
+        return orig(self, img)
+
+    monkeypatch.setattr(live_mod.MJPEGServer, "publish", record)
+    rc = main([
+        "dock", "--pattern", "ramp", "--size", "64x48", "--scale", "1",
+        "--interleave", "0", "--frames", "5", "--live", "--port", "0",
+        "--fps", "240", "--out-width", "64", "--out-height", "360",
+    ])
+    assert rc == 0
+    assert len(published) == 5
+
+    # the same 5 frames through the model layer directly, same config
+    dock = Dock(roi=ROIConfig(target_scale=1, interleave=0))
+    for i, img in enumerate(published):
+        dock.push_frame(native.pattern("ramp", 64, 48, i))
+        want = np.asarray(dock.render(width=64, height=360))
+        np.testing.assert_array_equal(img, want, err_msg=f"frame {i}")
