@@ -56,13 +56,13 @@ def soak(label: str, mode: str) -> float:
     # except in the host-upload variants
     if mode == "stream-nv12":
         rng = np.random.default_rng(0)
-        frames = [
-            (
-                rng.integers(0, 256, (H, W), np.uint8),
-                rng.integers(0, 256, (H // 2, W), np.uint8),
-            )
+        # the realistic wire shape: ONE contiguous NV12 buffer per frame,
+        # y/uv as adjacent views (push_nv12 detects this and uploads once)
+        bufs = [
+            rng.integers(0, 256, (H * 3 // 2, W), np.uint8)
             for _ in range(8)
         ]
+        frames = [(b[:H], b[H:]) for b in bufs]
         push = lambda f: dock.push_nv12(*f)
     else:
         frames = [native.pattern("ramp", W, H, i) for i in range(8)]

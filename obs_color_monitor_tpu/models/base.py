@@ -349,11 +349,11 @@ class CaptureHub:
         DECODE colorimetry (the stream's own, like ``ingest.*Source(cs=)``);
         it defaults to the hub's analysis colorspace.
         """
-        from ..ops.convert import nv12_to_packed
+        from ..ops.convert import nv12_device_planes, nv12_to_packed
 
         cs_i = int(cs) if cs is not None else int(self.colorspace)
         return self.process(nv12_to_packed(
-            jax.numpy.asarray(y), jax.numpy.asarray(uv), cs=cs_i
+            *nv12_device_planes(y, uv), cs=cs_i
         ))
 
     def set_roi(self, x0: int, y0: int, x1: int, y1: int) -> None:

@@ -346,9 +346,9 @@ class Dock:
         rendered = self._rendered_since_push
         self._rendered_since_push = False
         self.hub.tick()
-        pending = _NV12Pending(
-            jax.numpy.asarray(y), jax.numpy.asarray(uv), cs_i
-        )
+        from ..ops.convert import nv12_device_planes
+
+        pending = _NV12Pending(*nv12_device_planes(y, uv), cs_i)
         if rendered and self._stream_ok():
             self._pending = pending
         else:

@@ -939,3 +939,44 @@ def test_mid_drag_publishes_every_consumer(rng):
     dock.mouse_up(*to_panel(52, 22))
     dock.push_frame(fs[0])
     assert dock.waveform.width == 50
+
+
+def test_nv12_joint_upload(rng, monkeypatch):
+    """Adjacent y/uv views of one contiguous NV12 buffer (the wire shape:
+    file reads, decoder outputs) upload with ONE host->device transfer;
+    non-adjacent planes fall back to two.  Decode is bit-identical either
+    way."""
+    from obs_color_monitor_tpu.ops import convert
+
+    h, w = 48, 96
+    buf = rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+    y_adj, uv_adj = buf[:h], buf[h:]
+    y_sep = y_adj.copy()
+    uv_sep = uv_adj.copy()
+
+    uploads = []
+    orig = convert.jnp.asarray
+
+    def counting(x, *a, **k):
+        if isinstance(x, np.ndarray):
+            uploads.append(x.shape)
+        return orig(x, *a, **k)
+
+    monkeypatch.setattr(convert.jnp, "asarray", counting)
+
+    ya, uva = convert.nv12_device_planes(y_adj, uv_adj)
+    assert uploads == [(h * 3 // 2, w)]  # ONE joint transfer
+    uploads.clear()
+    ys, uvs = convert.nv12_device_planes(y_sep, uv_sep)
+    assert uploads == [(h, w), (h // 2, w)]  # fallback: two
+
+    np.testing.assert_array_equal(np.asarray(ya), y_sep)
+    np.testing.assert_array_equal(np.asarray(uva), uv_sep)
+    got_a = np.asarray(convert.nv12_to_packed(ya, uva, cs=2))
+    got_s = np.asarray(convert.nv12_to_packed(ys, uvs, cs=2))
+    np.testing.assert_array_equal(got_a, got_s)
+
+    # device-resident inputs pass through untouched (no re-upload)
+    uploads.clear()
+    yd, uvd = convert.nv12_device_planes(ya, uva)
+    assert uploads == [] and yd is ya and uvd is uva
