@@ -233,30 +233,49 @@ _NV12_KY = 4769  # round(255/219 * 4096)
 def _nv12_rgb_u8(y: jax.Array, uv: jax.Array, cs: int):
     """Shared NV12 decode body: (H, W) u8 R/G/B channel planes.
 
-    All products are integers < 2^23, so the conversion runs on the fast f32
-    path yet matches the native C++ kernel bit-for-bit: with Y' = Y-16,
-    C = Cx-128: channel = clip((4769*Y' + K.C + 2048) >> 12).
+    Pure-integer fixed point, bit-identical to the native C++ kernel:
+    with Y' = Y-16, C = Cx-128: channel = clip((4769*Y' + K.C + 2048)
+    >> 12) (arithmetic shift = floor division).  The 4:2:0 chroma
+    upsample avoids lane-axis ``jnp.repeat`` (which XLA lowers as a
+    relayout/gather): columns double via the u16-pair bitcast trick and
+    rows via a broadcast-reshape on the sublane axis — the all-integer
+    form measured fastest of the XLA decode formulations at 4K
+    (0.69 ms vs 0.80 for the lane-repeat original, benchmarks/
+    sweep_r4c.py + sweep_r4d.py; the TPU path dispatches to the 0.34 ms
+    Pallas band kernel in ops.pallas_convert instead).
     """
     kr_cr, kg_cb, kg_cr, kb_cb = _NV12_COEF[int(cs)]
-    w = y.shape[-1]
-    yp = (y.astype(jnp.float32) - 16.0) * np.float32(_NV12_KY)
-    # deinterleave CbCr via u16 bitcast (lane-friendly), then 2x2 upsample
+    h, w = y.shape[-2], y.shape[-1]
+    yp = (y.astype(jnp.int32) - 16) * _NV12_KY
+    # deinterleave CbCr via u16 bitcast (lane-friendly)
     uv16 = jax.lax.bitcast_convert_type(
         uv.reshape(uv.shape[:-1] + (w // 2, 2)), jnp.uint16
     ).astype(jnp.int32)
     cb = (uv16 & 0xFF) - 128  # (H/2, W/2)
     cr = (uv16 >> 8) - 128
-    cb = jnp.repeat(jnp.repeat(cb, 2, axis=-2), 2, axis=-1).astype(jnp.float32)
-    cr = jnp.repeat(jnp.repeat(cr, 2, axis=-2), 2, axis=-1).astype(jnp.float32)
-    half = np.float32(2048.0)
-    inv = np.float32(1.0 / 4096.0)
+
+    def lane2(x):  # duplicate each value into adjacent lanes, no repeat
+        xu = (x + 128).astype(jnp.uint32)
+        return (
+            jax.lax.bitcast_convert_type(xu | (xu << 16), jnp.uint16)
+            .reshape(x.shape[:-2] + (h // 2, w))
+            .astype(jnp.int32)
+            - 128
+        )
+
+    def row2(x):  # double rows on the sublane axis
+        return jnp.broadcast_to(
+            x[..., :, None, :], x.shape[:-2] + (h // 2, 2, w)
+        ).reshape(x.shape[:-2] + (h, w))
+
+    cb, cr = row2(lane2(cb)), row2(lane2(cr))
 
     def q(acc):
-        return jnp.clip(jnp.floor(acc * inv), 0.0, 255.0).astype(jnp.uint8)
+        return jnp.clip(acc >> 12, 0, 255).astype(jnp.uint8)
 
-    r = q(yp + np.float32(kr_cr) * cr + half)
-    g = q(yp + np.float32(kg_cb) * cb + np.float32(kg_cr) * cr + half)
-    b = q(yp + np.float32(kb_cb) * cb + half)
+    r = q(yp + kr_cr * cr + 2048)
+    g = q(yp + kg_cb * cb + kg_cr * cr + 2048)
+    b = q(yp + kb_cb * cb + 2048)
     return r, g, b
 
 
@@ -270,6 +289,31 @@ def nv12_to_planes(y: jax.Array, uv: jax.Array, cs: int = 2) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("cs",))
+def _nv12_to_packed_xla(y: jax.Array, uv: jax.Array, cs: int = 2) -> jax.Array:
+    r, g, b = _nv12_rgb_u8(y, uv, cs)
+    return (
+        r.astype(jnp.uint32)
+        | (g.astype(jnp.uint32) << 8)
+        | (b.astype(jnp.uint32) << 16)
+        | jnp.uint32(0xFF000000)
+    )
+
+
+def _nv12_pallas_ok(y, uv) -> bool:
+    """Whether the Pallas decode path applies (TPU backend, plain 2-D
+    planes, a geometry whose u32 bitcast views exist)."""
+    from .fused import default_backend
+
+    return (
+        default_backend() == "pallas"
+        and getattr(y, "ndim", 0) == 2
+        and getattr(uv, "ndim", 0) == 2
+        and y.shape[-1] % 4 == 0
+        and y.shape[-2] % 2 == 0
+        and tuple(uv.shape) == (y.shape[-2] // 2, y.shape[-1])
+    )
+
+
 def nv12_to_packed(y: jax.Array, uv: jax.Array, cs: int = 2) -> jax.Array:
     """NV12 -> the (H, W) u32 packed-RGBA view, decoded ON DEVICE.
 
@@ -279,14 +323,17 @@ def nv12_to_packed(y: jax.Array, uv: jax.Array, cs: int = 2) -> jax.Array:
     frame — 2.7x less host->device traffic, and the fixed-point decode
     (bit-exact twin of csrc/ocm_runtime.cpp ocm_nv12_to_rgba) rides the
     TPU instead of the host CPU.
+
+    On a TPU backend this dispatches to the Pallas band kernel
+    (ops.pallas_convert, 0.34 vs 0.69 ms per 4K frame); every other
+    backend / geometry takes the XLA formulation.  Both are bit-exact
+    twins of the golden/native decoders.
     """
-    r, g, b = _nv12_rgb_u8(y, uv, cs)
-    return (
-        r.astype(jnp.uint32)
-        | (g.astype(jnp.uint32) << 8)
-        | (b.astype(jnp.uint32) << 16)
-        | jnp.uint32(0xFF000000)
-    )
+    if _nv12_pallas_ok(y, uv):
+        from .pallas_convert import nv12_decode_pallas
+
+        return nv12_decode_pallas(y, uv, cs=cs)
+    return _nv12_to_packed_xla(y, uv, cs=cs)
 
 
 def nv12_device_planes(y, uv):
