@@ -107,7 +107,8 @@ def cmd_dock(args) -> int:
                 )
             else:
                 if use_nv12:
-                    dock.push_nv12(*frame, cs=getattr(src, "cs", None))
+                    dock.push_nv12(*frame, cs=getattr(src, "cs", None),
+                                   shift=getattr(src, "nv12_shift", 0))
                 else:
                     dock.push_frame(frame)
                 if tee is not None:
@@ -235,7 +236,8 @@ def _run_live(args, dock, src) -> int:
 
     def produce(frame):
         if use_nv12:
-            dock.push_nv12(*frame, cs=getattr(src, "cs", None))
+            dock.push_nv12(*frame, cs=getattr(src, "cs", None),
+                           shift=getattr(src, "nv12_shift", 0))
         else:
             dock.push_frame(frame)
         # device-resident panel: _live_serve pipelines the host readback
@@ -272,7 +274,8 @@ def cmd_scope(args) -> int:
 
     def push(frame):
         if use_nv12:
-            scope.push_nv12(*frame, cs=getattr(src, "cs", None))
+            scope.push_nv12(*frame, cs=getattr(src, "cs", None),
+                            shift=getattr(src, "nv12_shift", 0))
         else:
             scope.push_frame(frame)
         scope._hub.tick()  # publish double buffers

@@ -55,6 +55,7 @@ def make_full_step(
     falsecolor: FalseColorConfig | None = None,
     focuspeaking: FocusPeakingConfig | None = None,
     input_format: str = "rgba",
+    nv12_shift: int = 0,
 ):
     """Build a jitted (frame, tm) -> ScopeOutputs for a fixed frame shape.
 
@@ -72,6 +73,10 @@ def make_full_step(
       * "planar" — frame is (4, H, W) u8 (skips planarize);
       * "nv12"   — frame is a (y (H,W) u8, uv (H/2,W) u8) tuple converted
         on device (1.5 bytes/px ingest; csrc spec, bit-exact vs native).
+        With ``nv12_shift`` > 0 the planes are 16-bit-LE P010-family u16
+        samples; the round-shift to the 8-bit monitoring domain fuses
+        into the in-program decode (``ops.nv12_shift`` maps
+        bits/msb_aligned to the shift).
     """
     vs_cfg = vectorscope or VectorscopeConfig()
     wv_cfg = waveform or WaveformConfig()
@@ -136,7 +141,13 @@ def make_full_step(
                 # (the planar decode would forfeit the fast path)
                 from .ops.convert import nv12_to_packed
 
-                packed = nv12_to_packed(y, uv, cs=cs)
+                packed = nv12_to_packed(y, uv, cs=cs, shift=nv12_shift)
+            elif nv12_shift:
+                from .ops.convert import nv12_to_packed, planarize_packed
+
+                planes = planarize_packed(
+                    nv12_to_packed(y, uv, cs=cs, shift=nv12_shift)
+                )
             else:
                 from .ops.convert import nv12_to_planes
 

@@ -238,6 +238,7 @@ def make_dock_step(
     dynamic_roi: bool = False,
     input_format: str = "rgba",
     nv12_cs: Optional[int] = None,
+    nv12_shift: int = 0,
 ):
     """Build the jitted dock step for a fixed frame shape.
 
@@ -248,7 +249,10 @@ def make_dock_step(
     the wire-format capture route stays ONE device program per frame, like
     ``api.make_full_step(input_format="nv12")``.  ``nv12_cs`` is the decode
     colorimetry (defaults to ``cs``) — the analog of OBS converting the
-    source to its canvas before the reference reads pixels.
+    source to its canvas before the reference reads pixels.  With
+    ``nv12_shift`` > 0 the planes are 16-bit-LE P010-family u16 samples
+    and the round-shift to the monitoring domain fuses into the in-program
+    decode (``ops.nv12_shift`` maps bits/msb_aligned to the shift).
 
     overlays_on_capture=True matches the reference dock, whose overlay
     scopes consume the shared ROI capture at its target_scale (the dock
@@ -498,7 +502,9 @@ def make_dock_step(
             if input_format == "nv12":
                 from .ops.convert import nv12_to_packed
 
-                src = nv12_to_packed(frame[0], frame[1], cs=dec_cs)
+                src = nv12_to_packed(
+                    frame[0], frame[1], cs=dec_cs, shift=nv12_shift
+                )
             elif frame.ndim == 2:  # already the packed u32 view (zero copies)
                 src = frame
             else:
@@ -712,7 +718,9 @@ def make_dock_step(
         if input_format == "nv12":
             from .ops.convert import nv12_to_packed, planarize_packed
 
-            packed = nv12_to_packed(frame[0], frame[1], cs=dec_cs)
+            packed = nv12_to_packed(
+                frame[0], frame[1], cs=dec_cs, shift=nv12_shift
+            )
             if overlays_on_capture:
                 src, planes = packed, None
             else:

@@ -339,7 +339,7 @@ class CaptureHub:
         self.frames_processed += 1
         return surface
 
-    def process_nv12(self, y, uv, cs: Optional[int] = None):
+    def process_nv12(self, y, uv, cs: Optional[int] = None, shift: int = 0):
         """NV12 frame in: decode ON DEVICE to the packed u32 RGBA view,
         then the normal :meth:`process` fan-out.
 
@@ -347,13 +347,16 @@ class CaptureHub:
         4 B/px RGBA frame, and the fixed-point decode (bit-exact twin of
         the native csrc decoder) runs on the accelerator.  ``cs`` is the
         DECODE colorimetry (the stream's own, like ``ingest.*Source(cs=)``);
-        it defaults to the hub's analysis colorspace.
+        it defaults to the hub's analysis colorspace.  With ``shift`` > 0
+        the planes are 16-bit-LE P010-family u16 samples and the
+        round-shift to the monitoring domain also runs on device
+        (``ops.nv12_shift`` maps bits/msb_aligned to the shift).
         """
         from ..ops.convert import nv12_device_planes, nv12_to_packed
 
         cs_i = int(cs) if cs is not None else int(self.colorspace)
         return self.process(nv12_to_packed(
-            *nv12_device_planes(y, uv), cs=cs_i
+            *nv12_device_planes(y, uv), cs=cs_i, shift=shift
         ))
 
     def set_roi(self, x0: int, y0: int, x1: int, y1: int) -> None:
@@ -384,7 +387,9 @@ class StandaloneScopeMixin:
         self._hub.tick()
         self._hub.process(frame)
 
-    def push_nv12(self, y, uv, cs: Optional[int] = None) -> None:
+    def push_nv12(
+        self, y, uv, cs: Optional[int] = None, shift: int = 0
+    ) -> None:
         """NV12 frame in, decoded on device (CaptureHub.process_nv12)."""
         self._hub.tick()
-        self._hub.process_nv12(y, uv, cs=cs)
+        self._hub.process_nv12(y, uv, cs=cs, shift=shift)

@@ -70,11 +70,14 @@ class _NV12Pending(NamedTuple):
     decode colorimetry.  The decode folds INTO the cached stream / dynamic
     dock step (ops.nv12_to_packed traced in-program), so the wire-format
     capture route stays one device program — and 1.5 B/px of host->HBM
-    traffic — per frame."""
+    traffic — per frame.  ``shift`` > 0 marks 16-bit-LE P010-family u16
+    planes (3 B/px); the monitoring-domain round-shift fuses into the
+    same in-program decode."""
 
     y: object
     uv: object
     cs: int
+    shift: int = 0
 
 
 # the reference draws up to 4 border edges + 4 handles x 3 lines each
@@ -328,7 +331,9 @@ class Dock:
             if self.hub.process(frame) is not None:
                 self._leaves_rect = self.hub.published_rect
 
-    def push_nv12(self, y, uv, cs: Optional[int] = None) -> None:
+    def push_nv12(
+        self, y, uv, cs: Optional[int] = None, shift: int = 0
+    ) -> None:
         """NV12 frame in: the raw (y, uv) planes upload as-is (1.5 B/px
         instead of a host-decoded 4 B/px RGBA frame) and the fixed-point
         decode (bit-exact twin of the native csrc decoder) runs ON DEVICE.
@@ -339,7 +344,12 @@ class Dock:
         one path regardless of source format, src/common.c:223-333).
         Other routes decode via CaptureHub.process_nv12 (one extra
         dispatch).  ``cs`` is the decode colorimetry (defaults to the
-        hub's analysis colorspace).
+        hub's analysis colorspace).  With ``shift`` > 0 the planes are
+        16-bit-LE P010-family u16 samples (3 B/px) and the
+        monitoring-domain round-shift fuses into the SAME in-program
+        decode — zero host per-pixel work for high-bit-depth capture
+        (``ops.nv12_shift`` maps bits/msb_aligned to the shift;
+        ``ingest.NV12Source.nv12_shift`` carries it for file sources).
         """
         cs_i = int(cs) if cs is not None else int(self.hub.colorspace)
         self.flush()
@@ -348,7 +358,7 @@ class Dock:
         self.hub.tick()
         from ..ops.convert import nv12_device_planes
 
-        pending = _NV12Pending(*nv12_device_planes(y, uv), cs_i)
+        pending = _NV12Pending(*nv12_device_planes(y, uv), cs_i, int(shift))
         if rendered and self._stream_ok():
             self._pending = pending
         else:
@@ -359,7 +369,9 @@ class Dock:
         """hub.process, dispatching deferred-NV12 frames through the
         device decode (the legacy fan-out's extra dispatch)."""
         if isinstance(frame, _NV12Pending):
-            return self.hub.process_nv12(frame.y, frame.uv, cs=frame.cs)
+            return self.hub.process_nv12(
+                frame.y, frame.uv, cs=frame.cs, shift=frame.shift
+            )
         return self.hub.process(frame)
 
     def flush(self) -> None:
@@ -667,7 +679,13 @@ class Dock:
         skey = (
             fkey,
             is_packed,
-            ("nv12", tuple(frame.y.shape), tuple(frame.uv.shape), frame.cs)
+            (
+                "nv12",
+                tuple(frame.y.shape),
+                tuple(frame.uv.shape),
+                frame.cs,
+                frame.shift,
+            )
             if nv12
             else (tuple(frame.shape), frame.dtype),
             scale,
@@ -685,6 +703,7 @@ class Dock:
                 cx, cy, spec, fentry[1], fentry[2],
                 is_packed, scale, rect, full, cw, ch,
                 nv12_cs=frame.cs if nv12 else None,
+                nv12_shift=frame.shift if nv12 else 0,
             )
             if len(self._stream_fns) > 8:
                 self._stream_fns.clear()
@@ -736,7 +755,7 @@ class Dock:
 
     def _build_stream_fn(
         self, cx, cy, spec, rects, included,
-        is_packed, scale, rect, full, cw, ch, nv12_cs=None,
+        is_packed, scale, rect, full, cw, ch, nv12_cs=None, nv12_shift=0,
     ):
         """Build the jitted stream-step program for one (layout, frame
         shape, hub config) state.  With ``nv12_cs`` the program takes raw
@@ -762,7 +781,9 @@ class Dock:
             if nv12_cs is not None:
                 from ..ops.convert import nv12_to_packed
 
-                frame = nv12_to_packed(frame[0], frame[1], cs=nv12_cs)
+                frame = nv12_to_packed(
+                    frame[0], frame[1], cs=nv12_cs, shift=nv12_shift
+                )
             res = analyze(
                 frame,
                 cs=int(cs),
@@ -933,10 +954,10 @@ class Dock:
         # (H, W, 4) u8 or the zero-copy (H, W) u32 packed view; host u8
         # frames are re-viewed as u32 for free (see CaptureHub.process).
         # _NV12Pending frames build an nv12-input step (decode in-program)
-        nv12_cs = None
+        nv12_cs, nv12_shift = None, 0
         if isinstance(frame, _NV12Pending):
             h, w = frame.y.shape[-2], frame.y.shape[-1]
-            nv12_cs = frame.cs
+            nv12_cs, nv12_shift = frame.cs, frame.shift
         else:
             from ..ops.convert import host_packed_view
 
@@ -949,7 +970,10 @@ class Dock:
         self.hub.capture_size = (w // scale, h // scale)
         rect = self.hub.config.resolve_rect(w // scale, h // scale)
         full = rect == (0, 0, w // scale, h // scale)
-        key = (h, w, cx, cy, full, nv12_cs, self._device_confkey(full))
+        key = (
+            h, w, cx, cy, full, nv12_cs, nv12_shift,
+            self._device_confkey(full),
+        )
         rebuild = getattr(self, "_device_step_key", None) != key or (
             getattr(self, "_device_step_rect", None) is not None
             and self._device_step_rect != rect
@@ -969,7 +993,10 @@ class Dock:
                 focuspeaking=self.focuspeaking.config,
             )
             if nv12_cs is not None:
-                kwargs.update(input_format="nv12", nv12_cs=nv12_cs)
+                kwargs.update(
+                    input_format="nv12", nv12_cs=nv12_cs,
+                    nv12_shift=nv12_shift,
+                )
             self._device_step_rect = None
             if full:
                 self._device_step = make_dock_step(h, w, **kwargs)

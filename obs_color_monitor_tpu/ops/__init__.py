@@ -10,6 +10,7 @@ from .convert import (
     interleave,
     luma_fixed,
     luma_planes,
+    nv12_shift,
     nv12_to_packed,
     nv12_to_planes,
     planarize,
@@ -39,6 +40,7 @@ __all__ = [
     "downscale_planes",
     "roi_crop",
     "roi_crop_planes",
+    "nv12_shift",
     "nv12_to_planes",
     "nv12_to_packed",
     "histogram_counts",

@@ -299,22 +299,52 @@ def _nv12_to_packed_xla(y: jax.Array, uv: jax.Array, cs: int = 2) -> jax.Array:
     )
 
 
-def _nv12_pallas_ok(y, uv) -> bool:
+def nv12_shift(bits: int, msb_aligned: bool = False) -> int:
+    """Round-shift that maps a 16-bit-LE NV12-layout sample to the 8-bit
+    monitoring domain: bits-8 for LSB-aligned p10/p12/p14/p16 samples, 8
+    for MSB-aligned P010 (the 10 significant bits live in the TOP of the
+    word, so dropping the low byte drops zero padding + the 2 LSBs).
+    0 means plain 8-bit NV12 (no shift, u8 planes)."""
+    if bits not in (8, 10, 12, 14, 16):
+        raise ValueError(f"bits must be 8/10/12/14/16, got {bits}")
+    if bits == 8:
+        return 0
+    return 8 if msb_aligned else bits - 8
+
+
+def _shift16_to_u8(plane: jax.Array, shift: int) -> jax.Array:
+    """Device twin of the ingest host round-shift (round half up, clip:
+    min((v + half) >> shift, 255), pipeline/ingest.py `_to8`)."""
+    v = (plane.astype(jnp.int32) + (1 << (shift - 1))) >> shift
+    return jnp.minimum(v, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("cs", "shift"))
+def _nv12_16_to_packed_xla(y16, uv16, cs: int = 2, shift: int = 2):
+    return _nv12_to_packed_xla(
+        _shift16_to_u8(y16, shift), _shift16_to_u8(uv16, shift), cs=cs
+    )
+
+
+def _nv12_pallas_ok(y, uv, lanes: int = 4) -> bool:
     """Whether the Pallas decode path applies (TPU backend, plain 2-D
-    planes, a geometry whose u32 bitcast views exist)."""
+    planes, a geometry whose u32 bitcast views exist — ``lanes`` samples
+    per u32 word: 4 for u8 planes, 2 for the 16-bit layouts)."""
     from .fused import default_backend
 
     return (
         default_backend() == "pallas"
         and getattr(y, "ndim", 0) == 2
         and getattr(uv, "ndim", 0) == 2
-        and y.shape[-1] % 4 == 0
+        and y.shape[-1] % lanes == 0
         and y.shape[-2] % 2 == 0
         and tuple(uv.shape) == (y.shape[-2] // 2, y.shape[-1])
     )
 
 
-def nv12_to_packed(y: jax.Array, uv: jax.Array, cs: int = 2) -> jax.Array:
+def nv12_to_packed(
+    y: jax.Array, uv: jax.Array, cs: int = 2, shift: int = 0
+) -> jax.Array:
     """NV12 -> the (H, W) u32 packed-RGBA view, decoded ON DEVICE.
 
     The packed view is what every ingest route consumes zero-copy (the
@@ -324,11 +354,24 @@ def nv12_to_packed(y: jax.Array, uv: jax.Array, cs: int = 2) -> jax.Array:
     (bit-exact twin of csrc/ocm_runtime.cpp ocm_nv12_to_rgba) rides the
     TPU instead of the host CPU.
 
-    On a TPU backend this dispatches to the Pallas band kernel
-    (ops.pallas_convert, 0.34 vs 0.69 ms per 4K frame); every other
-    backend / geometry takes the XLA formulation.  Both are bit-exact
-    twins of the golden/native decoders.
+    With ``shift`` > 0 the planes are 16-bit-LE NV12-layout samples
+    (P010-family u16 planes, 3 B/px) and the round-shift to the 8-bit
+    monitoring domain ALSO runs on device, fused into the decode —
+    zero host per-pixel work for high-bit-depth capture.  Compute the
+    shift with :func:`nv12_shift`; bit-exact vs the host round-shift
+    policy (``pipeline.ingest`` `_to8`).
+
+    On a TPU backend this dispatches to the Pallas band kernels
+    (ops.pallas_convert, 0.34 vs 0.69 ms per 4K 8-bit frame); every
+    other backend / geometry takes the XLA formulation.  All paths are
+    bit-exact twins of the golden/native decoders.
     """
+    if shift:
+        if _nv12_pallas_ok(y, uv, lanes=2):
+            from .pallas_convert import nv12_16_decode_pallas
+
+            return nv12_16_decode_pallas(y, uv, cs=cs, shift=shift)
+        return _nv12_16_to_packed_xla(y, uv, cs=cs, shift=shift)
     if _nv12_pallas_ok(y, uv):
         from .pallas_convert import nv12_decode_pallas
 
@@ -352,8 +395,8 @@ def nv12_device_planes(y, uv):
     if (
         isinstance(y, np.ndarray)
         and isinstance(uv, np.ndarray)
-        and y.dtype == np.uint8
-        and uv.dtype == np.uint8
+        and y.dtype == uv.dtype
+        and y.dtype in (np.uint8, np.uint16)  # u16 = 16-bit NV12 layouts
         and y.ndim == 2
         and uv.ndim == 2
         and y.shape[1] == uv.shape[1]

@@ -83,9 +83,49 @@ def _decode_band(y_ref, uv_ref, o0_ref, o1_ref, o2_ref, o3_ref, *, cs):
         outs[j][...] = r | (g << 8) | (b << 16) | alpha
 
 
+def _decode16_band(y_ref, uv_ref, o0_ref, o1_ref, *, cs, shift):
+    """16-bit-LE NV12 layout (P010-family) band: each u32 word holds TWO
+    u16 samples, so a y word is pixel pair (2i, 2i+1) and a uv word is
+    exactly one (Cb, Cr) chroma pair — which serves that same pixel pair,
+    so chroma needs NO lane work at all (simpler than the 8-bit kernel).
+    The in-kernel round-shift to the 8-bit monitoring domain is the
+    device twin of the ingest host policy (min((v + half) >> shift, 255),
+    pipeline/ingest.py NV12Source._to8)."""
+    kr_cr, kg_cb, kg_cr, kb_cb = _NV12_COEF[int(cs)]
+    y32 = jax.lax.bitcast_convert_type(y_ref[...], jnp.int32)
+    uv32 = jax.lax.bitcast_convert_type(uv_ref[...], jnp.int32)
+    h2, w2 = uv32.shape
+    uvd = jnp.broadcast_to(uv32[:, None, :], (h2, 2, w2)).reshape(2 * h2, w2)
+    half_s = (1 << (shift - 1)) if shift else 0
+
+    def s8(v):  # 16-bit sample (i32, masked) -> u8 domain, round half up
+        return jnp.minimum((v + half_s) >> shift, 255) if shift else v
+
+    cbf = (s8(uvd & 0xFFFF) - 128).astype(jnp.float32)
+    crf = (s8((uvd >> 16) & 0xFFFF) - 128).astype(jnp.float32)
+    half = np.float32(2048.0)
+    inv = np.float32(1.0 / 4096.0)
+    alpha = jnp.int32(-16777216)  # 0xFF000000
+
+    def q(acc):
+        return jnp.clip(jnp.floor(acc * inv), 0.0, 255.0).astype(jnp.int32)
+
+    for o, ys in ((o0_ref, y32 & 0xFFFF), (o1_ref, (y32 >> 16) & 0xFFFF)):
+        yp = (s8(ys).astype(jnp.float32) - 16.0) * np.float32(_NV12_KY)
+        r = q(yp + np.float32(kr_cr) * crf + half)
+        g = q(yp + np.float32(kg_cb) * cbf + np.float32(kg_cr) * crf + half)
+        b = q(yp + np.float32(kb_cb) * cbf + half)
+        o[...] = r | (g << 8) | (b << 16) | alpha
+
+
 def _u32_view(a):
     h, w = a.shape
     return jax.lax.bitcast_convert_type(a.reshape(h, w // 4, 4), jnp.uint32)
+
+
+def _u32_view16(a):
+    h, w = a.shape
+    return jax.lax.bitcast_convert_type(a.reshape(h, w // 2, 2), jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("cs", "interpret"))
@@ -119,5 +159,41 @@ def nv12_decode_pallas(
         out_shape=[plane] * 4,
         interpret=interpret,
     )(y32, uv32)
+    out = jnp.stack(planes, axis=-1).reshape(h, w)
+    return jax.lax.bitcast_convert_type(out, jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("cs", "shift", "interpret"))
+def nv12_16_decode_pallas(
+    y16: jax.Array,
+    uv16: jax.Array,
+    cs: int = 2,
+    shift: int = 2,
+    interpret: bool = False,
+) -> jax.Array:
+    """16-bit-LE NV12 layout (y (H,W) u16, uv (H/2,W) u16 CbCr) -> packed
+    (H,W) u32 RGBA, round-shifted to the 8-bit monitoring domain ON
+    DEVICE (``shift`` = bits-8, or 8 for MSB-aligned P010 — see
+    ``ops.convert.nv12_shift``).  The wire planes upload untouched (zero
+    host per-pixel work; 3 B/px) and the shift fuses into the decode
+    band kernel.  Bit-exact vs the host round-shift + 8-bit decode."""
+    h, w = y16.shape
+    if w % 2 or h % 2 or uv16.shape != (h // 2, w):
+        raise ValueError(f"bad NV12 geometry: y {y16.shape}, uv {uv16.shape}")
+    if not 1 <= int(shift) <= 8:
+        raise ValueError(f"shift must be in 1..8, got {shift}")
+    w2 = w // 2
+    plane = jax.ShapeDtypeStruct((h, w2), jnp.int32)
+    planes = pl.pallas_call(
+        functools.partial(_decode16_band, cs=cs, shift=int(shift)),
+        grid=(_cdiv(h, _BAND),),
+        in_specs=[
+            pl.BlockSpec((_BAND, w2), lambda i: (i, 0)),
+            pl.BlockSpec((_BAND // 2, w2), lambda i: (i, 0)),
+        ],
+        out_specs=[pl.BlockSpec((_BAND, w2), lambda i: (i, 0))] * 2,
+        out_shape=[plane] * 2,
+        interpret=interpret,
+    )(_u32_view16(y16), _u32_view16(uv16))
     out = jnp.stack(planes, axis=-1).reshape(h, w)
     return jax.lax.bitcast_convert_type(out, jnp.uint32)

@@ -34,15 +34,20 @@ class FrameSource:
     """Iterable of (H, W, 4) uint8 frames.
 
     Sources whose backing data is NV12-layout additionally set
-    ``can_stream_nv12`` and yield raw (y, uv) u8 plane pairs from
+    ``can_stream_nv12`` and yield raw (y, uv) WIRE plane pairs from
     :meth:`frames_nv12` — consumers can then decode ON DEVICE
     (``ops.nv12_to_packed`` / ``Dock.push_nv12``): 1.5 B/px uploads and
-    no host-side color conversion on this 1-core host.
+    no host-side color conversion on this 1-core host.  High-bit-depth
+    NV12 layouts (P010-family) yield raw u16 planes and set
+    ``nv12_shift`` > 0 — pass it to the push/decode call so the
+    monitoring-domain round-shift ALSO runs on device (zero host
+    per-pixel work; the planar/host routes keep shifting on host).
     """
 
     width: int
     height: int
     can_stream_nv12: bool = False
+    nv12_shift: int = 0  # device round-shift for frames_nv12 planes
 
     def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
         raise NotImplementedError
@@ -374,10 +379,14 @@ class NV12Source(FrameSource):
 
     Converted to RGBA through the native runtime's limited-range
     BT.601/709 fixed-point kernel (csrc/ocm_runtime.cpp); >8-bit samples
-    round-shift to the 8-bit monitoring domain first (same policy as
-    `Y4MSource`).  NOTE: real P010 stores the 10 significant bits in the
-    TOP of each 16-bit word; pass ``msb_aligned=True`` for that layout
-    (the shift then drops the zero-padded low bits instead).
+    round-shift to the 8-bit monitoring domain (same policy as
+    `Y4MSource`) — on the host for the RGBA/planar route, ON DEVICE for
+    the NV12 streaming route (``frames_nv12`` yields the raw u16 wire
+    planes and ``nv12_shift`` carries the shift; the push/decode fuses
+    it, zero host per-pixel work).  NOTE: real P010 stores the 10
+    significant bits in the TOP of each 16-bit word; pass
+    ``msb_aligned=True`` for that layout (the shift then drops the
+    zero-padded low bits instead).
     """
 
     def __init__(self, path: str, width: int, height: int, cs: int = 2,
@@ -386,6 +395,9 @@ class NV12Source(FrameSource):
             raise ValueError(f"bits must be 8/10/12/14/16, got {bits}")
         self.path, self.width, self.height, self.cs = path, width, height, cs
         self.bits, self.msb_aligned = bits, msb_aligned
+        from ..ops.convert import nv12_shift
+
+        self.nv12_shift = nv12_shift(bits, msb_aligned)
         self._nbytes = 1 if bits == 8 else 2
         self.frame_bytes = width * height * 3 // 2 * self._nbytes
         size = os.path.getsize(path)
@@ -405,8 +417,12 @@ class NV12Source(FrameSource):
         return self.width % 2 == 0 and self.height % 2 == 0
 
     def frames_nv12(self, n: Optional[int] = None):
-        """(y, uv) u8 pairs for device-side decode (>8-bit layouts
-        round-shift on host — a few ops/px vs the full conversion)."""
+        """(y, uv) WIRE plane pairs for device-side decode: u8 for
+        bits=8, raw u16 for the >8-bit layouts — pass ``self.nv12_shift``
+        to the push/decode call and the monitoring-domain round-shift
+        fuses into the on-device decode (zero host per-pixel work; the y
+        and uv planes are adjacent views of one file-read buffer, so
+        ``ops.nv12_device_planes`` uploads them in ONE transfer)."""
         count = self.n_frames if n is None else min(n, self.n_frames)
         ysz = self.width * self.height
         dtype = np.dtype(np.uint8) if self.bits == 8 else np.dtype("<u2")
@@ -419,10 +435,11 @@ class NV12Source(FrameSource):
                 samples = np.frombuffer(buf, dtype)
                 y = samples[:ysz].reshape(self.height, self.width)
                 uv = samples[ysz:].reshape(self.height // 2, self.width)
-                if self.bits != 8:
-                    y, uv = self._to8(y), self._to8(uv)
                 yield y, uv
 
     def frames(self, n: Optional[int] = None) -> Iterator[np.ndarray]:
+        # host route: shift on host (the native decoder is 8-bit)
         for y, uv in self.frames_nv12(n):
+            if self.bits != 8:
+                y, uv = self._to8(y), self._to8(uv)
             yield native.nv12_to_rgba(y, uv, cs=self.cs)

@@ -536,3 +536,32 @@ def test_live_pipelined_readback_order(monkeypatch):
         dock.push_frame(native.pattern("ramp", 64, 48, i))
         want = np.asarray(dock.render(width=64, height=360))
         np.testing.assert_array_equal(img, want, err_msg=f"frame {i}")
+
+
+def test_nv12_source_streams_raw_u16(tmp_path, rng):
+    """High-bit NV12Source streams the RAW u16 wire planes (adjacent
+    views of one buffer — single-upload eligible) with nv12_shift set;
+    the fused device shift+decode equals the host-shift frames() route."""
+    from obs_color_monitor_tpu.ops.convert import (
+        nv12_device_planes,
+        nv12_to_packed,
+    )
+    from obs_color_monitor_tpu.pipeline.ingest import NV12Source
+
+    w, h = 16, 8
+    y = rng.integers(0, 1 << 12, (h, w)).astype("<u2")
+    uv = rng.integers(0, 1 << 12, (h // 2, w)).astype("<u2")
+    p = tmp_path / "c.yuv12"
+    p.write_bytes(y.tobytes() + uv.tobytes())
+    src = NV12Source(str(p), w, h, cs=1, bits=12)
+    assert src.nv12_shift == 4 and src.can_stream_nv12
+    ((ys, uvs),) = src.frames_nv12()
+    assert ys.dtype == np.uint16 and uvs.dtype == np.uint16
+    np.testing.assert_array_equal(ys, y)
+    dy, duv = nv12_device_planes(ys, uvs)  # adjacency: one joint upload
+    packed = np.asarray(nv12_to_packed(dy, duv, cs=1, shift=src.nv12_shift))
+    rgba = np.stack(
+        [(packed >> s) & 0xFF for s in (0, 8, 16, 24)], -1
+    ).astype(np.uint8)
+    (want,) = src.frames()  # host route: _to8 + native 8-bit decode
+    np.testing.assert_array_equal(rgba, want)

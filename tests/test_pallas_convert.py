@@ -80,6 +80,56 @@ def test_dispatcher_prefers_pallas_on_tpu(rng, monkeypatch):
     assert calls == []
 
 
+def _planes16(rng, h, w, bits, msb):
+    hi = 1 << bits
+    y = rng.integers(0, hi, (h, w)).astype(np.uint16)
+    uv = rng.integers(0, hi, (h // 2, w)).astype(np.uint16)
+    y.flat[:3] = (513, 514, hi - 1) if bits == 10 else (0, 1, hi - 1)
+    if msb:
+        y, uv = (y << (16 - bits)).astype(np.uint16), (
+            uv << (16 - bits)
+        ).astype(np.uint16)
+    return jnp.asarray(y), jnp.asarray(uv)
+
+
+@pytest.mark.parametrize("bits,msb", [(10, False), (10, True), (12, False),
+                                      (16, False)])
+@pytest.mark.parametrize("h,w", [(64, 128), (130, 254), (2, 4)])
+def test_pallas_decode16_matches_host_policy(rng, h, w, bits, msb):
+    """The fused shift+decode (both the Pallas kernel and its XLA twin)
+    equals the host round-shift (ingest `_to8`) followed by the 8-bit
+    decode, for every supported depth and both alignments."""
+    from obs_color_monitor_tpu.ops.convert import nv12_shift
+    from obs_color_monitor_tpu.ops.pallas_convert import nv12_16_decode_pallas
+
+    shift = nv12_shift(bits, msb)
+    y16, uv16 = _planes16(rng, h, w, bits, msb)
+
+    def to8(a):  # the ingest host policy (pipeline/ingest.py _to8)
+        v = (np.asarray(a).astype(np.uint32) + (1 << (shift - 1))) >> shift
+        return jnp.asarray(np.minimum(v, 255).astype(np.uint8))
+
+    ref = np.asarray(convert._nv12_to_packed_xla(to8(y16), to8(uv16), cs=2))
+    xla = np.asarray(convert._nv12_16_to_packed_xla(y16, uv16, cs=2,
+                                                    shift=shift))
+    np.testing.assert_array_equal(xla, ref)
+    got = np.asarray(
+        nv12_16_decode_pallas(y16, uv16, cs=2, shift=shift, interpret=True)
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_nv12_shift_helper():
+    from obs_color_monitor_tpu.ops.convert import nv12_shift
+
+    assert nv12_shift(8) == 0
+    assert nv12_shift(10) == 2
+    assert nv12_shift(10, msb_aligned=True) == 8
+    assert nv12_shift(16) == 8
+    with pytest.raises(ValueError, match="bits"):
+        nv12_shift(9)
+
+
 def test_dispatcher_stays_xla_on_cpu(rng):
     """On the CPU test backend the dispatcher must keep the XLA path (the
     golden-pinned portable route); result identical either way."""

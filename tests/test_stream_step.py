@@ -980,3 +980,50 @@ def test_nv12_joint_upload(rng, monkeypatch):
     uploads.clear()
     yd, uvd = convert.nv12_device_planes(ya, uva)
     assert uploads == [] and yd is ya and uvd is uva
+
+
+def test_nv12_16bit_stream_matches_host_shift(rng, monkeypatch):
+    """push_nv12(shift=) steady state: raw u16 P010-family planes stream
+    through ONE device program per frame (the monitoring-domain round-
+    shift fuses into the in-program decode) — panel + published stats
+    identical to host-shifting the planes first and pushing 8-bit."""
+    from obs_color_monitor_tpu.ops import convert as conv
+    from obs_color_monitor_tpu.ops.convert import nv12_shift
+
+    shift = nv12_shift(10, msb_aligned=True)  # real P010
+    h, w = 48, 96
+    fs16 = [
+        (
+            (rng.integers(0, 1 << 10, (h, w)) << 6).astype(np.uint16),
+            (rng.integers(0, 1 << 10, (h // 2, w)) << 6).astype(np.uint16),
+        )
+        for _ in range(8)
+    ]
+
+    def to8(a):  # the ingest host policy (pipeline/ingest.py _to8)
+        v = (a.astype(np.uint32) + (1 << (shift - 1))) >> shift
+        return np.minimum(v, 255).astype(np.uint8)
+
+    stream, legacy = _mk(show_roi=True), _mk(stream=False, show_roi=True)
+    for i, (y16, uv16) in enumerate(fs16[:4]):
+        stream.push_nv12(y16, uv16, shift=shift)
+        legacy.push_nv12(to8(y16), to8(uv16))
+        a = stream.render(width=128, height=700)
+        b = legacy.render(width=128, height=700)
+        np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
+        _assert_scope_state_equal(stream, legacy, f"frame {i}")
+    assert len(stream._stream_fns) == 1
+    calls = []
+    orig = conv.nv12_to_packed
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(conv, "nv12_to_packed", counting)
+    for y16, uv16 in fs16[4:]:
+        stream.push_nv12(y16, uv16, shift=shift)
+        stream.render(width=128, height=700)
+    assert calls == []  # no eager decode: the shift+decode is in-program
+    assert len(stream._stream_fns) == 1
+    assert stream.hub.frames_processed == 8
