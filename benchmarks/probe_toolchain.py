@@ -74,6 +74,24 @@ def lane_merge_reshape():
     np.asarray(out)
 
 
+def lane_interleave_reshape():
+    """Trailing-axis interleave (64, W/4, 4) -> (64, W): rejected on the
+    chip on jax 0.9 (sweep_r4b, sweep_r4d P1) — if this starts passing,
+    fold the NV12 decode interleave into ops/pallas_convert.py's kernels
+    (saves the one XLA stack+reshape, ~0.05 ms/4K frame)."""
+    def k(x_ref, o_ref):
+        x = x_ref[:]
+        o_ref[:] = jnp.stack([x, x + 1, x + 2, x + 3], axis=-1).reshape(
+            8, 512
+        )
+
+    x = jnp.ones((8, 128), jnp.int32)
+    out = pl.pallas_call(
+        k, out_shape=jax.ShapeDtypeStruct((8, 512), jnp.int32)
+    )(x)
+    np.asarray(out)
+
+
 def mxu_vpu_overlap_hint():
     """Not a compile probe: reminds where to re-measure overlap."""
     print("      (MXU/VPU overlap: re-measure via benchmarks/sweep_r3c.py"
@@ -86,4 +104,5 @@ if __name__ == "__main__":
     probe("int16 bins-first compare", int16_bins_first_compare)
     probe("int8 vector elementwise add", int8_vector_add)
     probe("in-kernel lane merge+split reshape", lane_merge_reshape)
+    probe("in-kernel lane interleave reshape", lane_interleave_reshape)
     mxu_vpu_overlap_hint()

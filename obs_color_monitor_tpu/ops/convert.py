@@ -367,6 +367,11 @@ def nv12_to_packed(
     bit-exact twins of the golden/native decoders.
     """
     if shift:
+        if y.dtype != jnp.uint16 or uv.dtype != jnp.uint16:
+            raise TypeError(
+                f"shift={shift} expects u16 wire planes, got "
+                f"{y.dtype}/{uv.dtype}"
+            )
         if _nv12_pallas_ok(y, uv, lanes=2):
             from .pallas_convert import nv12_16_decode_pallas
 
@@ -389,8 +394,9 @@ def nv12_device_planes(y, uv):
     with device-side row slices (async dispatches; the copies are HBM
     bandwidth, ~0.02 ms at 4K) — on a host interconnect that charges per
     transfer this halves the round trips on the NV12 ingest path.  Any
-    non-adjacent / non-u8 input falls back to two plain uploads.
-    Device-resident inputs pass through untouched.
+    non-adjacent input (or a dtype that is not u8 / u16 — the 16-bit
+    NV12 layouts ride the same joint upload) falls back to two plain
+    uploads.  Device-resident inputs pass through untouched.
     """
     if (
         isinstance(y, np.ndarray)

@@ -150,6 +150,26 @@ def main() -> int:
         np.moveaxis(np.asarray(ds), 0, -1), scaled
     )
     print("4. frame-pipeline kernel: bit-exact vs golden")
+
+    # 5. NV12 decode band kernels (8-bit + P010-family) vs their XLA twins
+    # (the twins are golden/native-pinned in the CPU suite)
+    from obs_color_monitor_tpu.ops import convert as conv
+
+    y = rng.integers(0, 256, (130, 256), np.uint8)
+    uv = rng.integers(0, 256, (65, 256), np.uint8)
+    assert conv._nv12_pallas_ok(y, uv), "expected the Pallas decode path"
+    np.testing.assert_array_equal(
+        np.asarray(conv.nv12_to_packed(y, uv, cs=1)),
+        np.asarray(conv._nv12_to_packed_xla(y, uv, cs=1)),
+    )
+    y16 = (rng.integers(0, 1 << 10, (130, 256)) << 6).astype(np.uint16)
+    uv16 = (rng.integers(0, 1 << 10, (65, 256)) << 6).astype(np.uint16)
+    sh = conv.nv12_shift(10, msb_aligned=True)
+    np.testing.assert_array_equal(
+        np.asarray(conv.nv12_to_packed(y16, uv16, cs=2, shift=sh)),
+        np.asarray(conv._nv12_16_to_packed_xla(y16, uv16, cs=2, shift=sh)),
+    )
+    print("5. NV12/P010 decode kernels: bit-exact vs XLA twins")
     print("hardware verification OK")
     return 0
 
