@@ -152,6 +152,8 @@ def soak_host_stub() -> float:
     )
     jax.block_until_ready(canned)
     dock._stream_fns[skey] = (lambda *a: canned, rects, wy, hy)
+    dock._stream_fast = None  # re-resolve through _stream_fns so the
+    # steady-state shortcut carries the STUB, not the real program
     t0 = time.perf_counter()
     for i in range(N):
         dock.push_frame(frames[i & 7])

@@ -258,6 +258,9 @@ class Dock:
         # as ONE program (key -> (fn, rects, publish metadata)); None
         # disables the route (tests pinning the fused path set this)
         self._stream_fns: dict | None = {}
+        # (fast_key, entry) of the last served stream frame — the steady-
+        # state shortcut past per-frame key/leaf rederivation
+        self._stream_fast: tuple | None = None
         self._pending = None  # frame pushed but not yet analyzed
         self._rendered_since_push = True
         self.roi_interact = None  # created when the ROI preview is shown
@@ -671,14 +674,7 @@ class Dock:
             return None
         wv = self.waveform
         wv_prev = wv._buf[wv._r_buf]
-        entries = [(n, self.scopes[n].render_leaves()) for n in shown]
-        if wv_prev is None or any(lv is None for _, lv in entries):
-            self._hub_process(frame)  # warmup state missing: legacy fan-out
-            return None
-        fkey = self._fused_key(cy, cx, entries)
-        skey = (
-            fkey,
-            is_packed,
+        frame_sig = (
             (
                 "nv12",
                 tuple(frame.y.shape),
@@ -687,27 +683,48 @@ class Dock:
                 frame.shift,
             )
             if nv12
-            else (tuple(frame.shape), frame.dtype),
-            scale,
-            int(hub.colorspace),
-            rect,
+            else (tuple(frame.shape), frame.dtype)
         )
-        entry = self._stream_fns.get(skey)
-        if entry is None:
-            fentry = self._fused_render_fns.get(fkey)
-            spec = self._fused_specs.get(fkey)
-            if fentry is None or spec is None:
-                self._hub_process(frame)  # layout unknown: legacy route
+        # Steady-state fast path: every input the fused/stream key derives
+        # from is covered by (geometry, rect, colorspace, the generation-
+        # memoized config keys) — when none changed since the last served
+        # frame, the cached program is provably the same one, so skip
+        # re-deriving the per-scope leaf signatures and fused key (~0.13 ms
+        # of per-frame Python on this 1-core host; the published leaf
+        # SHAPES only change with a config generation bump or a capture/
+        # rect change, both in this key).
+        fastk = (
+            cx, cy, is_packed, frame_sig, scale, int(hub.colorspace),
+            rect, tuple(shown), self._device_confkey(full),
+        )
+        cached = self._stream_fast
+        if cached is not None and cached[0] == fastk and wv_prev is not None:
+            entry = cached[1]
+        else:
+            entries = [(n, self.scopes[n].render_leaves()) for n in shown]
+            if wv_prev is None or any(lv is None for _, lv in entries):
+                self._hub_process(frame)  # warmup missing: legacy fan-out
                 return None
-            entry = self._build_stream_fn(
-                cx, cy, spec, fentry[1], fentry[2],
-                is_packed, scale, rect, full, cw, ch,
-                nv12_cs=frame.cs if nv12 else None,
-                nv12_shift=frame.shift if nv12 else 0,
-            )
-            if len(self._stream_fns) > 8:
-                self._stream_fns.clear()
-            self._stream_fns[skey] = entry
+            fkey = self._fused_key(cy, cx, entries)
+            skey = (fkey, is_packed, frame_sig, scale, int(hub.colorspace),
+                    rect)
+            entry = self._stream_fns.get(skey)
+            if entry is None:
+                fentry = self._fused_render_fns.get(fkey)
+                spec = self._fused_specs.get(fkey)
+                if fentry is None or spec is None:
+                    self._hub_process(frame)  # layout unknown: legacy route
+                    return None
+                entry = self._build_stream_fn(
+                    cx, cy, spec, fentry[1], fentry[2],
+                    is_packed, scale, rect, full, cw, ch,
+                    nv12_cs=frame.cs if nv12 else None,
+                    nv12_shift=frame.shift if nv12 else 0,
+                )
+                if len(self._stream_fns) > 8:
+                    self._stream_fns.clear()
+                self._stream_fns[skey] = entry
+            self._stream_fast = (fastk, entry)
         fn, rects, wv_fam_yuv, hi_fam_yuv = entry
         self._rects = dict(rects)
         self._roi_shows_crop = not full

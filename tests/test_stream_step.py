@@ -100,11 +100,25 @@ def test_stream_program_reused_not_retraced(rng):
         return fn(*a)
 
     dock._stream_fns[skey] = (counting, rects, wy, hy)
+    dock._stream_fast = None  # drop the steady-state shortcut: the next
+    # frame must re-resolve from _stream_fns (picking up the counter),
+    # NOT rebuild the program
+    keyed = []
+    orig_fused_key = dock._fused_key
+
+    def counting_key(*a):
+        keyed.append(1)
+        return orig_fused_key(*a)
+
+    dock._fused_key = counting_key
     for f in fs[3:]:
         dock.push_frame(f)
         dock.render(width=128, height=600)
     assert len(calls) == 3
     assert len(dock._stream_fns) == 1
+    # the steady-state fast path re-derives the fused key only on the one
+    # post-reset frame; later frames skip key/leaf rederivation entirely
+    assert len(keyed) == 1
 
 
 def test_stream_interleave_parity(rng):
