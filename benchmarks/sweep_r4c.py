@@ -39,10 +39,39 @@ if os.environ.get("OCM_PLATFORM"):
 
 from _util import slope_ms
 
-from obs_color_monitor_tpu.ops.convert import _NV12_COEF, _NV12_KY, nv12_to_packed
+from obs_color_monitor_tpu.ops.convert import _NV12_COEF, _NV12_KY
 
 ON_CPU = jax.default_backend() == "cpu"
 H, W = (256, 512) if ON_CPU else (2160, 3840)
+
+
+@functools.partial(jax.jit, static_argnames=("cs",))
+def decode_base_lane_repeat(y, uv, cs=2):
+    """The r4c-era SHIPPING decode, preserved verbatim: f32 fixed point
+    with ``jnp.repeat`` chroma upsampling on BOTH axes.  After this sweep
+    landed, ops.nv12_to_packed was rewritten (integer lane2/row2 XLA body
+    + a Pallas kernel on TPU), so the measured baselines here must not
+    call it — they'd time the winner against itself."""
+    kr_cr, kg_cb, kg_cr, kb_cb = _NV12_COEF[int(cs)]
+    w = y.shape[-1]
+    yp = (y.astype(jnp.float32) - 16.0) * np.float32(_NV12_KY)
+    uv16 = jax.lax.bitcast_convert_type(
+        uv.reshape(uv.shape[:-1] + (w // 2, 2)), jnp.uint16
+    ).astype(jnp.int32)
+    cb = (uv16 & 0xFF) - 128
+    cr = (uv16 >> 8) - 128
+    cb = jnp.repeat(jnp.repeat(cb, 2, axis=-2), 2, axis=-1).astype(jnp.float32)
+    cr = jnp.repeat(jnp.repeat(cr, 2, axis=-2), 2, axis=-1).astype(jnp.float32)
+    half = np.float32(2048.0)
+    inv = np.float32(1.0 / 4096.0)
+
+    def q(acc):
+        return jnp.clip(jnp.floor(acc * inv), 0.0, 255.0).astype(jnp.uint32)
+
+    r = q(yp + np.float32(kr_cr) * cr + half)
+    g = q(yp + np.float32(kg_cb) * cb + np.float32(kg_cr) * cr + half)
+    b = q(yp + np.float32(kb_cb) * cb + half)
+    return r | (g << 8) | (b << 16) | jnp.uint32(0xFF000000)
 
 
 def _chroma16(uv):
@@ -119,17 +148,23 @@ def decode_c(y, uv, cs=2):
 
 
 DECODES = {
-    "base": lambda y, uv: nv12_to_packed(y, uv, cs=2),
+    "base": lambda y, uv: decode_base_lane_repeat(y, uv, cs=2),
     "B_bitcast_lane2": decode_b,
     "C_pair_domain": decode_c,
 }
 
 
 def check():
+    from obs_color_monitor_tpu.ops.convert import _nv12_to_packed_xla
+
     rng = np.random.default_rng(0)
     y = rng.integers(0, 256, (H, W), np.uint8)
     uv = rng.integers(0, 256, (H // 2, W), np.uint8)
-    ref = np.asarray(nv12_to_packed(jnp.asarray(y), jnp.asarray(uv), cs=2))
+    # reference: the golden/native-pinned XLA twin (NOT nv12_to_packed,
+    # which dispatches to the Pallas kernel on TPU)
+    ref = np.asarray(
+        _nv12_to_packed_xla(jnp.asarray(y), jnp.asarray(uv), cs=2)
+    )
     for name, fn in DECODES.items():
         got = np.asarray(jax.jit(fn)(jnp.asarray(y), jnp.asarray(uv)))
         np.testing.assert_array_equal(got, ref, err_msg=name)

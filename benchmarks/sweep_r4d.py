@@ -43,9 +43,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from _util import op_profile_rows, slope_ms
-from sweep_r4c import decode_b
+from sweep_r4c import decode_b, decode_base_lane_repeat
 
-from obs_color_monitor_tpu.ops.convert import _NV12_COEF, _NV12_KY, nv12_to_packed
+from obs_color_monitor_tpu.ops.convert import (
+    _NV12_COEF,
+    _NV12_KY,
+    _nv12_to_packed_xla,
+    nv12_to_packed,
+)
 
 ON_CPU = jax.default_backend() == "cpu"
 H, W = (256, 512) if ON_CPU else (2160, 3840)
@@ -138,7 +143,9 @@ def _decode_band(y_ref, uv_ref, *out_refs, cs, fuse):
 
 def _pallas_decode(y32, uv32, cs, fuse):
     h, w4 = y32.shape
-    grid = (h // _BAND,)
+    grid = (-(-h // _BAND),)  # ceil: a floor grid dropped the 48-row 4K
+    # overhang (caught in the r4 self-review; the shipping kernel in
+    # ops/pallas_convert.py always used ceil)
     in_specs = [
         pl.BlockSpec((_BAND, w4), lambda i: (i, 0)),
         pl.BlockSpec((_BAND // 2, w4), lambda i: (i, 0)),
@@ -177,19 +184,31 @@ def decode_p4(y, uv, cs=2):
 
 
 DECODES = {
-    "base": lambda y, uv: nv12_to_packed(y, uv, cs=2),
+    # the r4c-era XLA lane-repeat baseline (NOT nv12_to_packed, which now
+    # dispatches to the shipping Pallas kernel on TPU — the winner of THIS
+    # sweep; keep the baseline pinned so the recorded 2.35x reproduces)
+    "base": lambda y, uv: decode_base_lane_repeat(y, uv, cs=2),
     "B_bitcast_lane2": decode_b,
     "D_integer": decode_d,
     "P1_pallas_fused": decode_p1,
     "P4_pallas_4plane": decode_p4,
+    "ship_nv12_to_packed": lambda y, uv: nv12_to_packed(y, uv, cs=2),
 }
 
 
 def check():
     rng = np.random.default_rng(0)
-    y = rng.integers(0, 256, (H, W), np.uint8)
-    uv = rng.integers(0, 256, (H // 2, W), np.uint8)
-    ref = np.asarray(nv12_to_packed(jnp.asarray(y), jnp.asarray(uv), cs=2))
+    # H with a 64-row band overhang (like 4K's 2160 % 64 == 48): the
+    # first cut of this sweep used a floor grid and silently dropped the
+    # overhang rows — never check at band-aligned shapes only
+    h, w = (240, 512) if ON_CPU else (H, W)
+    y = rng.integers(0, 256, (h, w), np.uint8)
+    uv = rng.integers(0, 256, (h // 2, w), np.uint8)
+    # reference: the golden/native-pinned XLA twin (nv12_to_packed itself
+    # dispatches to the Pallas kernel on TPU — one of the candidates)
+    ref = np.asarray(
+        _nv12_to_packed_xla(jnp.asarray(y), jnp.asarray(uv), cs=2)
+    )
     for name, fn in DECODES.items():
         try:
             got = np.asarray(jax.jit(fn)(jnp.asarray(y), jnp.asarray(uv)))

@@ -377,6 +377,14 @@ def nv12_to_packed(
 
             return nv12_16_decode_pallas(y, uv, cs=cs, shift=shift)
         return _nv12_16_to_packed_xla(y, uv, cs=cs, shift=shift)
+    if y.dtype != jnp.uint8 or uv.dtype != jnp.uint8:
+        # a forgotten shift= on a P010-family buffer must fail loudly, not
+        # decode raw 16-bit samples as if they were 8-bit (silently wrong
+        # statistics on XLA; an opaque block-rank error in the kernel)
+        raise TypeError(
+            f"NV12 planes must be u8 (pass shift= for 16-bit layouts), "
+            f"got {y.dtype}/{uv.dtype}"
+        )
     if _nv12_pallas_ok(y, uv):
         from .pallas_convert import nv12_decode_pallas
 

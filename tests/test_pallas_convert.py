@@ -119,6 +119,18 @@ def test_pallas_decode16_matches_host_policy(rng, h, w, bits, msb):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_wrong_dtype_rejected(rng):
+    """A forgotten shift= on u16 wire planes (and the converse) must fail
+    loudly — raw 16-bit samples through the 8-bit decode would publish
+    silently wrong statistics."""
+    y8, uv8 = _planes(rng, 16, 16)
+    y16, uv16 = _planes16(rng, 16, 16, 10, False)
+    with pytest.raises(TypeError, match="u8"):
+        convert.nv12_to_packed(y16, uv16)  # u16 without shift=
+    with pytest.raises(TypeError, match="u16"):
+        convert.nv12_to_packed(y8, uv8, shift=2)  # u8 with shift
+
+
 def test_nv12_shift_helper():
     from obs_color_monitor_tpu.ops.convert import nv12_shift
 
