@@ -88,8 +88,10 @@ def pipeline_fits(
 
     if os.environ.get("OCM_NO_PIPELINE_FUSION"):
         return False
-    if scale not in (1, 2):
+    if scale not in (1, 2, 4):
         return False
+    if scale == 4 and _BAND % scale:
+        return False  # unreachable (64 % 4 == 0); keep the invariant loud
     if col_split != 1 and (scale != 1 or col_split != 2):
         return False
     w = width // scale
@@ -115,9 +117,14 @@ def pipeline_fits(
 
 
 def _downscale2_block(x, p2, q2):
-    """(64, 256) f32 -> (32, 128) bilinear x2, exact (two bf16 matmuls for
-    the row pairs: the <=510 pair sums split into <=255 halves, each
-    bf16-exact — cheaper than one Precision.HIGHEST matmul)."""
+    """(64, scale*128) f32 -> (64/scale, 128) exact downscale via two 0/1
+    matmuls: p2 picks+sums the contributing columns of each block, q2 the
+    contributing rows (both pair members at scale 2; the center pair of
+    each 4-block at scale 4 — the reference's sample positions).  The
+    <=510 column sums split into <=255 halves, each bf16-exact — two
+    default-precision matmuls beat one Precision.HIGHEST; the final f32
+    accumulation (<=2 terms per output) is exact, and floor((s+2)/4)
+    equals the golden (s+2)>>2."""
     t = jax.lax.dot_general(
         x, p2,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -187,12 +194,12 @@ def _pipeline_kernel(params, cur_ref, prv_ref, nxt_ref, p2_ref, q2_ref, tm_ref,
     half = np.float32(1 << 11)
     inv = np.float32(1.0 / (1 << 12))
     for s in range(s_blk):
-        if scale == 2:
+        if scale in (2, 4):
             ds = [
                 _downscale2_block(
-                    cur[ch][:, s * 2 * _COLS : (s + 1) * 2 * _COLS].astype(
-                        jnp.float32
-                    ),
+                    cur[ch][
+                        :, s * scale * _COLS : (s + 1) * scale * _COLS
+                    ].astype(jnp.float32),
                     p2_ref[:],
                     q2_ref[:],
                 )
@@ -317,8 +324,8 @@ def frame_pipeline(
     from ..colorspace import Colorspace, FIXED_COEFFS, FIXED_SHIFT, LUMA_COEF
     from ..golden.reference import luma_threshold_fixed
 
-    if scale not in (1, 2):
-        raise ValueError("frame_pipeline supports scale 1 and 2")
+    if scale not in (1, 2, 4):
+        raise ValueError("frame_pipeline supports scale 1, 2 and 4")
     if col_split not in (1, 2) or (col_split == 2 and scale != 1):
         raise ValueError("col_split=2 requires scale=1")
     h4, w4 = planes.shape[-2], planes.shape[-1]
@@ -373,16 +380,29 @@ def frame_pipeline(
     params = (h, w, w4p, s, scale, packed, yuv_data, kcoef, ov_params,
               with_overlays, dyn, col_split, s_blk, wb)
 
-    # MXU pair matrices for the scale-2 downscale (dummies at scale 1)
-    if scale == 2:
-        p2 = (
-            jax.lax.broadcasted_iota(jnp.int32, (2 * _COLS, _COLS), 0) // 2
-            == jax.lax.broadcasted_iota(jnp.int32, (2 * _COLS, _COLS), 1)
-        ).astype(jnp.float32)
-        q2 = (
-            jax.lax.broadcasted_iota(jnp.int32, (oh, 2 * oh), 1) // 2
-            == jax.lax.broadcasted_iota(jnp.int32, (oh, 2 * oh), 0)
-        ).astype(jnp.float32)
+    # MXU column/row matrices for the scale-2/4 downscale (dummies at
+    # scale 1).  Scale 2 sums both members of each pair; scale 4 is the
+    # reference's center-2x2 sample — select columns/rows 1 and 2 of each
+    # 4-block (sample position (i+0.5)*4 - 0.5 = midpoint of the middle
+    # 2x2, ops/convert.downscale_planes) — same (sum+2)>>2 rounding, so
+    # the kernel body is ONE generic block with different 0/1 matrices.
+    if scale in (2, 4):
+        kc = jax.lax.broadcasted_iota(
+            jnp.int32, (scale * _COLS, _COLS), 0
+        )
+        jc = jax.lax.broadcasted_iota(
+            jnp.int32, (scale * _COLS, _COLS), 1
+        )
+        ir = jax.lax.broadcasted_iota(jnp.int32, (oh, scale * oh), 0)
+        kr = jax.lax.broadcasted_iota(jnp.int32, (oh, scale * oh), 1)
+        if scale == 2:
+            p2 = (kc // 2 == jc).astype(jnp.float32)
+            q2 = (kr // 2 == ir).astype(jnp.float32)
+        else:
+            mid = (kc % 4 == 1) | (kc % 4 == 2)
+            p2 = ((kc // 4 == jc) & mid).astype(jnp.float32)
+            midr = (kr % 4 == 1) | (kr % 4 == 2)
+            q2 = ((kr // 4 == ir) & midr).astype(jnp.float32)
     else:
         p2 = jnp.zeros((8, _COLS), jnp.float32)
         q2 = jnp.zeros((8, _COLS), jnp.float32)

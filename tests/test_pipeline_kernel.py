@@ -29,6 +29,9 @@ ARGS = dict(
         (64, 128, 1, True),
         (65, 144, 2, False),   # h4%64==1: last band has no scaled rows
         (13, 17, 2, False),    # smaller than one band/stripe
+        (270, 480, 4, False),  # scale-4 fused (r4): center-2x2 sampling
+        (131, 133, 4, True),   # scale-4 odd dims
+        (65, 144, 4, False),   # scale-4 band overhang: padded-ds crop path
     ],
 )
 def test_pipeline_matches_separate_ops(h4, w4, scale, yuv_data):
@@ -41,6 +44,13 @@ def test_pipeline_matches_separate_ops(h4, w4, scale, yuv_data):
     if scale == 2:
         rvs, rwv, rds = ps.fused_ingest_stats_scale2(
             p, cs=2, yuv_data=yuv_data, interpret=True
+        )
+    elif scale == 4:
+        from obs_color_monitor_tpu.ops.convert import downscale_planes
+
+        rds = downscale_planes(p, scale=4)
+        rvs, rwv = ps.fused_ingest_stats_scale1(
+            rds, cs=2, yuv_data=yuv_data, interpret=True
         )
     else:
         rvs, rwv = ps.fused_ingest_stats_scale1(
@@ -114,7 +124,7 @@ def test_pipeline_rejects_other_scales():
     p = jnp.zeros((4, 32, 32), jnp.uint8)
     with pytest.raises(ValueError):
         frame_pipeline(
-            p, jnp.float32(0.0), cs=2, scale=4, interpret=True, **ARGS
+            p, jnp.float32(0.0), cs=2, scale=3, interpret=True, **ARGS
         )
 
 
