@@ -3,7 +3,7 @@
 (t(2n)-t(n))/n cancels the tunnel round trip (see doc/performance.md).
 
 Usage: python benchmarks/panel_slope.py [which ...]
-  which in {dock, 1080p2, 4k4, 4k1, 4knv12, 1080p1, batch2}; default: dock
+  which in {dock, 1080p2, 4k4, 4k8, 4k1, 4knv12, 1080p1, batch2}; default: dock
 """
 import sys
 from pathlib import Path
@@ -93,6 +93,10 @@ def main():
         step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=4,
                               input_format="packed")
         slope("full step 4K scale4", step, packed(2160, 3840))
+    if "4k8" in which:
+        step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=8,
+                              input_format="packed")
+        slope("full step 4K scale8", step, packed(2160, 3840))
     if "4k1" in which:
         step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=1,
                               input_format="packed")

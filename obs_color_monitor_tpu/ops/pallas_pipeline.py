@@ -88,10 +88,13 @@ def pipeline_fits(
 
     if os.environ.get("OCM_NO_PIPELINE_FUSION"):
         return False
-    if scale not in (1, 2, 4):
+    # any scale whose output rows tile the 64-row band in >=8-row blocks:
+    # 1, 2 and the even middle-2x2 scales 4/8.  Odd scales >1 and
+    # non-divisors would cross band boundaries; scale 16+ makes the ds
+    # output block's 2nd-minor dim 4 (< 8), which Mosaic rejects unless
+    # it equals the array dim — those take the separate-kernel path.
+    if scale != 1 and (scale % 2 or _BAND % scale or _BAND // scale < 8):
         return False
-    if scale == 4 and _BAND % scale:
-        return False  # unreachable (64 % 4 == 0); keep the invariant loud
     if col_split != 1 and (scale != 1 or col_split != 2):
         return False
     w = width // scale
@@ -194,7 +197,7 @@ def _pipeline_kernel(params, cur_ref, prv_ref, nxt_ref, p2_ref, q2_ref, tm_ref,
     half = np.float32(1 << 11)
     inv = np.float32(1.0 / (1 << 12))
     for s in range(s_blk):
-        if scale in (2, 4):
+        if scale >= 2:
             ds = [
                 _downscale2_block(
                     cur[ch][
@@ -324,8 +327,11 @@ def frame_pipeline(
     from ..colorspace import Colorspace, FIXED_COEFFS, FIXED_SHIFT, LUMA_COEF
     from ..golden.reference import luma_threshold_fixed
 
-    if scale not in (1, 2, 4):
-        raise ValueError("frame_pipeline supports scale 1, 2 and 4")
+    if scale != 1 and (scale % 2 or _BAND % scale or _BAND // scale < 8):
+        raise ValueError(
+            "frame_pipeline supports scale 1/2/4/8 (even divisors of the "
+            f"64-row band with >=8 output rows per band), got {scale}"
+        )
     if col_split not in (1, 2) or (col_split == 2 and scale != 1):
         raise ValueError("col_split=2 requires scale=1")
     h4, w4 = planes.shape[-2], planes.shape[-1]
@@ -380,13 +386,14 @@ def frame_pipeline(
     params = (h, w, w4p, s, scale, packed, yuv_data, kcoef, ov_params,
               with_overlays, dyn, col_split, s_blk, wb)
 
-    # MXU column/row matrices for the scale-2/4 downscale (dummies at
-    # scale 1).  Scale 2 sums both members of each pair; scale 4 is the
-    # reference's center-2x2 sample — select columns/rows 1 and 2 of each
-    # 4-block (sample position (i+0.5)*4 - 0.5 = midpoint of the middle
-    # 2x2, ops/convert.downscale_planes) — same (sum+2)>>2 rounding, so
-    # the kernel body is ONE generic block with different 0/1 matrices.
-    if scale in (2, 4):
+    # MXU column/row matrices for the even-scale downscale (dummies at
+    # scale 1).  Scale 2 sums both members of each pair; every even scale
+    # >= 4 is the reference's center-2x2 sample — select the two middle
+    # columns/rows of each block (sample position (i+0.5)*s - 0.5 =
+    # midpoint of the middle 2x2, ops/convert.downscale_planes) — same
+    # (sum+2)>>2 rounding, so the kernel body is ONE generic block with
+    # different 0/1 matrices.
+    if scale >= 2:
         kc = jax.lax.broadcasted_iota(
             jnp.int32, (scale * _COLS, _COLS), 0
         )
@@ -395,14 +402,10 @@ def frame_pipeline(
         )
         ir = jax.lax.broadcasted_iota(jnp.int32, (oh, scale * oh), 0)
         kr = jax.lax.broadcasted_iota(jnp.int32, (oh, scale * oh), 1)
-        if scale == 2:
-            p2 = (kc // 2 == jc).astype(jnp.float32)
-            q2 = (kr // 2 == ir).astype(jnp.float32)
-        else:
-            mid = (kc % 4 == 1) | (kc % 4 == 2)
-            p2 = ((kc // 4 == jc) & mid).astype(jnp.float32)
-            midr = (kr % 4 == 1) | (kr % 4 == 2)
-            q2 = ((kr // 4 == ir) & midr).astype(jnp.float32)
+        mid = (kc % scale == scale // 2 - 1) | (kc % scale == scale // 2)
+        p2 = ((kc // scale == jc) & mid).astype(jnp.float32)
+        midr = (kr % scale == scale // 2 - 1) | (kr % scale == scale // 2)
+        q2 = ((kr // scale == ir) & midr).astype(jnp.float32)
     else:
         p2 = jnp.zeros((8, _COLS), jnp.float32)
         q2 = jnp.zeros((8, _COLS), jnp.float32)

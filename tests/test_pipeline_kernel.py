@@ -32,6 +32,8 @@ ARGS = dict(
         (270, 480, 4, False),  # scale-4 fused (r4): center-2x2 sampling
         (131, 133, 4, True),   # scale-4 odd dims
         (65, 144, 4, False),   # scale-4 band overhang: padded-ds crop path
+        (140, 270, 8, False),  # the generic even-scale selection (r4)
+        (131, 270, 8, True),   # scale-8 odd height + yuv family
     ],
 )
 def test_pipeline_matches_separate_ops(h4, w4, scale, yuv_data):
@@ -45,10 +47,10 @@ def test_pipeline_matches_separate_ops(h4, w4, scale, yuv_data):
         rvs, rwv, rds = ps.fused_ingest_stats_scale2(
             p, cs=2, yuv_data=yuv_data, interpret=True
         )
-    elif scale == 4:
+    elif scale > 2:
         from obs_color_monitor_tpu.ops.convert import downscale_planes
 
-        rds = downscale_planes(p, scale=4)
+        rds = downscale_planes(p, scale=scale)
         rvs, rwv = ps.fused_ingest_stats_scale1(
             rds, cs=2, yuv_data=yuv_data, interpret=True
         )
