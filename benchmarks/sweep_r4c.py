@@ -9,7 +9,9 @@ relayout/gather — materializing two full-res f32 chroma planes.
 
 Candidates (all bit-exact vs the shipping decode before timing):
 
-  base  shipping `nv12_to_packed` (lane repeat).
+  base  the (then-)shipping lane-repeat decode, preserved verbatim as
+        decode_base_lane_repeat (ops.nv12_to_packed has since been
+        rewritten and dispatches to a Pallas kernel on TPU).
   B     bitcast lane-double: duplicate each chroma value into both u16
         halves of a u32, then bitcast+reshape to (H/2, W) — the
         lane-axis trick this repo uses instead of strides (CLAUDE.md);

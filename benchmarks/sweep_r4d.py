@@ -6,7 +6,9 @@ hypotheses: (a) the u8->f32 conversions / lane expansions relayout, and
 XLA won't fuse the whole chain into one HBM pass; (b) f32 itself is not
 the problem.  Candidates:
 
-  base   shipping `nv12_to_packed` (lane repeat, r4c baseline).
+  base   the r4c-era lane-repeat XLA decode (preserved verbatim in
+         sweep_r4c.decode_base_lane_repeat — nv12_to_packed now
+         dispatches to this sweep's winner on TPU).
   B      r4c winner: u16-bitcast lane-double chroma + broadcast rows.
   D      integer-only B: i32 products, arithmetic >>12 (floor division),
          no f32 conversions at all.
@@ -18,8 +20,9 @@ the problem.  Candidates:
   P4     same kernel, 4 quarter-width outputs, ONE XLA stack+reshape
          interleave after (always compiles; measures the interleave tax).
 
-All candidates are bit-exactness-checked against `nv12_to_packed`
-before timing (P* in interpret mode on CPU).
+All candidates are bit-exactness-checked against the golden-pinned
+XLA twin `_nv12_to_packed_xla` before timing (P* in interpret mode on
+CPU; on TPU the check covers a band-overhang height).
 
 Usage: python benchmarks/sweep_r4d.py [check|measure|prof]
 On CPU (OCM_PLATFORM=cpu) runs check only, at a small shape.
@@ -186,7 +189,7 @@ def decode_p4(y, uv, cs=2):
 DECODES = {
     # the r4c-era XLA lane-repeat baseline (NOT nv12_to_packed, which now
     # dispatches to the shipping Pallas kernel on TPU — the winner of THIS
-    # sweep; keep the baseline pinned so the recorded 2.35x reproduces)
+    # sweep; keep the baseline pinned so the recorded 2.2x reproduces)
     "base": lambda y, uv: decode_base_lane_repeat(y, uv, cs=2),
     "B_bitcast_lane2": decode_b,
     "D_integer": decode_d,

@@ -362,7 +362,7 @@ def nv12_to_packed(
     policy (``pipeline.ingest`` `_to8`).
 
     On a TPU backend this dispatches to the Pallas band kernels
-    (ops.pallas_convert, 0.34 vs 0.69 ms per 4K 8-bit frame); every
+    (ops.pallas_convert, 0.37 vs 0.70 ms per 4K 8-bit frame); every
     other backend / geometry takes the XLA formulation.  All paths are
     bit-exact twins of the golden/native decoders.
     """

@@ -28,8 +28,10 @@ The kernel emits FOUR quarter-width packed planes (plane j = pixels
 interleave in-kernel — a trailing (64, W/4, 4)→(64, W) merge reshape —
 is rejected by Mosaic on hardware (sweep_r4b saw the same class of
 reshape fail; re-confirmed in sweep_r4d's P1 probe; re-test on toolchain
-bumps).  Measured 0.341 ms per 4K frame vs 0.800 for the shipping XLA
-decode — 2.35x (benchmarks/sweep_r4d.py).
+bumps).  Measured 0.37 ms per 4K frame vs 0.80 for the r4c-era XLA
+decode — 2.2x slope, 0.211 ms xprof device op time at the ~0.16 ms
+roofline (benchmarks/sweep_r4d.py, full-frame coverage incl. the 48-row
+band overhang).
 
 Reference parity: the reference converts capture sources to its RGBA
 canvas before the scopes read pixels (obs handles NV12 upstream of

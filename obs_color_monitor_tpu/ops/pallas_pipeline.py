@@ -74,7 +74,8 @@ def pipeline_fits(
 
     Provenance of the constants: the per-step byte count below is the sum
     of the kernel's block shapes (input band + two 8-row halo blocks +
-    overlay bands + stats tiles + ds band), doubled for Mosaic's input/
+    overlay bands + stats tiles + ds band + downscale selection matrices),
+    doubled for Mosaic's input/
     output double buffering; the 4.5 MB slack was fit empirically against
     the jax-0.9 Mosaic "Insufficient VMEM" errors observed while admitting
     shapes near the 4K scale-1 boundary (18.1 MB reported there).  A
@@ -115,6 +116,8 @@ def pipeline_fits(
         + (3 * band if with_overlays else 0)
         + 5 * s_blk * oh * _COLS
         + 4 * oh * s_blk * _COLS
+        # downscale selection matrices (f32): 512 KB at scale 8
+        + (4 * (scale * _COLS * _COLS + oh * scale * oh) if scale > 1 else 0)
     )
     return 2 * step + 4_500_000 < 16_000_000
 

@@ -104,7 +104,13 @@ def test_pipeline_alpha_skip():
 
 
 @pytest.mark.parametrize("h4,w4,scale", [(270, 480, 2), (65, 144, 2),
-                                          (64, 130, 1)])
+                                          (64, 130, 1),
+                                          # scales 4/8 with w4p = s*128*scale
+                                          # OVERHANGING w4 (partially-OOB
+                                          # input blocks unique to deep
+                                          # scales) — the api full step runs
+                                          # packed at these scales (r4)
+                                          (140, 300, 4), (140, 300, 8)])
 def test_pipeline_packed_input(h4, w4, scale):
     """packed=True consumes the u32 bitcast view of the interleaved frame
     (no planarize pass) and must match the planar path bit-for-bit."""
