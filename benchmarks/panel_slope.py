@@ -164,6 +164,34 @@ def main():
             )
             run_batch2("batched B=2, packed frames + tm (B=1 cond.)",
                        "packed", fp32, xor=False)
+    if "batch2nv12" in which:
+        # multi-stream WIRE-FORMAT serving: two NV12 streams per chip,
+        # the vmap'd Pallas decode + full step in one program (r4)
+        from _util import slope_ms
+
+        ys = jax.device_put(
+            rng.integers(0, 256, (2, 2160, 3840), np.uint8))
+        uvs = jax.device_put(
+            rng.integers(0, 256, (2, 1080, 3840), np.uint8))
+        bstep = make_batched_step(
+            2160, 3840, cs=Colorspace.BT709, scale=2, input_format="nv12")
+
+        def build(k):
+            @jax.jit
+            def run(y, uv):
+                def body(i, acc):
+                    out = bstep(
+                        (y, uv), jnp.full((2,), i, jnp.float32) * 0.0667
+                    )
+                    return acc + csum_tree(out)
+
+                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+            return run
+
+        ms = slope_ms(build, (ys, uvs), 16) / 2
+        print(f"{'batched B=2, NV12 wire planes + tm':44s} {ms:7.3f} "
+              f"ms/frame = {1e3/ms:6.1f} fps/chip", flush=True)
 
 
 if __name__ == "__main__":
