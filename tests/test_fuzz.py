@@ -355,3 +355,43 @@ def test_packed_u32_input_parity(rng):
         p1 = dk1.render(width=128, height=600)
         p2 = dk2.render(width=128, height=600)
     np.testing.assert_array_equal(p1, p2)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_full_step_nv12_16bit_input_fuzz(rng, seed):
+    """Random-depth 16-bit NV12 wire input (random bits/alignment/odd-ish
+    geometry) through the full step matches host round-shift + the 8-bit
+    NV12 path — the device shift+decode property, fuzzed."""
+    from obs_color_monitor_tpu.api import make_full_step
+    from obs_color_monitor_tpu.colorspace import Colorspace
+    from obs_color_monitor_tpu.ops.convert import nv12_shift
+
+    r = np.random.default_rng(0xF00D + seed)
+    bits = int(r.choice([10, 12, 14, 16]))
+    msb = bool(r.integers(0, 2)) and bits == 10
+    h = int(r.choice([32, 48, 62]))
+    w = int(r.choice([64, 96, 132]))
+    shift = nv12_shift(bits, msb)
+    hi = 1 << bits
+    y16 = r.integers(0, hi, (h, w)).astype(np.uint16)
+    uv16 = r.integers(0, hi, (h // 2, w)).astype(np.uint16)
+    if msb:
+        y16 = (y16 << (16 - bits)).astype(np.uint16)
+        uv16 = (uv16 << (16 - bits)).astype(np.uint16)
+
+    def to8(a):  # the ingest host policy
+        v = (a.astype(np.uint32) + (1 << (shift - 1))) >> shift
+        return np.minimum(v, 255).astype(np.uint8)
+
+    s16 = make_full_step(h, w, cs=Colorspace.BT601, scale=1,
+                         input_format="nv12", nv12_shift=shift)
+    s8 = make_full_step(h, w, cs=Colorspace.BT601, scale=1,
+                        input_format="nv12")
+    out16 = s16((y16, uv16), np.float32(0.0))
+    out8 = s8((to8(y16), to8(uv16)), np.float32(0.0))
+    for name in ("vs_counts", "wv_counts", "hi_counts"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out16, name)),
+            np.asarray(getattr(out8, name)),
+            err_msg=f"{name} bits={bits} msb={msb} {h}x{w}",
+        )

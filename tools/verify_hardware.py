@@ -170,6 +170,30 @@ def main() -> int:
         np.asarray(conv._nv12_16_to_packed_xla(y16, uv16, cs=2, shift=sh)),
     )
     print("5. NV12/P010 decode kernels: bit-exact vs XLA twins")
+
+    # 6. fused even-scale downscale (4/8 ride the band kernel since r4) vs
+    # the golden-pinned separate path, packed input (the production form)
+    from obs_color_monitor_tpu.ops.convert import downscale_planes
+    from obs_color_monitor_tpu.ops.pallas_pipeline import frame_pipeline
+    from obs_color_monitor_tpu.ops.pallas_stats import (
+        fused_ingest_stats_scale1,
+    )
+
+    a = rng.integers(0, 256, (140, 300, 4), np.uint8)
+    pk = a.view(np.uint32).reshape(140, 300)
+    pe = np.moveaxis(a, -1, 0).copy()
+    for sc in (4, 8):
+        vs, wv, ds, *_ = frame_pipeline(
+            pk, np.float32(1.5), cs=2, scale=sc, packed=True,
+            th_low=0.75, th_high=1.0, zb_cs=2, fc_cs=1,
+            peak_th=3062, peak_rgba=(255, 84, 0, 255),
+        )
+        rds = downscale_planes(pe, scale=sc)
+        rvs, rwv = fused_ingest_stats_scale1(rds, cs=2)
+        np.testing.assert_array_equal(np.asarray(ds), np.asarray(rds))
+        np.testing.assert_array_equal(np.asarray(vs), np.asarray(rvs))
+        np.testing.assert_array_equal(np.asarray(wv), np.asarray(rwv))
+    print("6. fused scale-4/8 downscale (packed): bit-exact vs separate ops")
     print("hardware verification OK")
     return 0
 
