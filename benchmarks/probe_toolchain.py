@@ -74,6 +74,29 @@ def lane_merge_reshape():
     np.asarray(out)
 
 
+def int4_onehot_direct():
+    """The REAL int4 lever: a compare-built one-hot cast to int4 WITHOUT
+    a scratch round trip (Mosaic folds the select into the cast -> illegal
+    int4 compare on jax 0.9; the scratch workaround compiles but loses 2x,
+    sweep_r3j).  The plain int4_matmul probe above passes because its
+    operand is a ref LOAD, not a select — this one probes the shipping
+    one-hot shape.  If it starts passing, re-run sweep_r3j with a direct
+    variant: int4 at 2x int8 MXU rate would cut the VS matmul ~0.35 ms."""
+    def k(x_ref, o_ref):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+        oh = (iota == x_ref[:].astype(jnp.int32)).astype(jnp.int4)
+        o_ref[:] = jax.lax.dot_general(
+            oh, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    x = jnp.ones((1, 128), jnp.uint8)
+    out = pl.pallas_call(
+        k, out_shape=jax.ShapeDtypeStruct((256, 256), jnp.int32)
+    )(x)
+    np.asarray(out)
+
+
 def lane_interleave_reshape():
     """Trailing-axis interleave (64, W/4, 4) -> (64, W): rejected on the
     chip on jax 0.9 (sweep_r4b, sweep_r4d P1) — if this starts passing,
@@ -104,5 +127,6 @@ if __name__ == "__main__":
     probe("int16 bins-first compare", int16_bins_first_compare)
     probe("int8 vector elementwise add", int8_vector_add)
     probe("in-kernel lane merge+split reshape", lane_merge_reshape)
+    probe("int4 one-hot DIRECT cast (the real VS lever)", int4_onehot_direct)
     probe("in-kernel lane interleave reshape", lane_interleave_reshape)
     mxu_vpu_overlap_hint()
