@@ -154,13 +154,6 @@ def test_y4m_c420_odd_dims(tmp_path, rng):
         )
 
 
-def test_y4m_rejects_unknown_chroma(tmp_path):
-    p = tmp_path / "t.y4m"
-    p.write_bytes(b"YUV4MPEG2 W4 H4 C411\nFRAME\n" + b"\0" * 24)
-    with pytest.raises(ValueError, match="unsupported chroma"):
-        Y4MSource(str(p))
-
-
 def test_yuv444_identity_physics():
     """4:4:4 flat neutral gray: Y=126 -> (126-16)*4769+2048 >> 12 = 128."""
     y = np.full((4, 4), 126, np.uint8)
