@@ -1,0 +1,112 @@
+"""Does a host->HBM upload overlap a running device program on this stack?
+
+The production streaming claim (doc/performance.md 'Recorded end-to-end
+live runs') assumes the ingest upload of frame i+1 hides under program i's
+compute — the reference overlaps staging with accumulation by construction
+(graphics thread stages, pthread maps, src/common.c:335-403).  The live
+loop issues the next upload before blocking on the previous readback
+(pinned by tests/test_ingest_live.py::
+test_live_upload_issued_before_previous_publish); this probe measures
+whether the RUNTIME actually overlaps the transfer with compute:
+
+  1. t_comp: dispatch a ~seconds-long loop program, block — compute alone.
+  2. t_up:   device_put a 4K NV12-sized host buffer, block — upload alone.
+  3. overlap run: dispatch the program (async), immediately device_put the
+     buffer and block on IT (t_up_during), then block on the program
+     (t_total).
+
+If transfers ride a separate DMA path: t_total ~= t_comp and
+t_up_during <= ~t_up.  If the runtime serializes uploads behind
+execution: t_up_during ~= t_comp (the upload's ready event waits for the
+program) and t_total ~= t_comp + t_up.
+
+Usage: python benchmarks/probe_upload_overlap.py [n_iters]
+"""
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 640
+    from obs_color_monitor_tpu.api import make_full_step
+    from obs_color_monitor_tpu.colorspace import Colorspace
+
+    H, W = 2160, 3840
+    step = make_full_step(H, W, cs=Colorspace.BT709, scale=2,
+                          input_format="packed")
+
+    def checksum(out):
+        total = jnp.int32(0)
+        for name, leaf in zip(out._fields, out):
+            if name in ("zebra", "falsecolor", "focuspeaking"):
+                leaf = leaf[:, :64, :]
+            total += jnp.sum(leaf.astype(jnp.int32))
+        return total
+
+    @jax.jit
+    def run(frame):
+        def body(i, acc):
+            out = step(frame, i.astype(jnp.float32) * 0.0667)
+            return acc + checksum(out)
+
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        rng.integers(0, 256, (H, W, 4), np.uint8).view(np.uint32).reshape(H, W)
+    )
+    frames.block_until_ready()
+    # 4K NV12 wire planes: 1.5 B/px = 12.4 MB (the live loop's per-frame
+    # ingest).  A FRESH host buffer each rep so no caching can cheat.
+    bufs = [
+        rng.integers(0, 256, (H * 3 // 2, W), np.uint8) for _ in range(6)
+    ]
+
+    _ = np.asarray(run(frames))  # compile + warm
+
+    def t_compute():
+        t0 = time.perf_counter()
+        run(frames).block_until_ready()
+        return time.perf_counter() - t0
+
+    def t_upload(b):
+        t0 = time.perf_counter()
+        jax.device_put(b).block_until_ready()
+        return time.perf_counter() - t0
+
+    t_comp = min(t_compute() for _ in range(3))
+    t_up = min(t_upload(b) for b in bufs[:3])
+
+    results = []
+    for b in bufs[3:]:
+        t0 = time.perf_counter()
+        fut = run(frames)  # async dispatch
+        x = jax.device_put(b)
+        x.block_until_ready()
+        t_up_during = time.perf_counter() - t0
+        fut.block_until_ready()
+        t_total = time.perf_counter() - t0
+        results.append((t_up_during, t_total))
+        del x
+
+    t_up_during = min(r[0] for r in results)
+    t_total = min(r[1] for r in results)
+    print(f"compute alone (n={n} 4K steps):   {t_comp*1e3:8.1f} ms")
+    print(f"upload alone (12.4 MB NV12):      {t_up*1e3:8.1f} ms")
+    print(f"upload DURING compute (blocked):  {t_up_during*1e3:8.1f} ms")
+    print(f"total with overlap attempt:       {t_total*1e3:8.1f} ms "
+          f"(serialized would be ~{(t_comp+t_up)*1e3:.1f})")
+    overlap = t_total < t_comp + 0.5 * t_up and t_up_during < 0.5 * t_comp
+    print(f"verdict: uploads {'OVERLAP' if overlap else 'DO NOT overlap'} "
+          f"compute on this stack")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,12 @@ def soak(label: str, mode: str) -> float:
     render program = 2/frame), 'stream' (ONE program per frame, frames
     device-resident), 'stream-host' (same + per-frame host->HBM upload of
     the 4 B/px packed frame), 'stream-nv12' (per-frame host->HBM upload
-    of raw 1.5 B/px NV12 planes, decode folded into the stream program)."""
+    of raw 1.5 B/px NV12 planes, decode folded into the stream program),
+    'drag' (a DIFFERENT ROI rect every frame — the mid-drag route: every
+    frame rides Dock._consume_dynamic's one-cached-program dynamic-rect
+    step, reference src/roi.c:343-521; uses the reference new-dock
+    composition, ROI band + 5 scopes, since that is the panel a user
+    drags in)."""
     os.environ.pop("OCM_NO_FUSED_RENDER", None)
     os.environ.pop("OCM_NO_STREAM_STEP", None)
     if mode == "legacy":
@@ -49,8 +54,11 @@ def soak(label: str, mode: str) -> float:
     elif mode == "fused":
         os.environ["OCM_NO_STREAM_STEP"] = "1"
     # pinned to the measured composition (all six scopes, no ROI band) —
-    # the DockConfig default is the reference's new-dock panel since r3
-    dock = Dock(DockConfig(show_roi=False, show_focuspeaking=True),
+    # the DockConfig default is the reference's new-dock panel since r3.
+    # The drag mode keeps the DEFAULT composition (ROI band + 5 scopes):
+    # that is the panel drags happen in.
+    dock = Dock(DockConfig() if mode == "drag"
+                else DockConfig(show_roi=False, show_focuspeaking=True),
                 roi=ROIConfig(interleave=0, target_scale=2))
     # 8 distinct ramp frames, cycled (content varies); device-resident
     # except in the host-upload variants
@@ -69,11 +77,41 @@ def soak(label: str, mode: str) -> float:
         if mode != "stream-host":
             frames = [jax.device_put(f) for f in frames]
         push = dock.push_frame
+    sw, sh = W // 2, H // 2
+    if mode == "drag":
+        # every frame gets a DIFFERENT rect (the right/bottom edges sweep
+        # a quarter-capture range), so every frame takes the dynamic-rect
+        # route; the full model layer is measured — per-frame config
+        # writes, generation-memoized revalidation, dynamic-step dispatch,
+        # fresh publication of every consumer
+        def set_rect(i):
+            cfg = dock.hub.config
+            cfg.x0, cfg.y0 = 16, 16
+            cfg.x1 = sw // 2 + (i % max(sw // 4, 2))
+            cfg.y1 = sh // 2 + ((i * 3) % max(sh // 4, 2))
+
+        base_push = push
+
+        def push(f, _set=set_rect, _p=base_push):
+            _set(push.i)
+            push.i += 1
+            _p(f)
+
+        push.i = 0
     # warmup: compiles (legacy per-scope programs; + the fused program on
-    # the fused route) land outside the timed region
-    for i in range(3):
-        push(frames[i])
+    # the fused route; + the dynamic-rect device step on the drag route,
+    # which engages on frame 4: warm fused -> enter stream -> rect seen
+    # changed) land outside the timed region
+    for i in range(4 if mode == "drag" else 3):
+        push(frames[i % len(frames)])
         dock.render()
+    if mode == "drag":
+        # the route must actually be the dynamic one-cached-program step
+        assert dock._device_step_dynamic, "drag mode fell off the dynamic route"
+        s = dock.hub.last_surface
+        assert s is not None and s.dynamic_rect is not None, (
+            "drag mode did not publish through the dynamic route"
+        )
     # the loop uses render_async: dispatch-only, the device panel stays
     # resident (a real sink fetches/encodes downstream).  A per-frame
     # BLOCKING np.asarray fetch costs a full tunnel round trip (~30-200 ms)
@@ -174,6 +212,8 @@ if __name__ == "__main__":
         legacy = soak("legacy per-scope route", "legacy")
         fused = soak("fused render (2 programs/frame)", "fused")
     stream = soak("stream step (1 program/frame)", "stream")
+    if "drag" in flags:
+        soak("mid-drag route (dynamic-rect program)", "drag")
     if "uploads" in flags:
         soak("stream + host upload (4 B/px)", "stream-host")
         soak("stream + NV12 upload (1.5 B/px)", "stream-nv12")

@@ -531,6 +531,63 @@ def test_live_pipelined_readback_order(monkeypatch):
         np.testing.assert_array_equal(img, want, err_msg=f"frame {i}")
 
 
+def test_live_upload_issued_before_previous_publish(tmp_path, monkeypatch):
+    """Upload-side overlap contract: the live loop must ISSUE frame i's
+    host->device plane upload (async `device_put`) BEFORE it blocks on
+    frame i-1's panel readback.  This host-side ordering is what lets the
+    PJRT runtime overlap the ingest DMA of frame i with program i-1 on
+    real hardware (measured: benchmarks/probe_upload_overlap.py, see
+    doc/performance.md 'Upload overlap') — the upload half of the
+    reference's staging pattern, where the graphics thread stages the next
+    frame while the pipeline thread still accumulates the previous one
+    (src/common.c:335-403).  A refactor that serializes publish-then-
+    decode-then-upload breaks the order this test pins."""
+    from obs_color_monitor_tpu.__main__ import main
+    from obs_color_monitor_tpu.ops import convert as conv_mod
+    from obs_color_monitor_tpu.pipeline import live as live_mod
+
+    w, h, n = 32, 16, 5
+    rng = np.random.default_rng(3)
+    p = tmp_path / "clip.nv12"
+    p.write_bytes(rng.integers(0, 256, (n, h * 3 // 2, w), np.uint8).tobytes())
+
+    events = []
+    orig_up = conv_mod.nv12_device_planes
+
+    def rec_up(y, uv, *a, **k):
+        events.append(("upload", rec_up.i))
+        rec_up.i += 1
+        return orig_up(y, uv, *a, **k)
+
+    rec_up.i = 0
+    monkeypatch.setattr(conv_mod, "nv12_device_planes", rec_up)
+    orig_pub = live_mod.MJPEGServer.publish
+
+    def rec_pub(self, img):
+        events.append(("publish", rec_pub.i))
+        rec_pub.i += 1
+        return orig_pub(self, img)
+
+    rec_pub.i = 0
+    monkeypatch.setattr(live_mod.MJPEGServer, "publish", rec_pub)
+
+    rc = main([
+        "dock", "--input", str(p), "--size", f"{w}x{h}", "--interleave", "0",
+        "--frames", str(n), "--live", "--port", "0", "--fps", "240",
+        "--out-width", "64", "--out-height", "360",
+    ])
+    assert rc == 0
+    ups = [events.index(("upload", i)) for i in range(n)]
+    pubs = [events.index(("publish", i)) for i in range(n)]
+    assert pubs == sorted(pubs)  # published once each, in order
+    for i in range(1, n):
+        # frame i's upload is issued BEFORE the loop blocks on frame i-1's
+        # readback (the final frame's publish is the post-loop flush)
+        assert ups[i] < pubs[i - 1], (
+            f"frame {i} upload after frame {i-1} publish: {events}"
+        )
+
+
 def test_nv12_source_streams_raw_u16(tmp_path, rng):
     """High-bit NV12Source streams the RAW u16 wire planes (adjacent
     views of one buffer — single-upload eligible) with nv12_shift set;
