@@ -7,18 +7,23 @@ compute — the reference overlaps staging with accumulation by construction
 loop issues the next upload before blocking on the previous readback
 (pinned by tests/test_ingest_live.py::
 test_live_upload_issued_before_previous_publish); this probe measures
-whether the RUNTIME actually overlaps the transfer with compute:
+whether the RUNTIME actually overlaps the transfer with compute.
 
-  1. t_comp: dispatch a ~seconds-long loop program, block — compute alone.
-  2. t_up:   device_put a 4K NV12-sized host buffer, block — upload alone.
-  3. overlap run: dispatch the program (async), immediately device_put the
-     buffer and block on IT (t_up_during), then block on the program
-     (t_total).
+Every fence here is a REAL FETCH (np.asarray), never block_until_ready —
+on the axon client block_until_ready is not a trustworthy completion
+fence for pipelined dispatches (r5 finding, doc/performance.md
+Methodology), so only a data fetch proves completion.  The transfer is
+therefore measured as a round TRIP (device_put + full fetch back); the
+comparison is symmetric:
 
-If transfers ride a separate DMA path: t_total ~= t_comp and
-t_up_during <= ~t_up.  If the runtime serializes uploads behind
-execution: t_up_during ~= t_comp (the upload's ready event waits for the
-program) and t_total ~= t_comp + t_up.
+  1. t_comp: dispatch a ~1 s loop program, fetch its checksum.
+  2. t_xfer: device_put a 4K-NV12-sized buffer + fetch it back, alone.
+  3. overlap: dispatch the program, THEN round-trip the buffer
+     (t_xfer_during), then fetch the program result (t_total).
+
+If transfers ride independently of the execution stream:
+t_xfer_during ~= t_xfer and t_total ~= t_comp.  If the runtime serializes
+transfers behind the running program: t_xfer_during ~= t_comp (+ t_xfer).
 
 Usage: python benchmarks/probe_upload_overlap.py [n_iters]
 """
@@ -62,49 +67,49 @@ def main() -> None:
     frames = jax.device_put(
         rng.integers(0, 256, (H, W, 4), np.uint8).view(np.uint32).reshape(H, W)
     )
-    frames.block_until_ready()
-    # 4K NV12 wire planes: 1.5 B/px = 12.4 MB (the live loop's per-frame
-    # ingest).  A FRESH host buffer each rep so no caching can cheat.
-    bufs = [
-        rng.integers(0, 256, (H * 3 // 2, W), np.uint8) for _ in range(6)
-    ]
+    _ = np.asarray(run(frames))  # compile + warm (fetch = completion fence)
 
-    _ = np.asarray(run(frames))  # compile + warm
+    # 4K NV12 wire planes: 1.5 B/px = 12.4 MB (the live loop's per-frame
+    # ingest).  FRESH host buffers each rep so no caching can cheat.
+    bufs = [rng.integers(0, 256, (H * 3 // 2, W), np.uint8) for _ in range(6)]
 
     def t_compute():
         t0 = time.perf_counter()
-        run(frames).block_until_ready()
+        _ = np.asarray(run(frames))
         return time.perf_counter() - t0
 
-    def t_upload(b):
+    def t_roundtrip(b):
         t0 = time.perf_counter()
-        jax.device_put(b).block_until_ready()
-        return time.perf_counter() - t0
+        got = np.asarray(jax.device_put(b))
+        dt = time.perf_counter() - t0
+        assert (got == b).all()
+        return dt
 
     t_comp = min(t_compute() for _ in range(3))
-    t_up = min(t_upload(b) for b in bufs[:3])
+    t_xfer = min(t_roundtrip(b) for b in bufs[:3])
 
     results = []
     for b in bufs[3:]:
         t0 = time.perf_counter()
         fut = run(frames)  # async dispatch
-        x = jax.device_put(b)
-        x.block_until_ready()
-        t_up_during = time.perf_counter() - t0
-        fut.block_until_ready()
+        got = np.asarray(jax.device_put(b))  # round-trip DURING compute
+        t_xfer_during = time.perf_counter() - t0
+        assert (got == b).all()
+        _ = np.asarray(fut)
         t_total = time.perf_counter() - t0
-        results.append((t_up_during, t_total))
-        del x
+        results.append((t_xfer_during, t_total))
 
-    t_up_during = min(r[0] for r in results)
+    t_xfer_during = min(r[0] for r in results)
     t_total = min(r[1] for r in results)
-    print(f"compute alone (n={n} 4K steps):   {t_comp*1e3:8.1f} ms")
-    print(f"upload alone (12.4 MB NV12):      {t_up*1e3:8.1f} ms")
-    print(f"upload DURING compute (blocked):  {t_up_during*1e3:8.1f} ms")
-    print(f"total with overlap attempt:       {t_total*1e3:8.1f} ms "
-          f"(serialized would be ~{(t_comp+t_up)*1e3:.1f})")
-    overlap = t_total < t_comp + 0.5 * t_up and t_up_during < 0.5 * t_comp
-    print(f"verdict: uploads {'OVERLAP' if overlap else 'DO NOT overlap'} "
+    print(f"compute alone (n={n} 4K steps):       {t_comp*1e3:8.1f} ms")
+    print(f"12.4 MB NV12 round trip, alone:       {t_xfer*1e3:8.1f} ms")
+    print(f"round trip DURING compute:            {t_xfer_during*1e3:8.1f} ms")
+    print(f"total with overlap attempt:           {t_total*1e3:8.1f} ms "
+          f"(serialized would be ~{(t_comp+t_xfer)*1e3:.1f})")
+    overlap = (
+        t_xfer_during < 0.5 * t_comp and t_total < t_comp + 0.5 * t_xfer
+    )
+    print(f"verdict: transfers {'OVERLAP' if overlap else 'DO NOT overlap'} "
           f"compute on this stack")
 
 

@@ -116,12 +116,21 @@ def soak(label: str, mode: str) -> float:
     # resident (a real sink fetches/encodes downstream).  A per-frame
     # BLOCKING np.asarray fetch costs a full tunnel round trip (~30-200 ms)
     # on this dev setup and would measure the tunnel, not the pipeline.
+    # The end-of-loop fence is a real FETCH of the last panel, not
+    # block_until_ready: on the axon client block_until_ready is NOT a
+    # trustworthy completion fence for pipelined per-frame dispatches —
+    # 400 enqueued ~0.4 ms-device-time programs "drain" under it in ~10 ms
+    # of wall, which is physically impossible (r5 probe_elide; a single
+    # long fori-loop program DOES block for its full ~2 s runtime, so the
+    # semantics are regime-dependent and unsafe to rely on).  Executions
+    # are in-order on the one device stream, so fetching the LAST panel
+    # fences all N frames; the single fetch adds ~RTT/N to the reading.
     t0 = time.perf_counter()
     img = None
     for i in range(N):
         push(frames[i & 7])
         img = dock.render_async()
-    jax.block_until_ready(img)
+    _ = np.asarray(img)
     dt = time.perf_counter() - t0
     ms = dt / N * 1e3
     n_progs = (len(dock._fused_render_fns),
@@ -153,11 +162,11 @@ def soak_raw_step() -> float:
     ]
     for i in range(3):
         out = step(frames[i], np.float32(i))
-    jax.block_until_ready(out.panel)
+    _ = np.asarray(out.panel)
     t0 = time.perf_counter()
     for i in range(N):
         out = step(frames[i & 7], np.float32(i))
-    jax.block_until_ready(out.panel)
+    _ = np.asarray(out.panel)  # real fetch = completion fence (see soak)
     ms = (time.perf_counter() - t0) / N * 1e3
     print(f"{'raw dock_step (floor)':34s} {ms:7.3f} ms/frame = "
           f"{1e3/ms:7.1f} fps", flush=True)

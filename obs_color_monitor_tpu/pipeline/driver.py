@@ -30,20 +30,43 @@ log = logging.getLogger("obs_color_monitor_tpu.pipeline")
 
 
 class PipelineDriver:
-    """Drives a CaptureHub from a frame stream.
+    """Drives a CaptureHub — or a whole Dock — from a frame stream.
 
     push_frame() is the producer side (non-blocking, drop-on-full); a worker
     thread dispatches the hub's fused pass in frame order.  Mirrors the
     reference's one-pipeline-thread-per-source design
     (src/common.c:430-454), generalized to the shared-hub case.
+
+    With ``dock=`` the worker consumes through the Dock's push/render
+    deferral instead of the bare hub fan-out: each frame runs
+    ``dock.push_frame`` + ``dock.render_async`` — push/render alternation
+    is exactly what engages the ONE-program stream step (analysis + hub
+    publication + every scope render + composite in a single cached device
+    program per frame, models/dock.py), so a driver-fed dock gets the fast
+    streaming path the reference's single pipeline gets by construction
+    (src/common.c:375-403).  ``on_panel`` (optional) receives each
+    device-resident panel on the worker thread — a sink can fetch/encode
+    it (blocking there is fine; dispatch already happened).  The worker
+    serializes all dock access under the driver lock; cross-thread reads
+    should use the scopes' double-buffered accessors (counts()/render()),
+    which is what they exist for.
     """
 
     def __init__(
         self,
-        hub: CaptureHub,
+        hub: Optional[CaptureHub] = None,
         queue_depth: int = DEFAULT_QUEUE_DEPTH,
         native_queue_shape: Optional[tuple[int, ...]] = None,
+        *,
+        dock=None,
+        on_panel=None,
     ):
+        if (hub is None) == (dock is None):
+            raise ValueError("pass exactly one of hub= or dock=")
+        if dock is not None:
+            hub = dock.hub
+        self._dock = dock
+        self._on_panel = on_panel
         self.hub = hub
         self._queue_depth = queue_depth
         self._native_queue_shape = native_queue_shape
@@ -109,8 +132,7 @@ class PipelineDriver:
             try:
                 with self._lock:
                     with profiler.probe("pipeline_loop"):
-                        self.hub.tick()
-                        self.hub.process(frame)
+                        self._consume(frame)
             except Exception:
                 # a consumer failure must not kill the pipeline thread;
                 # the frame is dropped and counted
@@ -125,12 +147,25 @@ class PipelineDriver:
                 self._consumed += 1
         log.debug("leaving pipeline thread")
 
-    # -- synchronous convenience ----------------------------------------------
-    def process_now(self, frame) -> None:
-        """Run one frame synchronously through the hub (tests/tools)."""
-        with self._lock:
+    def _consume(self, frame) -> None:
+        """One frame through the configured consumer: the dock's
+        push/render deferral (one-program stream route) or the bare hub
+        fan-out (dock.push_frame ticks the hub itself)."""
+        if self._dock is not None:
+            self._dock.push_frame(frame)
+            panel = self._dock.render_async()
+            if panel is not None and self._on_panel is not None:
+                self._on_panel(panel)
+        else:
             self.hub.tick()
             self.hub.process(frame)
+
+    # -- synchronous convenience ----------------------------------------------
+    def process_now(self, frame) -> None:
+        """Run one frame synchronously through the configured consumer
+        (tests/tools)."""
+        with self._lock:
+            self._consume(frame)
 
     def flush(self, timeout: float = 10.0) -> None:
         """Wait until the queue drains and in-flight work lands.
