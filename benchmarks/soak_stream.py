@@ -143,6 +143,51 @@ def soak(label: str, mode: str) -> float:
     return ms
 
 
+def soak_driver() -> float:
+    """The composed production pipeline: PipelineDriver(dock=...) — queue
+    + worker thread + the Dock's one-program stream step per frame
+    (reference: one pipeline thread regardless of sink, common.c:375-403).
+    The producer retries on a full queue (backpressure instead of drop),
+    so the reading is the sustained throughput of the whole composed
+    stack; on_panel keeps the last device panel for the end fence."""
+    from obs_color_monitor_tpu.pipeline import PipelineDriver
+
+    os.environ.pop("OCM_NO_FUSED_RENDER", None)
+    os.environ.pop("OCM_NO_STREAM_STEP", None)
+    dock = Dock(DockConfig(show_roi=False, show_focuspeaking=True),
+                roi=ROIConfig(interleave=0, target_scale=2))
+    frames = [
+        jax.device_put(native.pattern("ramp", W, H, i)) for i in range(8)
+    ]
+    last = [None]
+    drv = PipelineDriver(dock=dock, on_panel=lambda p: last.__setitem__(0, p))
+    drv.start()
+    try:
+        for i in range(4):  # warm: layout discovery + stream program
+            drv.push_frame(frames[i % 8])
+            drv.flush()
+        assert len(dock._stream_fns) == 1, "driver did not warm the stream route"
+        t0 = time.perf_counter()
+        for i in range(N):
+            # full queue: backpressure, not drop.  A real sleep, not a
+            # spin — a sleep(0) yield-loop contends with the worker for
+            # the single host core (rejected pushes count as 'dropped')
+            while not drv.push_frame(frames[i & 7]):
+                time.sleep(0.0005)
+        drv.flush()
+        _ = np.asarray(last[0])  # real fetch = completion fence
+        dt = time.perf_counter() - t0
+    finally:
+        drv.stop()
+    ms = dt / N * 1e3
+    st = drv.stats
+    print(f"{'driver-fed dock (queue+thread)':34s} {ms:7.3f} ms/frame = "
+          f"{1e3/ms:7.1f} fps  (processed {st['processed']}, errors "
+          f"{st['errors']}; producer retries counted as dropped: "
+          f"{st['dropped']})", flush=True)
+    return ms
+
+
 def soak_raw_step() -> float:
     """Floor of any per-frame-dispatch path on this setup: the raw
     one-program dock step called in the same loop shape (no model layer).
@@ -223,6 +268,8 @@ if __name__ == "__main__":
     stream = soak("stream step (1 program/frame)", "stream")
     if "drag" in flags:
         soak("mid-drag route (dynamic-rect program)", "drag")
+    if "driver" in flags:
+        soak_driver()
     if "uploads" in flags:
         soak("stream + host upload (4 B/px)", "stream-host")
         soak("stream + NV12 upload (1.5 B/px)", "stream-nv12")
