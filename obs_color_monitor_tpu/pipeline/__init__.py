@@ -1,7 +1,7 @@
 """Host pipeline: bounded queue, driver, profiling probes."""
 
 from .queue import FrameQueue, DEFAULT_QUEUE_DEPTH
-from .driver import PipelineDriver
+from .driver import NV12Frame, PipelineDriver
 from .targets import (
     FrameChannel,
     TargetDirectory,
@@ -16,6 +16,7 @@ __all__ = [
     "FrameQueue",
     "DEFAULT_QUEUE_DEPTH",
     "PipelineDriver",
+    "NV12Frame",
     "FrameChannel",
     "TargetDirectory",
     "TargetedPipeline",

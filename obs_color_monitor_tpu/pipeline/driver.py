@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import logging
 import threading
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import numpy as np
@@ -27,6 +27,22 @@ from . import profiler
 from .queue import DEFAULT_QUEUE_DEPTH, FrameQueue
 
 log = logging.getLogger("obs_color_monitor_tpu.pipeline")
+
+
+class NV12Frame(NamedTuple):
+    """A wire-format frame in the driver queue: raw (y, uv) planes +
+    decode colorimetry (``shift`` > 0 = 16-bit P010-family planes).  The
+    planes are already device-resident by the time this sits in the
+    queue — push_nv12 stages the upload on the PRODUCER thread, the
+    analog of the reference's graphics thread staging the texture while
+    the pipeline thread still works the previous frame
+    (src/common.c:335-403); the measured transfer/compute overlap
+    (doc/performance.md 'Upload overlap') is what makes that free."""
+
+    y: object
+    uv: object
+    cs: Optional[int]
+    shift: int
 
 
 class PipelineDriver:
@@ -122,6 +138,24 @@ class PipelineDriver:
         """Non-blocking enqueue; False = dropped (queue full)."""
         return self.queue.push(frame)
 
+    def push_nv12(self, y, uv, cs: Optional[int] = None, shift: int = 0) -> bool:
+        """Enqueue a wire-format NV12/P010 frame (raw planes, decode on
+        device — see Dock.push_nv12).  The host→HBM upload is issued HERE,
+        on the producer thread, before the frame enters the queue: the
+        transfer overlaps whatever program the worker's previous frame is
+        running (measured: doc/performance.md 'Upload overlap'), which is
+        the reference's stage-on-the-graphics-thread pattern
+        (src/common.c:335-403).  Non-blocking; False = dropped."""
+        if self._native_queue_shape is not None:
+            raise ValueError(
+                "push_nv12 needs the object queue; the native fixed-shape "
+                "queue carries single packed frames only"
+            )
+        from ..ops.convert import nv12_device_planes
+
+        y, uv = nv12_device_planes(y, uv)  # staged upload (async dispatch)
+        return self.queue.push(NV12Frame(y, uv, cs, int(shift)))
+
     # -- consumer ------------------------------------------------------------
     def _loop(self) -> None:
         log.debug("entering pipeline thread")  # reference common.c:376
@@ -152,13 +186,23 @@ class PipelineDriver:
         push/render deferral (one-program stream route) or the bare hub
         fan-out (dock.push_frame ticks the hub itself)."""
         if self._dock is not None:
-            self._dock.push_frame(frame)
+            if isinstance(frame, NV12Frame):
+                self._dock.push_nv12(
+                    frame.y, frame.uv, cs=frame.cs, shift=frame.shift
+                )
+            else:
+                self._dock.push_frame(frame)
             panel = self._dock.render_async()
             if panel is not None and self._on_panel is not None:
                 self._on_panel(panel)
         else:
             self.hub.tick()
-            self.hub.process(frame)
+            if isinstance(frame, NV12Frame):
+                self.hub.process_nv12(
+                    frame.y, frame.uv, cs=frame.cs, shift=frame.shift
+                )
+            else:
+                self.hub.process(frame)
 
     # -- synchronous convenience ----------------------------------------------
     def process_now(self, frame) -> None:

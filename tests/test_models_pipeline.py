@@ -214,6 +214,79 @@ def test_driver_requires_exactly_one_consumer(frame):
         PipelineDriver(CaptureHub(ROIConfig()), dock=Dock())
 
 
+def test_driver_push_nv12_rides_stream_route(rng):
+    """Wire-format frames through the composed pipeline: push_nv12 stages
+    the plane upload on the producer thread and enqueues the device
+    planes; the worker consumes through the dock's NV12 stream deferral
+    (decode traced IN the one-program stream step).  Steady state must
+    show exactly one stream program and panels bit-matching a hand-driven
+    dock.push_nv12 on the same wire bytes — the reference's pipeline is
+    one path regardless of source format (src/common.c:223-333)."""
+    from obs_color_monitor_tpu.config import DockConfig
+
+    H, W = 48, 96
+    bufs = [
+        rng.integers(0, 256, (H * 3 // 2, W), dtype=np.uint8)
+        for _ in range(6)
+    ]
+
+    def mk():
+        return Dock(
+            DockConfig(show_roi=False),
+            roi=ROIConfig(interleave=0, target_scale=1),
+        )
+
+    dock = mk()
+    panels = []
+    drv = PipelineDriver(dock=dock, on_panel=lambda p: panels.append(np.asarray(p)))
+    drv.start()
+    try:
+        for b in bufs:
+            assert drv.push_nv12(b[:H], b[H:])
+            drv.flush()
+    finally:
+        drv.stop()
+    assert len(panels) == 6
+    assert len(dock._stream_fns) == 1  # decode folded into ONE program
+    assert dock.hub.frames_processed == 6
+
+    ref = mk()
+    for i, b in enumerate(bufs):
+        ref.push_nv12(b[:H], b[H:])
+        want = np.asarray(ref.render_async())
+        np.testing.assert_array_equal(panels[i], want, err_msg=f"frame {i}")
+    np.testing.assert_array_equal(
+        dock.histogram.counts(), ref.histogram.counts()
+    )
+
+
+def test_driver_hub_mode_push_nv12(rng):
+    """push_nv12 in bare-hub mode decodes through hub.process_nv12 and
+    publishes bit-exact statistics (native decoder twin)."""
+    from obs_color_monitor_tpu.runtime import native as gold
+
+    H, W = 24, 48
+    b = rng.integers(0, 256, (H * 3 // 2, W), dtype=np.uint8)
+    his = Histogram(HistogramConfig(target_scale=1))
+    drv = PipelineDriver(his._hub)
+    drv.start()
+    try:
+        assert drv.push_nv12(b[:H], b[H:])
+        drv.flush()
+    finally:
+        drv.stop()
+    rgba = gold.nv12_to_rgba(b[:H], b[H:], cs=int(his._hub.colorspace))
+    want = golden.histogram_counts(rgba, None, Components.RGB)
+    np.testing.assert_array_equal(his.counts(), want)
+
+
+def test_driver_push_nv12_rejects_native_queue():
+    his = Histogram(HistogramConfig())
+    drv = PipelineDriver(his._hub, native_queue_shape=(16, 32))
+    with pytest.raises(ValueError, match="native"):
+        drv.push_nv12(np.zeros((16, 32), np.uint8), np.zeros((8, 32), np.uint8))
+
+
 def test_zebra_scope_animates(frame):
     zb = Zebra()
     zb.push_frame(frame)
