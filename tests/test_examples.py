@@ -67,6 +67,22 @@ def test_p010_wire_ingest(tmp_path):
     assert "device shift=8" in out
 
 
+def test_driver_pipeline():
+    out = _run(
+        "driver_pipeline.py", "--cpu", "--size", "64x48", "--frames", "6",
+    )
+    assert "DRIVER_PIPELINE_OK" in out, out[-2000:]
+    assert "'errors': 0" in out
+
+
+def test_driver_pipeline_nv12():
+    out = _run(
+        "driver_pipeline.py", "--cpu", "--nv12", "--size", "64x48",
+        "--frames", "6",
+    )
+    assert "DRIVER_PIPELINE_OK" in out, out[-2000:]
+
+
 def test_multihost_distributed_simulate():
     out = _run(
         "multihost_distributed.py", "--simulate", "--size", "64x48",
