@@ -239,13 +239,27 @@ def test_driver_push_nv12_rides_stream_route(rng):
     dock = mk()
     panels = []
     drv = PipelineDriver(dock=dock, on_panel=lambda p: panels.append(np.asarray(p)))
+    from obs_color_monitor_tpu.ops import convert as conv
+
+    decode_calls = []
+    orig_decode = conv.nv12_to_packed
     drv.start()
     try:
-        for b in bufs:
+        for b in bufs[:3]:  # warmup: program builds (trace-time decodes)
+            assert drv.push_nv12(b[:H], b[H:])
+            drv.flush()
+        # steady state: ZERO eager decode dispatches — the decode is
+        # traced INSIDE the one stream program (same contract as
+        # test_stream_step.py::test_nv12_stream_one_program)
+        conv.nv12_to_packed = lambda *a, **k: (
+            decode_calls.append(1), orig_decode(*a, **k))[1]
+        for b in bufs[3:]:
             assert drv.push_nv12(b[:H], b[H:])
             drv.flush()
     finally:
         drv.stop()
+        conv.nv12_to_packed = orig_decode
+    assert decode_calls == []
     assert len(panels) == 6
     assert len(dock._stream_fns) == 1  # decode folded into ONE program
     assert dock.hub.frames_processed == 6
