@@ -164,6 +164,36 @@ def main():
             )
             run_batch2("batched B=2, packed frames + tm (B=1 cond.)",
                        "packed", fp32, xor=False)
+    if "batch4" in which:
+        # serving depth: FOUR streams per chip in one vmap'd program —
+        # does per-stream throughput hold past B=2? (B=2 measured at
+        # parity with B=1: 625 fps/chip, r4)
+        from _util import slope_ms
+
+        bstep4 = make_batched_step(
+            2160, 3840, cs=Colorspace.BT709, scale=2, input_format="packed",
+        )  # batch size comes from the input shape (vmap)
+        fp4 = jax.device_put(
+            rng.integers(0, 256, (4, 2160, 3840, 4), np.uint8)
+            .view(np.uint32).reshape(4, 2160, 3840)
+        )
+
+        def build4(k):
+            @jax.jit
+            def run(f0):
+                def body(i, acc):
+                    out = bstep4(
+                        f0, jnp.full((4,), i, jnp.float32) * 0.0667
+                    )
+                    return acc + csum_tree(out)
+
+                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+            return run
+
+        ms = slope_ms(build4, (fp4,), 8) / 4
+        print(f"{'batched B=4, packed frames + tm':44s} {ms:7.3f} "
+              f"ms/frame = {1e3/ms:6.1f} fps/chip", flush=True)
     if "batch2nv12" in which:
         # multi-stream WIRE-FORMAT serving: two NV12 streams per chip,
         # the vmap'd Pallas decode + full step in one program (r4)
