@@ -66,6 +66,15 @@ class PipelineDriver:
     serializes all dock access under the driver lock; cross-thread reads
     should use the scopes' double-buffered accessors (counts()/render()),
     which is what they exist for.
+
+    The CLI ``--live`` loop (``__main__.py``) deliberately does NOT sit
+    on this driver: its readback pipelining (publish frame i−1 while
+    frame i's host copy is in flight) and upload-before-publish ordering
+    need per-frame index bookkeeping across produce/publish, which the
+    fire-and-forget ``on_panel`` contract would hide.  Both stacks share
+    the same one-program consume path; the driver is the embedding
+    surface (queue + thread + drop/backpressure), the CLI loop is the
+    paced-source surface.
     """
 
     def __init__(
