@@ -6,6 +6,8 @@ exactly — statistics vs the fused-ingest kernels, overlays vs the XLA
 ops (themselves golden-verified in test_overlays).
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -18,6 +20,16 @@ ARGS = dict(
     th_low=0.75, th_high=1.0, zb_cs=2, fc_cs=1,
     peak_th=3062, peak_rgba=(255, 84, 0, 255),
 )
+
+# CPU suite: interpret mode (the kernels' portable emulation).  Hardware
+# suite (OCM_TEST_TPU): the REAL Mosaic kernels — the stronger assertion,
+# and interpret mode executed on the experimental axon backend is not
+# trustworthy: at (17, 33) (one mostly-padded tile) the interpret-mode
+# composition of the reference ingest+stats kernels miscounts (r5 probe,
+# diff 1112 vs golden) while the REAL kernels are bit-exact at the same
+# shape in the same process; all pieces are individually exact — an
+# interpret-lowering platform artifact, tracked in CLAUDE.md.
+INTERP = not bool(os.environ.get("OCM_TEST_TPU"))
 
 
 @pytest.mark.parametrize(
@@ -41,22 +53,22 @@ def test_pipeline_matches_separate_ops(h4, w4, scale, yuv_data):
     p = jnp.asarray(rng.integers(0, 256, (4, h4, w4), np.uint8))
     tm = jnp.float32(2.5)
     vs, wv, ds, zb, fc, fp = frame_pipeline(
-        p, tm, cs=2, scale=scale, yuv_data=yuv_data, interpret=True, **ARGS
+        p, tm, cs=2, scale=scale, yuv_data=yuv_data, interpret=INTERP, **ARGS
     )
     if scale == 2:
         rvs, rwv, rds = ps.fused_ingest_stats_scale2(
-            p, cs=2, yuv_data=yuv_data, interpret=True
+            p, cs=2, yuv_data=yuv_data, interpret=INTERP
         )
     elif scale > 2:
         from obs_color_monitor_tpu.ops.convert import downscale_planes
 
         rds = downscale_planes(p, scale=scale)
         rvs, rwv = ps.fused_ingest_stats_scale1(
-            rds, cs=2, yuv_data=yuv_data, interpret=True
+            rds, cs=2, yuv_data=yuv_data, interpret=INTERP
         )
     else:
         rvs, rwv = ps.fused_ingest_stats_scale1(
-            p, cs=2, yuv_data=yuv_data, interpret=True
+            p, cs=2, yuv_data=yuv_data, interpret=INTERP
         )
         rds = p
     pc = jnp.asarray(np.array(ARGS["peak_rgba"], np.uint8))
@@ -78,9 +90,9 @@ def test_pipeline_no_overlays_mode():
     rng = np.random.default_rng(11)
     p = jnp.asarray(rng.integers(0, 256, (4, 133, 257), np.uint8))
     tm = jnp.float32(1.0)
-    ref = frame_pipeline(p, tm, cs=1, scale=2, interpret=True, **ARGS)
+    ref = frame_pipeline(p, tm, cs=1, scale=2, interpret=INTERP, **ARGS)
     got = frame_pipeline(
-        p, tm, cs=1, scale=2, interpret=True, with_overlays=False, **ARGS
+        p, tm, cs=1, scale=2, interpret=INTERP, with_overlays=False, **ARGS
     )
     for i, name in enumerate(["vs", "wv", "ds", "zb", "fc", "fp"]):
         if got[i] is None:
@@ -97,7 +109,7 @@ def test_pipeline_alpha_skip():
     arr[3, :48] = 0  # top half transparent, bottom fully opaque
     p = jnp.asarray(arr)
     vs, wv, *_ = frame_pipeline(
-        p, jnp.float32(0.0), cs=1, scale=1, yuv_data=False, interpret=True, **ARGS
+        p, jnp.float32(0.0), cs=1, scale=1, yuv_data=False, interpret=INTERP, **ARGS
     )
     assert int(np.asarray(wv).sum()) == 3 * 48 * 160  # opaque rows only
     assert int(np.asarray(vs).sum()) == 96 * 160  # every pixel
@@ -119,11 +131,11 @@ def test_pipeline_packed_input(h4, w4, scale):
     rng = np.random.default_rng(h4 + w4)
     p = jnp.asarray(rng.integers(0, 256, (4, h4, w4), np.uint8))
     tm = jnp.float32(1.5)
-    ref = frame_pipeline(p, tm, cs=2, scale=scale, interpret=True, **ARGS)
+    ref = frame_pipeline(p, tm, cs=2, scale=scale, interpret=INTERP, **ARGS)
     rgba = np.ascontiguousarray(np.moveaxis(np.asarray(p), 0, -1))
     x32 = jax.lax.bitcast_convert_type(jnp.asarray(rgba), jnp.uint32)
     got = frame_pipeline(x32, tm, cs=2, scale=scale, packed=True,
-                         interpret=True, **ARGS)
+                         interpret=INTERP, **ARGS)
     for name, a, b in zip(["vs", "wv", "ds", "zb", "fc", "fp"], ref, got):
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
 
@@ -132,7 +144,7 @@ def test_pipeline_rejects_other_scales():
     p = jnp.zeros((4, 32, 32), jnp.uint8)
     with pytest.raises(ValueError):
         frame_pipeline(
-            p, jnp.float32(0.0), cs=2, scale=3, interpret=True, **ARGS
+            p, jnp.float32(0.0), cs=2, scale=3, interpret=INTERP, **ARGS
         )
 
 
@@ -178,8 +190,8 @@ def test_pipeline_col_split_bitexact(shape):
     rng = np.random.default_rng(h4 * w4)
     p = jnp.asarray(rng.integers(0, 256, (4, h4, w4), np.uint8))
     tm = jnp.float32(2.5)
-    ref = frame_pipeline(p, tm, cs=2, scale=1, interpret=True, **ARGS)
-    got = frame_pipeline(p, tm, cs=2, scale=1, interpret=True, col_split=2,
+    ref = frame_pipeline(p, tm, cs=2, scale=1, interpret=INTERP, **ARGS)
+    got = frame_pipeline(p, tm, cs=2, scale=1, interpret=INTERP, col_split=2,
                          **ARGS)
     for name, a, b in zip(["vs", "wv", "ds", "zb", "fc", "fp"], ref, got):
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
@@ -187,7 +199,7 @@ def test_pipeline_col_split_bitexact(shape):
     rgba = np.ascontiguousarray(np.moveaxis(np.asarray(p), 0, -1))
     x32 = jax.lax.bitcast_convert_type(jnp.asarray(rgba), jnp.uint32)
     got_p = frame_pipeline(x32, tm, cs=2, scale=1, packed=True,
-                           interpret=True, col_split=2, **ARGS)
+                           interpret=INTERP, col_split=2, **ARGS)
     for name, a, b in zip(["vs", "wv", "ds", "zb", "fc", "fp"], ref, got_p):
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
 
@@ -203,4 +215,4 @@ def test_pipeline_fits_split_admits_4k_scale1():
     assert not pipeline_fits(2160, 3840, 2, with_overlays=True, col_split=2)
     with pytest.raises(ValueError):
         frame_pipeline(jnp.zeros((4, 32, 256), jnp.uint8), jnp.float32(0.0),
-                       cs=2, scale=2, col_split=2, interpret=True, **ARGS)
+                       cs=2, scale=2, col_split=2, interpret=INTERP, **ARGS)
