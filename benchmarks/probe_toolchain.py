@@ -121,6 +121,29 @@ def mxu_vpu_overlap_hint():
           " main_f fused variants)", flush=True)
 
 
+def interpret_mode_on_tpu_correct():
+    """r5 platform artifact (CLAUDE.md): pallas INTERPRET mode executed on
+    the axon backend miscounts the reference ingest+stats composition at a
+    mostly-padded (17, 33) tile — the REAL kernels are exact at the same
+    shape.  PASS here = the artifact is fixed and the hardware suite's
+    INTERP split (tests/test_pipeline_kernel.py) can be retired."""
+    from obs_color_monitor_tpu.ops import pallas_stats as ps
+    from obs_color_monitor_tpu import golden
+    from obs_color_monitor_tpu.colorspace import Colorspace
+
+    rng = np.random.default_rng(42)
+    p_np = rng.integers(0, 256, (4, 17, 33), np.uint8)
+    yuv_g = golden.rgb_to_yuv_u8(np.moveaxis(p_np, 0, -1), Colorspace(2))
+    vs_g = golden.vectorscope_counts(yuv_g)
+    vs, _ = ps.fused_ingest_stats_scale1(
+        jnp.asarray(p_np), cs=2, yuv_data=False, interpret=True
+    )
+    assert np.array_equal(np.asarray(vs), vs_g), (
+        f"interpret-on-TPU still miscounts (diff "
+        f"{int(np.abs(np.asarray(vs).astype(int) - vs_g.astype(int)).sum())})"
+    )
+
+
 if __name__ == "__main__":
     print(f"jax {jax.__version__}, device {jax.devices()[0]}")
     probe("int4 matmul operands", int4_matmul)
@@ -129,4 +152,6 @@ if __name__ == "__main__":
     probe("in-kernel lane merge+split reshape", lane_merge_reshape)
     probe("int4 one-hot DIRECT cast (the real VS lever)", int4_onehot_direct)
     probe("in-kernel lane interleave reshape", lane_interleave_reshape)
+    probe("interpret mode on TPU bit-correct (r5 artifact)",
+          interpret_mode_on_tpu_correct)
     mxu_vpu_overlap_hint()
