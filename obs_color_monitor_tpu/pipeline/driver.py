@@ -225,7 +225,12 @@ class PipelineDriver:
 
         "Landed" = the worker finished every frame the queue ACCEPTED
         (``_consumed`` catches up to ``n_pushed``); then the last published
-        device results are synced."""
+        device results are synced.  The sync is ``block_until_ready`` —
+        correctness never depends on it (JAX arrays are futures: any later
+        read blocks until the real value), it only bounds WHEN in-flight
+        device work finishes; on runtimes where block_until_ready is a
+        weak fence (see doc/performance.md Methodology) a caller needing a
+        hard completion bound should fetch a result instead."""
         import time
 
         t0 = time.monotonic()
