@@ -453,6 +453,37 @@ def test_pipeline_driver_restart(frame):
         drv.stop()
 
 
+def test_driver_dock_mode_restart(rng):
+    """A restarted dock-mode driver keeps serving the stream route: the
+    warmed stream program survives stop()/start() (it is dock state, not
+    driver state), panels keep flowing to on_panel, and frame counting
+    continues."""
+    from obs_color_monitor_tpu.config import DockConfig
+
+    f = rng.integers(0, 256, size=(48, 96, 4), dtype=np.uint8)
+    f[..., 3] = 255
+    dock = Dock(DockConfig(show_roi=False),
+                roi=ROIConfig(interleave=0, target_scale=1))
+    panels = []
+    drv = PipelineDriver(dock=dock, on_panel=lambda p: panels.append(p))
+    drv.start()
+    try:
+        for _ in range(3):
+            assert drv.push_frame(f)
+            drv.flush()
+        n_progs = len(dock._stream_fns)
+        drv.stop()
+        assert not drv.push_frame(f)  # closed queue drops
+        drv.start()
+        assert drv.push_frame(f)
+        drv.flush()
+    finally:
+        drv.stop()
+    assert len(panels) == 4
+    assert dock.hub.frames_processed == 4
+    assert len(dock._stream_fns) == n_progs == 1  # no rebuild across restart
+
+
 def test_pipeline_driver_flush_counts_inflight(frame):
     """flush() waits for frames the worker has POPPED but not yet finished
     (the queue-length check alone can't see them)."""
