@@ -301,6 +301,28 @@ def test_driver_push_nv12_rejects_native_queue():
         drv.push_nv12(np.zeros((16, 32), np.uint8), np.zeros((8, 32), np.uint8))
 
 
+def test_driver_push_nv12_stages_on_producer_side(rng):
+    """push_nv12 issues the plane upload BEFORE the frame enters the
+    queue (the reference's graphics-thread staging, common.c:335-403):
+    the queued NV12Frame must hold device arrays, not host numpy — so the
+    transfer overlaps whatever the worker is running, per the measured
+    overlap contract (doc/performance.md 'Upload overlap')."""
+    import jax
+
+    from obs_color_monitor_tpu.pipeline import NV12Frame
+
+    H, W = 16, 32
+    b = rng.integers(0, 256, (H * 3 // 2, W), dtype=np.uint8)
+    his = Histogram(HistogramConfig())
+    drv = PipelineDriver(his._hub)  # not started: frame stays queued
+    assert drv.push_nv12(b[:H], b[H:])
+    queued = drv.queue.pop(timeout=1.0)
+    assert isinstance(queued, NV12Frame)
+    assert isinstance(queued.y, jax.Array) and isinstance(queued.uv, jax.Array)
+    np.testing.assert_array_equal(np.asarray(queued.y), b[:H])
+    np.testing.assert_array_equal(np.asarray(queued.uv), b[H:])
+
+
 def test_zebra_scope_animates(frame):
     zb = Zebra()
     zb.push_frame(frame)
