@@ -97,6 +97,15 @@ def main():
         step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=8,
                               input_format="packed")
         slope("full step 4K scale8", step, packed(2160, 3840))
+    if "4k16" in which:
+        # scale 16 forfeits the fused band kernel (Mosaic-gated: <8 output
+        # rows per band) and runs the separate-downscale fallback — this
+        # arm measures what the gate actually costs at the only shape
+        # where scale 16 is plausible (4K -> 135x240 stats)
+        step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=16,
+                              input_format="packed")
+        slope("full step 4K scale16 (fallback path)", step,
+              packed(2160, 3840))
     if "4k1" in which:
         step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=1,
                               input_format="packed")

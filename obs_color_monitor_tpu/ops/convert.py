@@ -200,12 +200,53 @@ def downscale_planes(planes: jax.Array, scale: int) -> jax.Array:
         s = row_pairs(b1 + b2, 1)
         return ((s + 2) >> 2).astype(jnp.uint8)
 
-    # generic path (odd / large scales): small outputs, strided column reads
+    a = scale // 2 - 1
+    if scale % 4 == 0:
+        # scales 8, 12, 16, ... (the reference's target_scale goes to 128):
+        # the middle column pair sits at bytes a, a+1 of each scale-byte
+        # group.  Extract each target byte as a full-lane STREAM from the
+        # packed u32 view (elementwise shifts; every non-target word zeroed
+        # by an iota compare) and group-sum on the MXU with a 0/1 matrix —
+        # the strided block-select this replaces relayouted ~0.24 ms per
+        # 4K channel at scale 16 (xprof r5: 0.97 of the step's 1.37 ms
+        # device time was these four reshapes).  Exact: streams are single
+        # u8 values (<= 255, bf16-exact operands), each output sums g
+        # words of which exactly one is nonzero, f32 accumulation of two
+        # matmul results <= 510 is exact, floor((s+2)/4) == (s+2)>>2.
+        g = scale // 4  # u32 words per output column
+        x32 = jax.lax.bitcast_convert_type(
+            x.reshape(x.shape[:-1] + (ow * g, 4)), jnp.uint32
+        )  # (..., H, ow*g); word j*g + a//4 holds byte a of output col j
+        w1, b1 = divmod(a, 4)
+        w2, b2 = divmod(a + 1, 4)
+        widx = jax.lax.broadcasted_iota(jnp.int32, x32.shape[-2:], 1) % g
+        s1 = jnp.where(widx == w1, (x32 >> (8 * b1)) & jnp.uint32(0xFF), 0)
+        s2 = jnp.where(widx == w2, (x32 >> (8 * b2)) & jnp.uint32(0xFF), 0)
+        gsum = (
+            jax.lax.broadcasted_iota(jnp.int32, (ow * g, ow), 0) // g
+            == jax.lax.broadcasted_iota(jnp.int32, (ow * g, ow), 1)
+        ).astype(jnp.bfloat16)
+        mm = lambda t: jax.lax.dot_general(
+            t.astype(jnp.bfloat16),
+            gsum,
+            dimension_numbers=(((t.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if w1 != w2:  # scale % 8 == 0: disjoint lanes, merged stream <= 255
+            csum = mm(s1 + s2)
+        else:  # scale % 8 == 4: both bytes in one word; a merged lane
+            # could reach 510 (not bf16-exact as an operand) — keep split
+            csum = mm(s1) + mm(s2)
+        # (..., H, ow) exact integer pair sums
+        s = row_pairs(csum, a)
+        return jnp.floor((s + 2.0) * 0.25).astype(jnp.uint8)
+
+    # generic path (odd scales; even non-multiples of 4): small outputs,
+    # strided column reads
     blocks = x.reshape(x.shape[:-2] + (oh, scale, ow, scale))
     if scale % 2:
         m = (scale - 1) // 2
         return blocks[..., :, m, :, m]
-    a = scale // 2 - 1
     q = blocks[..., :, a : a + 2, :, a : a + 2].astype(jnp.int32)
     s = q[..., 0, :, 0] + q[..., 0, :, 1] + q[..., 1, :, 0] + q[..., 1, :, 1]
     return ((s + 2) >> 2).astype(jnp.uint8)
