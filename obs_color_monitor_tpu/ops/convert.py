@@ -241,15 +241,40 @@ def downscale_planes(planes: jax.Array, scale: int) -> jax.Array:
         s = row_pairs(csum, a)
         return jnp.floor((s + 2.0) * 0.25).astype(jnp.uint8)
 
-    # generic path (odd scales; even non-multiples of 4): small outputs,
+    if scale % 2 == 0:
+        # scales 6, 10, 14, ... (scale % 4 == 2): scale/2 is odd so the
+        # middle pair starts at an EVEN byte — it is one aligned u16
+        # halfword.  Same byte-stream + MXU group-sum as above, through a
+        # u16 bitcast; lo/hi streams share lanes (one word holds both
+        # bytes), so they stay split across two matmuls (<= 255 each).
+        g16 = scale // 2  # u16 halfwords per output column
+        x16 = jax.lax.bitcast_convert_type(
+            x.reshape(x.shape[:-1] + (ow * g16, 2)), jnp.uint16
+        )  # (..., H, ow*g16); halfword j*g16 + a//2 = bytes a, a+1 (LE)
+        widx = jax.lax.broadcasted_iota(jnp.int32, x16.shape[-2:], 1) % g16
+        hit = widx == a // 2
+        x16i = x16.astype(jnp.int32)
+        lo = jnp.where(hit, x16i & 0xFF, 0)
+        hi = jnp.where(hit, x16i >> 8, 0)
+        gsum = (
+            jax.lax.broadcasted_iota(jnp.int32, (ow * g16, ow), 0) // g16
+            == jax.lax.broadcasted_iota(jnp.int32, (ow * g16, ow), 1)
+        ).astype(jnp.bfloat16)
+        mm = lambda t: jax.lax.dot_general(
+            t.astype(jnp.bfloat16),
+            gsum,
+            dimension_numbers=(((t.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        csum = mm(lo) + mm(hi)
+        s = row_pairs(csum, a)
+        return jnp.floor((s + 2.0) * 0.25).astype(jnp.uint8)
+
+    # odd scales: the sample is a single center texel; small outputs,
     # strided column reads
     blocks = x.reshape(x.shape[:-2] + (oh, scale, ow, scale))
-    if scale % 2:
-        m = (scale - 1) // 2
-        return blocks[..., :, m, :, m]
-    q = blocks[..., :, a : a + 2, :, a : a + 2].astype(jnp.int32)
-    s = q[..., 0, :, 0] + q[..., 0, :, 1] + q[..., 1, :, 0] + q[..., 1, :, 1]
-    return ((s + 2) >> 2).astype(jnp.uint8)
+    m = (scale - 1) // 2
+    return blocks[..., :, m, :, m]
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))

@@ -202,12 +202,12 @@ def test_histogram_levels_logscale(small_frame):
     np.testing.assert_array_equal(np.asarray(got_hi), want_hi)
 
 
-@pytest.mark.parametrize("scale", [1, 2, 3, 4, 5, 6, 8, 12, 16, 20])
+@pytest.mark.parametrize("scale", [1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20])
 def test_downscale_bitexact(small_frame, scale):
     """Covers every formulation branch: passthrough (1), the pair-matmul
-    (2), the u32-bitcast (4), the byte-stream + MXU group-sum for
-    scale % 4 == 0 (8/12/16/20 — the r5 lane-strided-read fix), odd
-    center-texel (3/5), and even-non-mult-4 strided (6)."""
+    (2), the u32-bitcast (4), the u32 byte-stream + MXU group-sum for
+    scale % 4 == 0 (8/12/16/20 — the r5 lane-strided-read fix), its u16
+    twin for scale % 4 == 2 (6/10), and odd center-texel (3/5)."""
     if small_frame.shape[0] < scale or small_frame.shape[1] < scale:
         pytest.skip("frame smaller than scale")
     want = golden.downscale(small_frame, scale)
