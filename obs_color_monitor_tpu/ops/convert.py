@@ -201,80 +201,55 @@ def downscale_planes(planes: jax.Array, scale: int) -> jax.Array:
         return ((s + 2) >> 2).astype(jnp.uint8)
 
     a = scale // 2 - 1
-    if scale % 4 == 0:
-        # scales 8, 12, 16, ... (the reference's target_scale goes to 128):
-        # the middle column pair sits at bytes a, a+1 of each scale-byte
-        # group.  Extract each target byte as a full-lane STREAM from the
-        # packed u32 view (elementwise shifts; every non-target word zeroed
-        # by an iota compare) and group-sum on the MXU with a 0/1 matrix —
-        # the strided block-select this replaces relayouted ~0.24 ms per
-        # 4K channel at scale 16 (xprof r5: 0.97 of the step's 1.37 ms
-        # device time was these four reshapes).  Exact: streams are single
-        # u8 values (<= 255, bf16-exact operands), each output sums g
-        # words of which exactly one is nonzero, f32 accumulation of two
-        # matmul results <= 510 is exact, floor((s+2)/4) == (s+2)>>2.
-        g = scale // 4  # u32 words per output column
-        x32 = jax.lax.bitcast_convert_type(
-            x.reshape(x.shape[:-1] + (ow * g, 4)), jnp.uint32
-        )  # (..., H, ow*g); word j*g + a//4 holds byte a of output col j
-        w1, b1 = divmod(a, 4)
-        w2, b2 = divmod(a + 1, 4)
-        widx = jax.lax.broadcasted_iota(jnp.int32, x32.shape[-2:], 1) % g
-        s1 = jnp.where(widx == w1, (x32 >> (8 * b1)) & jnp.uint32(0xFF), 0)
-        s2 = jnp.where(widx == w2, (x32 >> (8 * b2)) & jnp.uint32(0xFF), 0)
-        gsum = (
-            jax.lax.broadcasted_iota(jnp.int32, (ow * g, ow), 0) // g
-            == jax.lax.broadcasted_iota(jnp.int32, (ow * g, ow), 1)
-        ).astype(jnp.bfloat16)
-        mm = lambda t: jax.lax.dot_general(
-            t.astype(jnp.bfloat16),
-            gsum,
-            dimension_numbers=(((t.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if w1 != w2:  # scale % 8 == 0: disjoint lanes, merged stream <= 255
-            csum = mm(s1 + s2)
-        else:  # scale % 8 == 4: both bytes in one word; a merged lane
-            # could reach 510 (not bf16-exact as an operand) — keep split
-            csum = mm(s1) + mm(s2)
-        # (..., H, ow) exact integer pair sums
-        s = row_pairs(csum, a)
-        return jnp.floor((s + 2.0) * 0.25).astype(jnp.uint8)
-
     if scale % 2 == 0:
-        # scales 6, 10, 14, ... (scale % 4 == 2): scale/2 is odd so the
-        # middle pair starts at an EVEN byte — it is one aligned u16
-        # halfword.  Same byte-stream + MXU group-sum as above, through a
-        # u16 bitcast; lo/hi streams share lanes (one word holds both
-        # bytes), so they stay split across two matmuls (<= 255 each).
-        g16 = scale // 2  # u16 halfwords per output column
-        x16 = jax.lax.bitcast_convert_type(
-            x.reshape(x.shape[:-1] + (ow * g16, 2)), jnp.uint16
-        )  # (..., H, ow*g16); halfword j*g16 + a//2 = bytes a, a+1 (LE)
-        widx = jax.lax.broadcasted_iota(jnp.int32, x16.shape[-2:], 1) % g16
-        hit = widx == a // 2
-        x16i = x16.astype(jnp.int32)
-        lo = jnp.where(hit, x16i & 0xFF, 0)
-        hi = jnp.where(hit, x16i >> 8, 0)
-        gsum = (
-            jax.lax.broadcasted_iota(jnp.int32, (ow * g16, ow), 0) // g16
-            == jax.lax.broadcasted_iota(jnp.int32, (ow * g16, ow), 1)
-        ).astype(jnp.bfloat16)
+        # even scales >= 6 (the reference's target_scale goes to 128): pick
+        # the two center ROWS of each block (a free non-minor split+index),
+        # then select+sum the two center COLUMNS on the MXU with a 0/1
+        # pair matrix — the strided block-select this replaces relayouted
+        # ~0.97 ms per 4K frame at scale 16 (xprof r5: four 0.24 ms
+        # reshapes, one per channel; an intermediate byte-stream+group-sum
+        # formulation measured 0.39–0.51 ms, this one ~0.1–0.2).  Exact:
+        # u8 operands are bf16-exact, each matmul output sums the two 0/1
+        # column hits (<= 510, f32 accumulation), the two row products add
+        # to <= 1020 in f32, and floor((s+2)/4) equals the golden (s+2)>>2.
+        rows = x.reshape(x.shape[:-2] + (oh, scale, ow * scale))
+        ra = rows[..., :, a, :].astype(jnp.bfloat16)
+        rb = rows[..., :, a + 1, :].astype(jnp.bfloat16)
+        iota_p = jax.lax.broadcasted_iota(jnp.int32, (ow * scale, ow), 0)
+        base = (
+            jax.lax.broadcasted_iota(jnp.int32, (ow * scale, ow), 1) * scale
+            + a
+        )
+        sel = ((iota_p == base) | (iota_p == base + 1)).astype(jnp.bfloat16)
         mm = lambda t: jax.lax.dot_general(
-            t.astype(jnp.bfloat16),
-            gsum,
+            t,
+            sel,
             dimension_numbers=(((t.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        csum = mm(lo) + mm(hi)
-        s = row_pairs(csum, a)
+        s = mm(ra) + mm(rb)
         return jnp.floor((s + 2.0) * 0.25).astype(jnp.uint8)
 
-    # odd scales: the sample is a single center texel; small outputs,
-    # strided column reads
-    blocks = x.reshape(x.shape[:-2] + (oh, scale, ow, scale))
+    # odd scales: the sample is a single center texel per block.  The ROW
+    # pick is a (nearly) free non-minor split+index; the COLUMN pick rides
+    # the MXU as a one-hot select — the strided lane pick this replaces
+    # relayouted 11.5 / 5.6 ms per 4K frame at scales 3 / 5 (r5 probe)
+    # against ~0.1 ms of matmul.  Exact: u8 operands are bf16-exact, the
+    # 0/1 one-hot contributes a single product per output, f32 accumulate.
     m = (scale - 1) // 2
-    return blocks[..., :, m, :, m]
+    x_rows = x.reshape(x.shape[:-2] + (oh, scale, ow * scale))[..., :, m, :]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (ow * scale, ow), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (ow * scale, ow), 1) * scale
+        + m
+    ).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        x_rows.astype(jnp.bfloat16),
+        sel,
+        dimension_numbers=(((x_rows.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
