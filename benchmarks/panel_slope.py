@@ -97,6 +97,14 @@ def main():
         step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=8,
                               input_format="packed")
         slope("full step 4K scale8", step, packed(2160, 3840))
+    if "4k3" in which:
+        # odd scale: single-center-texel downscale (r5 MXU select-matmul;
+        # the strided pick it replaced cost 11.5 ms alone) + scale-1 stats
+        # at 720x1280
+        step = make_full_step(2160, 3840, cs=Colorspace.BT709, scale=3,
+                              input_format="packed")
+        slope("full step 4K scale3 (odd, fallback)", step,
+              packed(2160, 3840))
     if "4k16" in which:
         # scale 16 forfeits the fused band kernel (Mosaic-gated: <8 output
         # rows per band) and runs the separate-downscale fallback — this
